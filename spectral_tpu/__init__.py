@@ -1,0 +1,28 @@
+"""spectral-tpu: TPU-native Chebyshev spectral collocation framework.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of
+jedbrown/spectral-petsc (matrix-free Chebyshev collocation for nonlinear
+elliptic and non-Newtonian Stokes problems with fully iterative solution).
+
+Layer map (mirrors reference layers, architecture is TPU-first):
+
+- ``ops.chebyshev``      spectral transform kernel (ref: chebyshev.c)
+- ``ops.stencil``        low-order FD rediscretization (ref: poisson.c:271, elliptic.C:537)
+- ``ops.fastdiag``       exact tensor-product solve of the FD surrogate (replaces -pc_type lu)
+- ``ops.multigrid``      geometric multigrid V-cycle (replaces -pc_type hypre)
+- ``solvers.krylov``     CG/GMRES/FGMRES/... jitted Krylov loops (replaces PETSc KSP)
+- ``solvers.newton``     Newton with line search + histories (replaces PETSc SNES)
+- ``solvers.pc``         preconditioner protocol + registry (replaces PETSc PC)
+- ``grid``               domain/DOF/BC management as static masks (ref: SetupBC, StokesSetupDomain)
+- ``models.poisson``     linear Poisson model (ref: poisson.c)
+- ``models.elliptic``    nonlinear elliptic model, arbitrary dimension (ref: elliptic.C)
+- ``models.stokes``      Stokes saddle-point model with rheology (ref: stokes.C)
+- ``parallel``           mesh sharding, pencil-decomposed transforms, halo exchange
+- ``utils``              options database, logging, VTK/ASCII output
+"""
+
+from spectral_tpu.ops.chebyshev import cgl_nodes, chebdiff, diffmat
+
+__version__ = "0.1.0"
+
+__all__ = ["cgl_nodes", "chebdiff", "diffmat", "__version__"]

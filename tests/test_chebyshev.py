@@ -1,0 +1,111 @@
+"""Transform-kernel unit tests.  Oracle: /root/reference/cheb.c.
+
+cheb.c applies the 1-D and rank-3 derivative operators to functions with
+known analytic derivatives and checks the max-norm error (cheb.c:95-112).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectral_tpu.ops import chebyshev as cheb
+
+
+def test_nodes():
+    x = cheb.cgl_nodes_np(9)
+    assert x[0] == 1.0 and x[-1] == -1.0
+    assert np.all(np.diff(x) < 0)
+    np.testing.assert_allclose(x[4], 0.0, atol=1e-15)
+
+
+@pytest.mark.parametrize("n", [2, 3, 5, 8, 17, 33, 64])
+@pytest.mark.parametrize("method", ["matmul", "fft"])
+def test_d1_exp_cos(n, method):
+    """1-D analog of cheb.c:67-71/95-103: u = exp(x) has known derivative."""
+    x = cheb.cgl_nodes_np(n)
+    u = jnp.asarray(np.exp(x))
+    du = cheb.chebdiff(u, axis=0, method=method)
+    if n == 2:
+        # two points only represent linears: derivative of interpolant
+        expected = np.full(2, (np.exp(1) - np.exp(-1)) / 2)
+        np.testing.assert_allclose(np.asarray(du), expected, rtol=1e-13)
+    elif n >= 17:
+        np.testing.assert_allclose(np.asarray(du), np.exp(x), rtol=1e-10, atol=1e-10)
+
+
+def test_polynomial_exact():
+    """Degree <= N polynomials are differentiated exactly (spectral property)."""
+    n = 12
+    x = cheb.cgl_nodes_np(n)
+    u = jnp.asarray(x**7 - 3 * x**4 + 2 * x)
+    du = cheb.chebdiff(u, axis=0)
+    np.testing.assert_allclose(np.asarray(du), 7 * x**6 - 12 * x**3 + 2, atol=1e-11)
+
+
+@pytest.mark.parametrize("axis", [0, 1, 2])
+def test_rank3_axis(axis):
+    """Rank-3 analog of cheb.c:74-112: u = exp(x)+exp(y)+exp(z), d/d(axis)."""
+    dims = (17, 19, 16)
+    xs = [cheb.cgl_nodes_np(m) for m in dims]
+    X = np.meshgrid(*xs, indexing="ij")
+    u = jnp.asarray(sum(np.exp(g) for g in X))
+    du = cheb.chebdiff(u, axis=axis)
+    np.testing.assert_allclose(np.asarray(du), np.exp(X[axis]), rtol=1e-11, atol=1e-11)
+
+
+def test_fft_matmul_agree():
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((9, 14, 7)))
+    for ax in range(3):
+        a = cheb.chebdiff(u, axis=ax, method="matmul")
+        b = cheb.chebdiff(u, axis=ax, method="fft")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-11)
+
+
+def test_matches_numpy_reference():
+    rng = np.random.default_rng(1)
+    u = rng.standard_normal((13, 6))
+    for ax in range(2):
+        got = np.asarray(cheb.chebdiff(jnp.asarray(u), axis=ax))
+        np.testing.assert_allclose(got, cheb.chebdiff_np(u, axis=ax), atol=1e-12)
+
+
+def test_batched_component_axis():
+    """Trailing component axis is batched (ref DV matrices, stokes.C:283-291)."""
+    dims, d = (12, 11), 2
+    xs = [cheb.cgl_nodes_np(m) for m in dims]
+    X = np.meshgrid(*xs, indexing="ij")
+    v = np.stack([np.sin(X[0]) * X[1], np.cos(X[1])], axis=-1)  # (m, n, d)
+    dv = cheb.chebdiff(jnp.asarray(v), axis=0)
+    np.testing.assert_allclose(np.asarray(dv[..., 0]), np.cos(X[0]) * X[1], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(dv[..., 1]), 0.0, atol=1e-9)
+
+
+def test_jit_and_grad():
+    """Transforms are pure jitted functions; AD flows through them."""
+    n = 16
+    x = cheb.cgl_nodes(n)
+    f = jax.jit(lambda u: jnp.sum(cheb.chebdiff(u, 0) ** 2))
+    u = jnp.exp(x)
+    g = jax.grad(f)(u)
+    # directional derivative check (asymmetric direction so it does not vanish)
+    v = x**2 + 0.5 * x
+    eps = 1e-6
+    fd = (f(u + eps * v) - f(u - eps * v)) / (2 * eps)
+    np.testing.assert_allclose(float(jnp.vdot(g, v)), float(fd), rtol=1e-6)
+
+
+def test_spectral_convergence():
+    """Error decays exponentially with n for analytic u (tests.sh analog)."""
+    errs = []
+    for n in [8, 16, 24, 32]:
+        x = cheb.cgl_nodes_np(n)
+        u = jnp.asarray(np.exp(np.cos(np.pi * x)))
+        du = np.asarray(cheb.chebdiff(u, 0))
+        exact = -np.pi * np.sin(np.pi * x) * np.exp(np.cos(np.pi * x))
+        errs.append(np.abs(du - exact).max())
+    # exponential decay: each +8 points should cut the error by >= 30x
+    assert errs[1] < errs[0] / 30
+    assert errs[2] < errs[1] / 30
+    assert errs[3] < 1e-7
