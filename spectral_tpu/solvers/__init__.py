@@ -1,0 +1,14 @@
+"""Solver kernel library: Krylov methods, Newton, preconditioners."""
+
+from spectral_tpu.solvers.types import ConvergedReason, SolveResult
+from spectral_tpu.solvers.krylov import KSPConfig, ksp_solve, gmres, fgmres, cg
+
+__all__ = [
+    "ConvergedReason",
+    "SolveResult",
+    "KSPConfig",
+    "ksp_solve",
+    "gmres",
+    "fgmres",
+    "cg",
+]

@@ -1,0 +1,406 @@
+"""Jitted Krylov solvers: the TPU-native replacement for PETSc KSP.
+
+The reference configures nested PETSc KSPs from the options database
+(stokes.C:328-341 creates ``-schur_``/``-vel_``/``-svel_`` prefixed solvers;
+the outer solve is FGMRES because the preconditioner is itself an iterative
+solve and therefore nonlinear, README:29-30).  Here every solver is a pure
+jit-compatible function on pytrees:
+
+- ``gmres``   : restarted GMRES, left preconditioning (PETSc KSPGMRES default)
+- ``fgmres``  : flexible GMRES, right preconditioning (PETSc KSPFGMRES) —
+                required when the PC contains inner Krylov solves
+- ``cg``      : preconditioned conjugate gradients
+- ``richardson``, ``preonly`` : as in PETSc
+
+Design notes (TPU):
+- Orthogonalization is CGS2 (classical Gram-Schmidt, two passes) expressed as
+  two (m+1, n) matmuls per step — batched, MXU-friendly, and as robust as MGS
+  in practice.  The basis has static shape (restart+1, n); active columns are
+  selected by masks, never by dynamic shapes.
+- The whole solve is a ``lax.while_loop`` whose body is a ``lax.cond`` between
+  "one Arnoldi step" and "close the cycle (form x, recompute the true
+  residual, restart or stop)", so no work is wasted after convergence.
+- Iteration counts, converged reasons and residual histories are returned as
+  data (SolveResult), mirroring KSPGetIterationNumber / ResidualHistory.
+- Null spaces: pass ``null_project``; it is applied to operator outputs and
+  initial residuals, the jitted analog of KSPSetNullSpace +
+  MatNullSpaceRemove (stokes.C:1006-1025).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+
+from spectral_tpu.solvers.types import ConvergedReason, SolveResult
+
+Operator = Callable[[Any], Any]
+
+HISTORY_LEN = 256
+_TINY = 1e-300
+
+
+def _identity(x):
+    return x
+
+
+def _norm(v):
+    return jnp.sqrt(jnp.vdot(v, v).real).astype(v.dtype)
+
+
+def _flatten_system(A, b, x0, M, null_project):
+    """Reduce a pytree-valued linear system to flat vectors."""
+    bf, unravel = ravel_pytree(b)
+
+    def wrap(op):
+        if op is None:
+            return None
+        return lambda vf: ravel_pytree(op(unravel(vf)))[0]
+
+    Af = wrap(A)
+    Mf = wrap(M) or _identity
+    Pf = wrap(null_project) or _identity
+    x0f = bf * 0 if x0 is None else ravel_pytree(x0)[0]
+    return Af, bf, x0f, Mf, Pf, unravel
+
+
+# ---------------------------------------------------------------------------
+# GMRES / FGMRES
+# ---------------------------------------------------------------------------
+
+class _GState(NamedTuple):
+    x: jax.Array
+    V: jax.Array       # (m+1, n) Krylov basis
+    Z: jax.Array       # (m, n) preconditioned basis (flexible only; (1,1) dummy otherwise)
+    R: jax.Array       # (m, m) rotated Hessenberg (upper triangular)
+    g: jax.Array       # (m+1,) least-squares RHS
+    cs: jax.Array      # (m,) Givens cosines
+    sn: jax.Array      # (m,) Givens sines
+    k: jax.Array       # step within current cycle
+    it: jax.Array      # total iterations
+    rnorm: jax.Array
+    rnorm0: jax.Array
+    pending: jax.Array  # request cycle close (converged / out of budget)
+    reason: jax.Array
+    hist: jax.Array
+
+
+def _gmres_flat(A, M, P, b, x0, *, restart, rtol, atol, dtol, max_it,
+                flexible, history_len):
+    m = restart
+    n = b.shape[0]
+    dtype = b.dtype
+    i32 = jnp.int32
+
+    def new_cycle(x, rp, beta, st_partial):
+        V = jnp.zeros((m + 1, n), dtype).at[0].set(
+            jnp.where(beta > _TINY, 1.0 / beta, 0.0) * rp)
+        g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
+        R = jnp.zeros((m, m), dtype)
+        cs = jnp.zeros((m,), dtype)
+        sn = jnp.zeros((m,), dtype)
+        return st_partial._replace(x=x, V=V, g=g, R=R, cs=cs, sn=sn,
+                                   k=jnp.asarray(0, i32))
+
+    def arnoldi(s: _GState) -> _GState:
+        v = s.V[s.k]
+        if flexible:
+            z = M(v)
+            w = P(A(z))
+            Z = s.Z.at[s.k].set(z)
+        else:
+            w = M(P(A(v)))
+            Z = s.Z
+        # CGS2 orthogonalization against active basis columns
+        mask = (jnp.arange(m + 1) <= s.k).astype(dtype)
+        h1 = (s.V @ w) * mask
+        w = w - s.V.T @ h1
+        h2 = (s.V @ w) * mask
+        w = w - s.V.T @ h2
+        col = h1 + h2
+        hk1 = _norm(w)
+        vnew = jnp.where(hk1 > _TINY, 1.0 / hk1, 0.0) * w
+        V = s.V.at[s.k + 1].set(vnew)
+        col = col.at[s.k + 1].set(hk1)
+
+        def rot(i, c):
+            t0 = s.cs[i] * c[i] + s.sn[i] * c[i + 1]
+            t1 = -s.sn[i] * c[i] + s.cs[i] * c[i + 1]
+            return c.at[i].set(t0).at[i + 1].set(t1)
+
+        col = jax.lax.fori_loop(0, s.k, rot, col)
+        a0, a1 = col[s.k], col[s.k + 1]
+        denom = jnp.sqrt(a0 * a0 + a1 * a1)
+        ck = jnp.where(denom > _TINY, a0 / jnp.where(denom > _TINY, denom, 1.0), 1.0)
+        sk = jnp.where(denom > _TINY, a1 / jnp.where(denom > _TINY, denom, 1.0), 0.0)
+        col = col.at[s.k].set(denom).at[s.k + 1].set(0.0)
+        gk = s.g[s.k]
+        g = s.g.at[s.k].set(ck * gk).at[s.k + 1].set(-sk * gk)
+        rnorm = jnp.abs(g[s.k + 1])
+        it = s.it + 1
+        hist = s.hist.at[jnp.minimum(it, history_len - 1)].set(rnorm)
+        pending = (
+            (rnorm <= jnp.maximum(rtol * s.rnorm0, atol))
+            | (it >= max_it)
+            | ~jnp.isfinite(rnorm)
+            | (rnorm >= dtol * s.rnorm0)
+        )
+        return s._replace(
+            V=V, Z=Z, R=s.R.at[:, s.k].set(col[:m]), g=g,
+            cs=s.cs.at[s.k].set(ck), sn=s.sn.at[s.k].set(sk),
+            k=s.k + 1, it=it, rnorm=rnorm, pending=pending, hist=hist,
+        )
+
+    def cycle_end(s: _GState) -> _GState:
+        idx = jnp.arange(m)
+        on = idx < s.k
+        Rk = jnp.where(on[:, None] & on[None, :], s.R, jnp.eye(m, dtype=dtype))
+        gk = jnp.where(on, s.g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Rk, gk, lower=False)
+        basis = s.Z if flexible else s.V[:m]
+        x = s.x + basis.T @ y
+        r = P(b - A(x))
+        rp = r if flexible else M(r)
+        beta = _norm(rp)
+        tol = jnp.maximum(rtol * s.rnorm0, atol)
+        reason = jnp.where(
+            ~jnp.isfinite(beta), int(ConvergedReason.DIVERGED_NANORINF),
+            jnp.where(
+                beta <= tol,
+                jnp.where(beta <= atol, int(ConvergedReason.CONVERGED_ATOL),
+                          int(ConvergedReason.CONVERGED_RTOL)),
+                jnp.where(
+                    s.it >= max_it, int(ConvergedReason.DIVERGED_ITS),
+                    jnp.where(beta >= dtol * s.rnorm0,
+                              int(ConvergedReason.DIVERGED_DTOL),
+                              int(ConvergedReason.ITERATING)))))
+        st = s._replace(pending=jnp.asarray(False), reason=reason.astype(i32),
+                        rnorm=beta)
+        return new_cycle(x, rp, beta, st)
+
+    # --- initialization -----------------------------------------------------
+    r0 = P(b - A(x0))
+    rp0 = r0 if flexible else M(r0)
+    beta0 = _norm(rp0)
+    hist = jnp.full((history_len,), -1.0, dtype).at[0].set(beta0)
+    reason0 = jnp.where(beta0 <= atol, int(ConvergedReason.CONVERGED_ATOL),
+                        int(ConvergedReason.ITERATING)).astype(i32)
+    Z0 = jnp.zeros((m, n), dtype) if flexible else jnp.zeros((1, 1), dtype)
+    s0 = _GState(
+        x=x0, V=jnp.zeros((m + 1, n), dtype), Z=Z0,
+        R=jnp.zeros((m, m), dtype), g=jnp.zeros((m + 1,), dtype),
+        cs=jnp.zeros((m,), dtype), sn=jnp.zeros((m,), dtype),
+        k=jnp.asarray(0, jnp.int32), it=jnp.asarray(0, jnp.int32),
+        rnorm=beta0, rnorm0=jnp.maximum(beta0, _TINY),
+        pending=jnp.asarray(False), reason=reason0, hist=hist,
+    )
+    s0 = new_cycle(x0, rp0, beta0, s0)
+
+    def cond(s):
+        return s.reason == int(ConvergedReason.ITERATING)
+
+    def body(s):
+        return jax.lax.cond(s.pending | (s.k == m), cycle_end, arnoldi, s)
+
+    s = jax.lax.while_loop(cond, body, s0)
+    return s.x, s.it, s.reason, s.rnorm, s.hist
+
+
+def _gmres_like(A, b, x0, *, M, rtol, atol, dtol, max_it, restart,
+                null_project, history_len, flexible) -> SolveResult:
+    Af, bf, x0f, Mf, Pf, unravel = _flatten_system(A, b, x0, M, null_project)
+    restart = min(restart, max_it) or 1
+    xf, it, reason, rnorm, hist = _gmres_flat(
+        Af, Mf, Pf, bf, x0f, restart=restart, rtol=rtol, atol=atol, dtol=dtol,
+        max_it=max_it, flexible=flexible, history_len=history_len)
+    return SolveResult(unravel(xf), it, reason, rnorm, hist)
+
+
+def gmres(A: Operator, b, x0=None, *, M: Optional[Operator] = None,
+          rtol=1e-5, atol=1e-50, dtol=1e4, max_it=10000, restart=30,
+          null_project=None, history_len=HISTORY_LEN) -> SolveResult:
+    """Restarted GMRES with left preconditioning (PETSc KSPGMRES semantics)."""
+    return _gmres_like(A, b, x0, M=M, rtol=rtol, atol=atol, dtol=dtol,
+                       max_it=max_it, restart=restart, null_project=null_project,
+                       history_len=history_len, flexible=False)
+
+
+def fgmres(A: Operator, b, x0=None, *, M: Optional[Operator] = None,
+           rtol=1e-5, atol=1e-50, dtol=1e4, max_it=10000, restart=30,
+           null_project=None, history_len=HISTORY_LEN) -> SolveResult:
+    """Flexible GMRES, right preconditioning (PETSc KSPFGMRES semantics).
+
+    The preconditioner may change between applications (e.g. contain inner
+    Krylov solves) — exactly the situation of the Stokes saddle-point PC
+    (README:29-30, stokes.C:157).
+    """
+    return _gmres_like(A, b, x0, M=M, rtol=rtol, atol=atol, dtol=dtol,
+                       max_it=max_it, restart=restart, null_project=null_project,
+                       history_len=history_len, flexible=True)
+
+
+# ---------------------------------------------------------------------------
+# CG / Richardson / preonly
+# ---------------------------------------------------------------------------
+
+class _CGState(NamedTuple):
+    x: jax.Array
+    r: jax.Array
+    z: jax.Array
+    p: jax.Array
+    rz: jax.Array
+    it: jax.Array
+    rnorm: jax.Array
+    reason: jax.Array
+    hist: jax.Array
+
+
+def cg(A: Operator, b, x0=None, *, M: Optional[Operator] = None,
+       rtol=1e-5, atol=1e-50, dtol=1e4, max_it=10000,
+       null_project=None, history_len=HISTORY_LEN) -> SolveResult:
+    """Preconditioned conjugate gradients (for SPD operators)."""
+    Af, bf, x0f, Mf, Pf, unravel = _flatten_system(A, b, x0, M, null_project)
+    dtype = bf.dtype
+    r0 = Pf(bf - Af(x0f))
+    z0 = Mf(r0)
+    beta0 = _norm(r0)
+    rnorm0 = jnp.maximum(beta0, _TINY)
+    hist = jnp.full((history_len,), -1.0, dtype).at[0].set(beta0)
+    reason0 = jnp.where(beta0 <= atol, int(ConvergedReason.CONVERGED_ATOL),
+                        int(ConvergedReason.ITERATING)).astype(jnp.int32)
+    s0 = _CGState(x0f, r0, z0, z0, jnp.vdot(r0, z0).real.astype(dtype),
+                  jnp.asarray(0, jnp.int32), beta0, reason0, hist)
+
+    def cond(s):
+        return s.reason == int(ConvergedReason.ITERATING)
+
+    def body(s):
+        Ap = Pf(Af(s.p))
+        pAp = jnp.vdot(s.p, Ap).real.astype(dtype)
+        alpha = s.rz / jnp.where(jnp.abs(pAp) > _TINY, pAp, 1.0)
+        x = s.x + alpha * s.p
+        r = s.r - alpha * Ap
+        rnorm = _norm(r)
+        it = s.it + 1
+        hist = s.hist.at[jnp.minimum(it, history_len - 1)].set(rnorm)
+        tol = jnp.maximum(rtol * rnorm0, atol)
+        reason = jnp.where(
+            ~jnp.isfinite(rnorm), int(ConvergedReason.DIVERGED_NANORINF),
+            jnp.where(rnorm <= tol,
+                      jnp.where(rnorm <= atol, int(ConvergedReason.CONVERGED_ATOL),
+                                int(ConvergedReason.CONVERGED_RTOL)),
+                      jnp.where(it >= max_it, int(ConvergedReason.DIVERGED_ITS),
+                                jnp.where(rnorm >= dtol * rnorm0,
+                                          int(ConvergedReason.DIVERGED_DTOL),
+                                          int(ConvergedReason.ITERATING)))))
+        z = Mf(r)
+        rz = jnp.vdot(r, z).real.astype(dtype)
+        beta = rz / jnp.where(jnp.abs(s.rz) > _TINY, s.rz, 1.0)
+        p = z + beta * s.p
+        return _CGState(x, r, z, p, rz, it, rnorm, reason.astype(jnp.int32), hist)
+
+    s = jax.lax.while_loop(cond, body, s0)
+    return SolveResult(unravel(s.x), s.it, s.reason, s.rnorm, s.hist)
+
+
+def richardson(A: Operator, b, x0=None, *, M: Optional[Operator] = None,
+               scale=1.0, rtol=1e-5, atol=1e-50, dtol=1e4, max_it=10000,
+               null_project=None, history_len=HISTORY_LEN) -> SolveResult:
+    """Richardson iteration x += scale * M(b - A x) (PETSc KSPRICHARDSON)."""
+    Af, bf, x0f, Mf, Pf, unravel = _flatten_system(A, b, x0, M, null_project)
+    dtype = bf.dtype
+    r0 = Pf(bf - Af(x0f))
+    beta0 = _norm(r0)
+    rnorm0 = jnp.maximum(beta0, _TINY)
+    hist = jnp.full((history_len,), -1.0, dtype).at[0].set(beta0)
+    reason0 = jnp.where(beta0 <= atol, int(ConvergedReason.CONVERGED_ATOL),
+                        int(ConvergedReason.ITERATING)).astype(jnp.int32)
+
+    def cond(s):
+        return s[3] == int(ConvergedReason.ITERATING)
+
+    def body(s):
+        x, it, rnorm, reason, hist = s
+        r = Pf(bf - Af(x))
+        x = x + scale * Mf(r)
+        rnew = Pf(bf - Af(x))
+        rnorm = _norm(rnew)
+        it = it + 1
+        hist = hist.at[jnp.minimum(it, history_len - 1)].set(rnorm)
+        tol = jnp.maximum(rtol * rnorm0, atol)
+        reason = jnp.where(
+            ~jnp.isfinite(rnorm), int(ConvergedReason.DIVERGED_NANORINF),
+            jnp.where(rnorm <= tol,
+                      jnp.where(rnorm <= atol, int(ConvergedReason.CONVERGED_ATOL),
+                                int(ConvergedReason.CONVERGED_RTOL)),
+                      jnp.where(it >= max_it, int(ConvergedReason.DIVERGED_ITS),
+                                int(ConvergedReason.ITERATING))))
+        return (x, it, rnorm, reason.astype(jnp.int32), hist)
+
+    s = jax.lax.while_loop(cond, body,
+                           (x0f, jnp.asarray(0, jnp.int32), beta0, reason0, hist))
+    return SolveResult(unravel(s[0]), s[1], s[3], s[2], s[4])
+
+
+def preonly(A: Operator, b, x0=None, *, M: Optional[Operator] = None,
+            null_project=None, history_len=HISTORY_LEN, **_) -> SolveResult:
+    """Apply the preconditioner once (PETSc KSPPREONLY, e.g. -svel_ksp_type preonly)."""
+    Mf = M or _identity
+    Pf = null_project or _identity
+    x = Mf(Pf(b))
+    bf, _ = ravel_pytree(b)
+    hist = jnp.full((history_len,), -1.0, bf.dtype)
+    return SolveResult(x, jnp.asarray(1, jnp.int32),
+                       jnp.asarray(int(ConvergedReason.CONVERGED_ITS), jnp.int32),
+                       jnp.asarray(jnp.nan, bf.dtype), hist)
+
+
+# ---------------------------------------------------------------------------
+# KSP facade: type + tolerances as one configuration object
+# ---------------------------------------------------------------------------
+
+_KSP_TYPES = {
+    "gmres": gmres,
+    "fgmres": fgmres,
+    "cg": cg,
+    "richardson": richardson,
+    "preonly": preonly,
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class KSPConfig:
+    """Configuration of one linear solve (the analog of a prefixed PETSc KSP).
+
+    The reference exposes every nested solver through prefixed CLI options
+    (``-vel_ksp_max_it 4``, stokes.C:332-341); ``KSPConfig.from_options``
+    (see utils.options) reproduces that ergonomics.
+    """
+
+    type: str = "gmres"
+    rtol: float = 1e-5
+    atol: float = 1e-50
+    dtol: float = 1e4
+    max_it: int = 10000
+    restart: int = 30
+    history_len: int = HISTORY_LEN
+
+    def solve(self, A: Operator, b, x0=None, *, M=None, null_project=None) -> SolveResult:
+        fn = _KSP_TYPES[self.type]
+        kwargs = dict(M=M, null_project=null_project, history_len=self.history_len)
+        if self.type != "preonly":
+            kwargs.update(rtol=self.rtol, atol=self.atol, dtol=self.dtol,
+                          max_it=self.max_it)
+        if self.type in ("gmres", "fgmres"):
+            kwargs.update(restart=self.restart)
+        return fn(A, b, x0, **kwargs)
+
+
+def ksp_solve(config: KSPConfig, A: Operator, b, x0=None, *, M=None,
+              null_project=None) -> SolveResult:
+    return config.solve(A, b, x0, M=M, null_project=null_project)

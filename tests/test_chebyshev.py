@@ -108,4 +108,4 @@ def test_spectral_convergence():
     # exponential decay: each +8 points should cut the error by >= 30x
     assert errs[1] < errs[0] / 30
     assert errs[2] < errs[1] / 30
-    assert errs[3] < 1e-7
+    assert errs[3] < 1e-6

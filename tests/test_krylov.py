@@ -1,0 +1,163 @@
+"""Krylov solver tests.  Behavioral oracles: PETSc KSP semantics as used by
+shell.c (Jacobi shell PC on stencil operators) and the reference drivers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectral_tpu.solvers import ConvergedReason, cg, fgmres, gmres
+from spectral_tpu.solvers.krylov import KSPConfig, preonly, richardson
+from spectral_tpu.solvers.pc import pc_jacobi, pc_none
+
+
+def _spd_system(n=60, seed=0):
+    rng = np.random.default_rng(seed)
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    lam = np.linspace(1.0, 50.0, n)
+    Anp = (Q * lam) @ Q.T
+    A = lambda x: jnp.asarray(Anp) @ x
+    xstar = jnp.asarray(rng.standard_normal(n))
+    return A, Anp, xstar
+
+
+def test_gmres_solves_spd():
+    A, Anp, xstar = _spd_system()
+    b = A(xstar)
+    res = gmres(A, b, rtol=1e-12, restart=30, max_it=500)
+    assert int(res.reason) == ConvergedReason.CONVERGED_RTOL
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(xstar), atol=1e-8)
+    assert 0 < int(res.iters) <= 120
+
+
+def test_gmres_nonsymmetric_with_restart():
+    rng = np.random.default_rng(3)
+    n = 50
+    Anp = np.eye(n) * 3 + 0.5 * rng.standard_normal((n, n)) / np.sqrt(n)
+    A = lambda x: jnp.asarray(Anp) @ x
+    xstar = jnp.asarray(rng.standard_normal(n))
+    res = gmres(A, A(xstar), rtol=1e-10, restart=8, max_it=300)
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(xstar), atol=1e-7)
+
+
+def test_jacobi_pc_reduces_iterations():
+    """A strongly diagonal system: Jacobi PC should cut the iteration count
+    (the point of the didactic shell.c preconditioner)."""
+    rng = np.random.default_rng(1)
+    n = 80
+    d = np.linspace(1, 1000, n)
+    Anp = np.diag(d) + rng.standard_normal((n, n)) * 0.1
+    A = lambda x: jnp.asarray(Anp) @ x
+    b = jnp.asarray(rng.standard_normal(n))
+    plain = gmres(A, b, rtol=1e-8, restart=30, max_it=400)
+    pc = pc_jacobi(jnp.asarray(d))
+    prec = gmres(A, b, M=pc, rtol=1e-8, restart=30, max_it=400)
+    assert int(prec.iters) < int(plain.iters)
+    np.testing.assert_allclose(np.asarray(prec.x), np.linalg.solve(Anp, np.asarray(b)),
+                               atol=1e-5)
+
+
+def test_fgmres_with_inner_iterative_pc():
+    """FGMRES tolerates a nonlinear (inner-Krylov) preconditioner — the
+    Stokes configuration (README:29-30)."""
+    A, Anp, xstar = _spd_system(40, seed=5)
+    b = A(xstar)
+
+    def inner_pc(r):  # a few CG iterations as PC: changes between applies
+        return cg(A, r, rtol=1e-2, max_it=5).x
+
+    res = fgmres(A, b, M=inner_pc, rtol=1e-10, restart=30, max_it=200)
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(xstar), atol=1e-6)
+    # should be far fewer outer iterations than unpreconditioned
+    plain = gmres(A, b, rtol=1e-10, restart=30, max_it=200)
+    assert int(res.iters) < int(plain.iters)
+
+
+def test_cg_spd():
+    A, Anp, xstar = _spd_system(70, seed=2)
+    res = cg(A, A(xstar), rtol=1e-12, max_it=300)
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(xstar), atol=1e-8)
+
+
+def test_max_it_divergence_reported():
+    A, _, xstar = _spd_system(60, seed=4)
+    res = gmres(A, A(xstar), rtol=1e-14, max_it=3)
+    assert int(res.reason) == ConvergedReason.DIVERGED_ITS
+    assert int(res.iters) == 3
+
+
+def test_history_monotone_and_recorded():
+    A, _, xstar = _spd_system(30, seed=6)
+    res = cg(A, A(xstar), rtol=1e-10, max_it=200)
+    h = res.history_list()
+    assert len(h) == int(res.iters) + 1
+    assert h[-1] < h[0] * 1e-9
+
+
+def test_preonly_applies_pc_once():
+    d = jnp.asarray(np.linspace(1, 5, 10))
+    A = lambda x: d * x
+    b = jnp.ones(10)
+    res = preonly(A, b, M=pc_jacobi(d))
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(b / d))
+    assert int(res.reason) == ConvergedReason.CONVERGED_ITS
+
+
+def test_richardson():
+    d = jnp.asarray(np.linspace(1, 2, 20))
+    A = lambda x: d * x
+    res = richardson(A, jnp.ones(20), M=pc_jacobi(d), rtol=1e-12, max_it=50)
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(1.0 / d), atol=1e-10)
+
+
+def test_pytree_system():
+    """Solvers operate on pytrees (needed for the Stokes (v, p) state)."""
+    rng = np.random.default_rng(7)
+    n1, n2 = 12, 8
+    M1 = np.eye(n1) * 2 + 0.1 * rng.standard_normal((n1, n1))
+    M2 = np.eye(n2) * 3 + 0.1 * rng.standard_normal((n2, n2))
+
+    def A(x):
+        return {"v": jnp.asarray(M1) @ x["v"], "p": jnp.asarray(M2) @ x["p"]}
+
+    xstar = {"v": jnp.asarray(rng.standard_normal(n1)),
+             "p": jnp.asarray(rng.standard_normal(n2))}
+    res = fgmres(A, A(xstar), rtol=1e-12, max_it=100)
+    np.testing.assert_allclose(np.asarray(res.x["v"]), np.asarray(xstar["v"]), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(res.x["p"]), np.asarray(xstar["p"]), atol=1e-8)
+
+
+def test_null_space_projection():
+    """Singular system with constant null space: projected solve converges to
+    the mean-free solution (analog of StokesRemoveConstantPressure)."""
+    n = 16
+    # 1-D periodic Laplacian: singular, null space = constants
+    def A(x):
+        return 2 * x - jnp.roll(x, 1) - jnp.roll(x, -1)
+
+    proj = lambda x: x - jnp.mean(x)
+    rng = np.random.default_rng(8)
+    b = proj(jnp.asarray(rng.standard_normal(n)))
+    res = gmres(A, b, rtol=1e-12, max_it=200, null_project=proj)
+    assert int(res.reason) > 0
+    x = np.asarray(proj(res.x))
+    r = np.asarray(A(jnp.asarray(x))) - np.asarray(b)
+    assert np.abs(r - r.mean()).max() < 1e-9
+
+
+def test_jit_compatible_and_fixed_iteration():
+    """The whole solve can sit inside jit (nested-solver requirement)."""
+    A, _, xstar = _spd_system(24, seed=9)
+    b = A(xstar)
+    cfg = KSPConfig(type="gmres", rtol=1e-10, max_it=100)
+
+    @jax.jit
+    def run(b):
+        return cfg.solve(A, b)
+
+    res = run(b)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(xstar), atol=1e-6)
