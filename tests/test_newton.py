@@ -1,0 +1,102 @@
+"""Newton solver tests.  Oracle: /root/reference/nk.c — the 1-D problem
+u'' + u^2 = f with f = 6x + x^6 (exact solution u = x^3), solved matrix-free
+with a user PC and line search."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.solvers.krylov import KSPConfig
+from spectral_tpu.solvers.newton import NewtonConfig, newton_solve
+from spectral_tpu.solvers.types import ConvergedReason
+
+
+def _nk_problem(n=32):
+    """Finite-difference residual of nk.c:213-233 (uniform grid on [0,1])."""
+    xg = np.linspace(0.0, 1.0, n)
+    f = jnp.asarray(6.0 * xg + (xg + 1e-12) ** 6)
+    d = float((n - 1) ** 2)
+
+    def residual(u):
+        interior = d * (u[:-2] - 2.0 * u[1:-1] + u[2:]) + u[1:-1] ** 2 - f[1:-1]
+        F = jnp.concatenate([u[:1], interior, u[-1:] - 1.0])
+        # lin_state: the diagonal of the Jacobian (for a Jacobi PC), mirroring
+        # nk.c's diagonal-only preconditioning matrix (nk.c:264-268)
+        diag = jnp.concatenate([jnp.ones(1), -2.0 * d + 2.0 * u[1:-1], jnp.ones(1)])
+        return F, diag
+
+    return residual, jnp.asarray(xg)
+
+
+def test_newton_jfnk_converges_quadratically():
+    residual, xg = _nk_problem(32)
+    res = newton_solve(
+        residual, jnp.full(32, 0.5),
+        ksp=KSPConfig(type="gmres", rtol=1e-10, max_it=500),
+        config=NewtonConfig(rtol=1e-10, max_it=20),
+    )
+    assert res.reason > 0, res.reason_str()
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(xg) ** 3, atol=1e-7)
+    # quadratic-ish convergence: few iterations
+    assert res.iters <= 8
+    # histories recorded
+    assert len(res.fnorm_history) == res.iters + 1
+    assert len(res.ksp_iters) == res.iters
+
+
+def test_newton_with_jacobi_pc():
+    residual, xg = _nk_problem(48)
+
+    def pc_setup(x, lin_state):
+        return lin_state  # diag
+
+    def pc_apply(diag, r):
+        return r / diag
+
+    res = newton_solve(
+        residual, jnp.full(48, 0.5),
+        pc_setup=pc_setup, pc_apply=pc_apply,
+        ksp=KSPConfig(type="gmres", rtol=1e-10, max_it=500),
+        config=NewtonConfig(rtol=1e-10, max_it=20),
+    )
+    assert res.reason > 0
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(xg) ** 3, atol=1e-7)
+
+
+def test_newton_explicit_jacobian_matches_jfnk():
+    residual, xg = _nk_problem(24)
+    d = float(23**2)
+
+    def jac_action(u, lin_state, w):
+        interior = d * (w[:-2] - 2.0 * w[1:-1] + w[2:]) + 2.0 * u[1:-1] * w[1:-1]
+        return jnp.concatenate([w[:1], interior, w[-1:]])
+
+    res = newton_solve(
+        residual, jnp.full(24, 0.5), jacobian_action=jac_action,
+        ksp=KSPConfig(type="gmres", rtol=1e-12, max_it=500),
+        config=NewtonConfig(rtol=1e-10, max_it=20),
+    )
+    assert res.reason > 0
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(xg) ** 3, atol=1e-7)
+
+
+def test_basic_line_search():
+    residual, xg = _nk_problem(16)
+    res = newton_solve(
+        residual, jnp.full(16, 0.5),
+        ksp=KSPConfig(type="gmres", rtol=1e-12, max_it=200),
+        config=NewtonConfig(rtol=1e-10, max_it=20, line_search="basic"),
+    )
+    assert res.reason > 0
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(xg) ** 3, atol=1e-7)
+
+
+def test_max_it_reported():
+    residual, _ = _nk_problem(16)
+    res = newton_solve(
+        residual, jnp.full(16, 0.5),
+        ksp=KSPConfig(type="gmres", rtol=1e-12, max_it=200),
+        config=NewtonConfig(rtol=1e-30, atol=0.0, stol=0.0, max_it=2),
+    )
+    assert res.reason == ConvergedReason.DIVERGED_ITS
+    assert res.iters == 2
