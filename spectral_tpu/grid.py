@@ -1,0 +1,138 @@
+"""Tensor-product CGL grid with static boundary masks.
+
+The reference manages domain/DOF/BC structure with PETSc index sets and
+VecScatters built by walking the grid with an odometer iterator
+(``SetupBC`` elliptic.C:372-466, ``StokesSetupDomain`` stokes.C:772-938,
+``BlockIt`` util.C:8-88).  On TPU, ragged index sets and gathers are the
+wrong primitive: the idiomatic design keeps every field at the **full grid
+shape** and encodes interior/boundary structure as static boolean masks, so
+all shapes stay fixed under jit and "scatters" dissolve into elementwise
+``where`` (SURVEY.md sections 2.2, 5.8).
+
+Conventions:
+- Coordinates per axis are CGL nodes cos(i*pi/(n-1)), *decreasing* from +1
+  (index 0) to -1 (index n-1), as in the reference (elliptic.C:277-281).
+- The outward unit normal follows util.C:70-82: +1 on the index-0 face
+  (x = +1 side), -1 on the last face, normalized at edges/corners.
+- A "global" vector is a full-grid array whose boundary (or Dirichlet)
+  entries are identically zero; inserting boundary data is a masked ``where``
+  (the scatterDL/scatterGL analog).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.ops.chebyshev import cgl_nodes_np
+
+
+@dataclasses.dataclass(frozen=True)
+class Grid:
+    """A d-dimensional tensor-product CGL grid (arbitrary d, cf. README:19-24)."""
+
+    dims: tuple[int, ...]
+
+    def __post_init__(self):
+        if any(n < 3 for n in self.dims):
+            raise ValueError(f"every axis needs >= 3 nodes, got {self.dims}")
+
+    @property
+    def ndim(self) -> int:
+        return len(self.dims)
+
+    @property
+    def size(self) -> int:
+        return math.prod(self.dims)
+
+    @cached_property
+    def nodes_1d(self) -> tuple[np.ndarray, ...]:
+        return tuple(cgl_nodes_np(n) for n in self.dims)
+
+    @cached_property
+    def coords_np(self) -> np.ndarray:
+        """(dims..., d) coordinate array (the c->coord vector, stokes.C:292-302)."""
+        mesh = np.meshgrid(*self.nodes_1d, indexing="ij")
+        return np.stack(mesh, axis=-1)
+
+    @cached_property
+    def coords(self) -> jax.Array:
+        return jnp.asarray(self.coords_np)
+
+    @cached_property
+    def boundary_mask_np(self) -> np.ndarray:
+        """(dims...) bool: node lies on any face."""
+        m = np.zeros(self.dims, dtype=bool)
+        for ax in range(self.ndim):
+            sl0 = [slice(None)] * self.ndim
+            sl1 = [slice(None)] * self.ndim
+            sl0[ax] = 0
+            sl1[ax] = -1
+            m[tuple(sl0)] = True
+            m[tuple(sl1)] = True
+        return m
+
+    @cached_property
+    def boundary_mask(self) -> jax.Array:
+        return jnp.asarray(self.boundary_mask_np)
+
+    @cached_property
+    def interior_mask(self) -> jax.Array:
+        return jnp.asarray(~self.boundary_mask_np)
+
+    @cached_property
+    def normal_np(self) -> np.ndarray:
+        """(dims..., d) outward unit normal on the boundary, zero inside.
+
+        util.C:70-82 convention: +1 on the index-0 face (x=+1), -1 on the
+        last face; normalized at edges and corners.
+        """
+        n = np.zeros(self.dims + (self.ndim,))
+        for ax in range(self.ndim):
+            sl0 = [slice(None)] * self.ndim + [ax]
+            sl1 = [slice(None)] * self.ndim + [ax]
+            sl0[ax] = 0
+            sl1[ax] = -1
+            n[tuple(sl0)] = 1.0
+            n[tuple(sl1)] = -1.0
+        norm = np.linalg.norm(n, axis=-1, keepdims=True)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            n = np.where(norm > 0, n / np.where(norm > 0, norm, 1.0), 0.0)
+        return n
+
+    @cached_property
+    def normal(self) -> jax.Array:
+        return jnp.asarray(self.normal_np)
+
+    # -- DOF census (the reference prints this, elliptic.C:424, stokes.C:891) --
+    @property
+    def num_boundary(self) -> int:
+        return int(self.boundary_mask_np.sum())
+
+    @property
+    def num_interior(self) -> int:
+        return self.size - self.num_boundary
+
+    def census(self) -> str:
+        return (f"DOF distribution: {self.size:8d} local "
+                f"{self.num_interior:8d} global {self.num_boundary:8d} dirichlet")
+
+    # -- masked insert/extract: the VecScatter analogs ------------------------
+    def zero_boundary(self, u: jax.Array) -> jax.Array:
+        """scatterLG analog: keep interior values, zero the boundary."""
+        mask = self.interior_mask
+        if u.ndim > self.ndim:  # trailing component axes
+            mask = mask.reshape(mask.shape + (1,) * (u.ndim - self.ndim))
+        return jnp.where(mask, u, 0.0)
+
+    def set_boundary(self, u: jax.Array, values: jax.Array) -> jax.Array:
+        """scatterDL analog: overwrite boundary entries with ``values``."""
+        mask = self.boundary_mask
+        if u.ndim > self.ndim:
+            mask = mask.reshape(mask.shape + (1,) * (u.ndim - self.ndim))
+        return jnp.where(mask, values, u)

@@ -1,0 +1,80 @@
+"""Linear Poisson model: the minimum end-to-end slice.
+
+Reference oracle: /root/reference/poisson.c — the matrix-free spectral
+Laplacian ``MatPoissonMult`` (poisson.c:209-248) applies each Chebyshev
+derivative twice and overwrites boundary rows with identity; it is solved
+with KSP against the sparse FD preconditioner ``AssemblePoissonPC2``
+(poisson.c:271-313) with a manufactured solution u = prod_j cos(pi x_j / 2)
+(poisson.c:85-99).
+
+TPU-native: the operator is a jitted closure over full-grid arrays; the FD
+surrogate is solved exactly by fast diagonalization (replacing -pc_type lu).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.grid import Grid
+from spectral_tpu.ops.chebyshev import chebdiff
+from spectral_tpu.ops.fastdiag import FastDiagSolver
+from spectral_tpu.ops.stencil import poisson_fd_stencil
+from spectral_tpu.solvers.krylov import KSPConfig
+from spectral_tpu.solvers.types import SolveResult
+
+
+@dataclasses.dataclass(frozen=True)
+class PoissonModel:
+    """-Laplace(u) = f on [-1,1]^d with Dirichlet boundary (identity rows)."""
+
+    grid: Grid
+    method: str = "auto"  # chebdiff execution path
+
+    def operator(self, u: jax.Array) -> jax.Array:
+        """y = -sum_j D_j(D_j u); boundary rows y_b = u_b (poisson.c:215-245)."""
+        y = jnp.zeros_like(u)
+        for ax in range(self.grid.ndim):
+            y = y - chebdiff(chebdiff(u, ax, self.method), ax, self.method)
+        return jnp.where(self.grid.boundary_mask, u, y)
+
+    @cached_property
+    def fd_stencil(self):
+        return poisson_fd_stencil(self.grid)
+
+    def build_pc(self, pc_type: str = "fastdiag"):
+        """Strong PC on the FD surrogate (replaces -pc_type lu/hypre)."""
+        if pc_type == "fastdiag":
+            return FastDiagSolver.build(self.grid)
+        if pc_type == "jacobi":
+            diag = self.fd_stencil.diag()
+            return lambda r: r / diag
+        if pc_type == "mg":
+            from spectral_tpu.ops.multigrid import Multigrid
+            return Multigrid.build(self.grid).as_pc()
+        if pc_type == "none":
+            return None
+        raise ValueError(f"unknown pc_type {pc_type!r}")
+
+    def exact_solution(self):
+        """u = prod_j cos(pi x_j / 2), f = d (pi/2)^2 u (poisson.c:85-99)."""
+        x = self.grid.coords  # (dims..., d)
+        u = jnp.prod(jnp.cos(0.5 * jnp.pi * x), axis=-1)
+        f = self.grid.ndim * (0.5 * jnp.pi) ** 2 * u
+        return u, f
+
+    def rhs(self, u_exact: jax.Array, f: jax.Array) -> jax.Array:
+        """b carries f inside and the Dirichlet data on the boundary."""
+        return jnp.where(self.grid.boundary_mask, u_exact, f)
+
+    def solve(self, b: jax.Array, *, ksp: KSPConfig | None = None,
+              pc_type: str = "fastdiag") -> SolveResult:
+        ksp = ksp or KSPConfig(type="gmres", rtol=1e-10, max_it=200)
+        M = self.build_pc(pc_type)
+        solver = jax.jit(lambda bb: ksp.solve(self.operator, bb, M=M))
+        return solver(b)

@@ -1,0 +1,114 @@
+"""Fast diagonalization: exact tensor-product solve of the FD surrogate.
+
+The reference obtains its "iterations nearly independent of polynomial order"
+property by solving the sparse low-order rediscretization with a strong
+sub-preconditioner: ``-pc_type lu`` or ``-pc_type hypre`` (README:12-14).
+
+TPU-native replacement: the constant-coefficient FD Laplacian on a tensor
+grid is a Kronecker **sum** of 1-D tridiagonal operators,
+    A = sum_j I (x) ... (x) T_j (x) ... (x) I,
+so its exact inverse is obtained by diagonalizing each (n_j-2)-sized T_j once
+on the host (T_j = V_j L_j V_j^{-1}; eigenvalues are real because T_j is
+similar to a symmetric tridiagonal) and applying per-axis dense matmuls:
+    u = V ( (V^{-1} f) / (L_0 (+) ... (+) L_{d-1}) ).
+Cost O(N^{d+1}) in pure batched matmuls — MXU-resident, no triangular solves,
+no sparse factorization — and *exact*, i.e. at least as strong as LU on the
+surrogate.  This is the default strong PC for separable problems; multigrid
+(ops.multigrid) covers variable coefficients.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.grid import Grid
+from spectral_tpu.ops.stencil import fd1d_coeffs
+
+
+def _interior_tridiag_np(z: np.ndarray) -> np.ndarray:
+    """Interior (n-2)x(n-2) tridiagonal of the 1-D FD stencil on nodes z."""
+    lo, c, up = fd1d_coeffs(z)
+    m = len(z) - 2
+    T = np.diag(c[1:-1])
+    T += np.diag(lo[2:-1], k=-1)
+    T += np.diag(up[1:-2], k=+1)
+    return T
+
+
+@dataclasses.dataclass(frozen=True)
+class FastDiagSolver:
+    """Exact solver for the separable FD surrogate with Dirichlet boundary.
+
+    Acts on full-grid vectors (boundary entries pass through unchanged —
+    the identity boundary rows of the surrogate, poisson.c:283-287).
+    """
+
+    grid: Grid
+    V: tuple[jax.Array, ...]      # (m_j, m_j) eigenvector matrices
+    Vinv: tuple[jax.Array, ...]
+    lam_sum: jax.Array            # interior-shaped sum of eigenvalues
+    shift_const: float = 0.0      # solve (A + shift) — used by MG coarse levels
+
+    @staticmethod
+    def build(grid: Grid, dtype=jnp.float64, shift: float = 0.0,
+              axis_scale: np.ndarray | None = None) -> "FastDiagSolver":
+        """Diagonalize each axis' interior tridiagonal (host-side, float64).
+
+        axis_scale: optional per-axis multiplier of T_j (e.g. a separable
+        approximation of a variable coefficient).
+        """
+        Vs, Vis, lams = [], [], []
+        for ax in range(grid.ndim):
+            T = _interior_tridiag_np(grid.nodes_1d[ax])
+            if axis_scale is not None:
+                T = T * float(axis_scale[ax])
+            w, V = np.linalg.eig(T)
+            order = np.argsort(w.real)
+            w, V = w.real[order], V.real[:, order]
+            Vs.append(jnp.asarray(V, dtype))
+            Vis.append(jnp.asarray(np.linalg.inv(V), dtype))
+            lams.append(w)
+        interior_shape = tuple(n - 2 for n in grid.dims)
+        lam = np.zeros(interior_shape)
+        for ax, w in enumerate(lams):
+            shape = [1] * grid.ndim
+            shape[ax] = len(w)
+            lam = lam + w.reshape(shape)
+        return FastDiagSolver(grid, tuple(Vs), tuple(Vis),
+                              jnp.asarray(lam + shift, dtype), shift)
+
+    def _apply_axis(self, M: jax.Array, x: jax.Array, axis: int) -> jax.Array:
+        xm = jnp.moveaxis(x, axis, -1)
+        y = jax.lax.dot_general(
+            xm, M, dimension_numbers=(((xm.ndim - 1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=x.dtype)
+        return jnp.moveaxis(y, -1, axis)
+
+    def solve_interior(self, r: jax.Array) -> jax.Array:
+        """Solve on the interior block (shape dims-2 each axis); jittable."""
+        w = r
+        for ax in range(self.grid.ndim):
+            w = self._apply_axis(self.Vinv[ax], w, ax)
+        lam = self.lam_sum
+        if w.ndim > lam.ndim:
+            lam = lam.reshape(lam.shape + (1,) * (w.ndim - lam.ndim))
+        w = w / lam
+        for ax in range(self.grid.ndim):
+            w = self._apply_axis(self.V[ax], w, ax)
+        return w
+
+    def apply(self, r: jax.Array) -> jax.Array:
+        """Full-grid preconditioner apply: interior exact solve, boundary identity."""
+        d = self.grid.ndim
+        inner = tuple([slice(1, -1)] * d) + tuple([slice(None)] * (r.ndim - d))
+        z = self.solve_interior(r[inner])
+        return r.at[inner].set(z)
+
+    def __call__(self, r: jax.Array) -> jax.Array:
+        return self.apply(r)

@@ -1,0 +1,65 @@
+"""End-to-end Poisson tests.  Oracle: poisson.c driver + tests.sh sweep +
+README claim that strong-PC iteration counts are nearly independent of order."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectral_tpu.grid import Grid
+from spectral_tpu.models.poisson import PoissonModel
+from spectral_tpu.solvers.krylov import KSPConfig
+
+
+def _solve(dims, pc_type="fastdiag", rtol=1e-10):
+    m = PoissonModel(Grid(dims))
+    u, f = m.exact_solution()
+    b = m.rhs(u, f)
+    res = m.solve(b, ksp=KSPConfig(type="gmres", rtol=rtol, max_it=300), pc_type=pc_type)
+    err = float(jnp.max(jnp.abs(res.x - u)))
+    return res, err
+
+
+def test_poisson_2d_16():
+    """BASELINE.json config: 2-D Poisson 16^2 with strong PC, rtol 1e-10."""
+    res, err = _solve((16, 16))
+    assert int(res.reason) > 0
+    assert err < 1e-8
+    assert int(res.iters) < 40
+
+
+def test_poisson_3d():
+    res, err = _solve((20, 20, 20))
+    assert int(res.reason) > 0
+    assert err < 1e-7
+    assert int(res.iters) < 50
+
+
+def test_poisson_iterations_independent_of_order():
+    """README:12-14: with a strong PC on the FD surrogate, iterations are
+    nearly independent of polynomial order (the central claim)."""
+    its = []
+    for n in (8, 16, 24, 32):
+        res, err = _solve((n, n))
+        assert int(res.reason) > 0
+        its.append(int(res.iters))
+    assert max(its) <= min(its) + 6, its
+    assert max(its) < 40
+
+
+def test_poisson_spectral_accuracy_sweep():
+    """tests.sh analog: error decays spectrally with n."""
+    errs = []
+    for n in (6, 10, 14, 18):
+        _, err = _solve((n, n), rtol=1e-12)
+        errs.append(err)
+    assert errs[1] < errs[0] / 30
+    assert errs[2] < errs[1] / 10
+    assert errs[3] < 1e-10
+
+
+@pytest.mark.slow
+def test_poisson_5d():
+    """README:19-24: the scalar solver is truly arbitrary-dimensional."""
+    res, err = _solve((6, 6, 6, 6, 6), rtol=1e-8)
+    assert int(res.reason) > 0
+    assert err < 1e-2  # coarse grid; mainly checks the arbitrary-d path runs
