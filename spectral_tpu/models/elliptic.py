@@ -1,0 +1,265 @@
+"""Nonlinear elliptic model, arbitrary spatial dimension.
+
+Reference oracle: /root/reference/elliptic.C — solves
+    F(u) = -div(eta(u) grad u) - b = 0,   eta(u) = 1 + gamma * u^exponent
+on the CGL tensor grid with Dirichlet boundary, by Newton-Krylov: the
+residual (FormFunction, elliptic.C:480-533) caches eta/eta'/grad(u) which the
+matrix-free Jacobian (MatMult_Elliptic, elliptic.C:296-339) and the sparse FD
+preconditioner (FormJacobian, elliptic.C:537-590) reuse.
+
+TPU-native: full-grid arrays with masked Dirichlet handling; the
+linearization state is threaded explicitly (lin_state) instead of the
+reference's implicit call-ordering contract (elliptic.C:544-548); the
+FD surrogate is solved with fast diagonalization, dense LU (exactly
+``-pc_type lu``), Jacobi, or geometric multigrid.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.grid import Grid
+from spectral_tpu.ops.chebyshev import chebdiff
+from spectral_tpu.ops.fastdiag import FastDiagSolver
+from spectral_tpu.ops.stencil import elliptic_jacobian_stencil
+from spectral_tpu.solvers.krylov import KSPConfig
+from spectral_tpu.solvers.newton import NewtonConfig, NewtonResult, newton_solve
+
+
+def _pow(u: jax.Array, e: float) -> jax.Array:
+    """C-pow semantics for possibly negative bases with integer exponents
+    (elliptic.C:508 uses pow(u, exponent) with default exponent 2.0)."""
+    if float(e).is_integer():
+        return u ** int(e)
+    return jnp.power(u, e)
+
+
+@dataclasses.dataclass(frozen=True)
+class EllipticModel:
+    grid: Grid
+    gamma: float = 0.0
+    exponent: float = 2.0
+    method: str = "auto"
+
+    # -- coefficients ---------------------------------------------------------
+    def eta(self, u):
+        """eta = 1 + gamma u^e, eta' = gamma e u^(e-1) (elliptic.C:507-509)."""
+        eta = 1.0 + self.gamma * _pow(u, self.exponent)
+        if self.gamma == 0.0 or abs(self.exponent) < 1e-10:
+            deta = jnp.zeros_like(u)
+        else:
+            deta = self.exponent * self.gamma * _pow(u, self.exponent - 1.0)
+        return eta, deta
+
+    # -- residual / Jacobian --------------------------------------------------
+    def make_residual(self, b: jax.Array, dirichlet: jax.Array):
+        """Residual closure uG -> (F, lin_state); FormFunction analog.
+
+        uG, F are full-grid arrays with boundary entries zero; ``dirichlet``
+        carries the boundary data (the reference's special dirichlet vector).
+        """
+        g = self.grid
+
+        def residual(uG):
+            u = g.set_boundary(uG, dirichlet)
+            gradu = [chebdiff(u, ax, self.method) for ax in range(g.ndim)]
+            eta, deta = self.eta(u)
+            F = jnp.zeros_like(u)
+            for ax in range(g.ndim):
+                F = F - chebdiff(eta * gradu[ax], ax, self.method)
+            F = g.zero_boundary(F) - b
+            return F, (eta, deta, gradu)
+
+        return residual
+
+    def jacobian_action(self, uG, lin_state, wG):
+        """Frozen-coefficient Newton linearization (MatMult_Elliptic,
+        elliptic.C:296-339): flux_j = eta dw_j + eta' w du0_j, y = -sum D_j flux_j,
+        with homogeneous Dirichlet on the perturbation (dirichlet0 = 0)."""
+        g = self.grid
+        eta, deta, gradu0 = lin_state
+        w = g.zero_boundary(wG)
+        y = jnp.zeros_like(w)
+        for ax in range(g.ndim):
+            flux = eta * chebdiff(w, ax, self.method) + deta * w * gradu0[ax]
+            y = y - chebdiff(flux, ax, self.method)
+        return g.zero_boundary(y)
+
+    # -- preconditioners ------------------------------------------------------
+    @cached_property
+    def _fastdiag(self) -> FastDiagSolver:
+        return FastDiagSolver.build(self.grid)
+
+    def make_pc(self, pc_type: str = "fastdiag"):
+        """(pc_setup, pc_apply) pair for newton_solve; FormJacobian analog.
+
+        - "fastdiag": exact solve of the constant-coefficient FD Laplacian
+          (the separable part); strong for mild eta variation.
+        - "lu": dense LU of the *assembled variable-coefficient* FD stencil —
+          exactly the reference's ``-pc_type lu`` (elliptic runs, README:13).
+        - "jacobi": diagonal of the FD stencil.
+        - "mg": geometric multigrid V-cycle on the variable-coefficient stencil.
+        """
+        g = self.grid
+
+        if pc_type == "none":
+            return None, None
+
+        if pc_type == "fastdiag":
+            fd = self._fastdiag
+
+            def setup(x, lin_state):
+                return 0.5  # Jacobian stencil is 2x the PC2 scaling; harmless
+
+            def apply(state, r):
+                return fd.apply(r)
+
+            return setup, apply
+
+        if pc_type == "jacobi":
+            def setup(x, lin_state):
+                eta, deta, gradu = lin_state
+                return elliptic_jacobian_stencil(g, eta, deta, gradu).diag()
+
+            def apply(diag, r):
+                return r / diag
+
+            return setup, apply
+
+        if pc_type == "lu":
+            if g.size > 5000:
+                raise ValueError("dense -pc_type lu is for small grids; use mg/fastdiag")
+            rows, cols = _stencil_dense_indices(g)
+
+            def setup(x, lin_state):
+                eta, deta, gradu = lin_state
+                S = elliptic_jacobian_stencil(g, eta, deta, gradu)
+                vals = jnp.concatenate(
+                    [S.center.reshape(-1)]
+                    + [S.lower[ax].reshape(-1) for ax in range(g.ndim)]
+                    + [S.upper[ax].reshape(-1) for ax in range(g.ndim)])
+                A = jnp.zeros((g.size, g.size), vals.dtype).at[rows, cols].add(vals)
+                return jax.scipy.linalg.lu_factor(A)
+
+            def apply(lu, r):
+                z = jax.scipy.linalg.lu_solve(lu, r.reshape(-1))
+                return z.reshape(r.shape)
+
+            return setup, apply
+
+        if pc_type == "mg":
+            from spectral_tpu.ops.multigrid import Multigrid
+
+            mg = Multigrid.build(g)
+
+            def setup(x, lin_state):
+                eta, deta, gradu = lin_state
+                return mg.setup(elliptic_jacobian_stencil(g, eta, deta, gradu))
+
+            def apply(state, r):
+                return mg.vcycle(state, r)
+
+            return setup, apply
+
+        raise ValueError(f"unknown pc_type {pc_type!r}")
+
+    # -- exact solutions (CreateExactSolution, elliptic.C:593-677) ------------
+    def exact_solution(self, exact: int = 0, cos_scale: float = 1.0):
+        """Returns (u_full, f_full): manufactured solution and forcing on the
+        full grid.  f is the analytic A(u)u, nonlinearity-aware for exact=0."""
+        g = self.grid
+        d = g.ndim
+        x = g.coords  # (dims..., d)
+        if exact == 0:
+            s = 0.5 * cos_scale
+            cosx = jnp.cos(s * jnp.pi * x)
+            v = jnp.prod(cosx, axis=-1)
+            eta, deta = self.eta(v)
+            w = jnp.zeros_like(v)
+            for j in range(d):
+                dv = -s * jnp.pi * jnp.sin(s * jnp.pi * x[..., j])
+                for k in range(d):
+                    if k != j:
+                        dv = dv * cosx[..., k]
+                d2v = -((s * jnp.pi) ** 2) * v
+                w = w + deta * dv**2 + eta * d2v
+            return v, -w
+        if exact == 1:
+            # u = prod(1-x_j^2), f = -Lap u = sum_j 2 prod_{k!=j}(1-x_k^2).
+            # (elliptic.C:633-643 folds the factor 2 into every term of the
+            # product, i.e. 2^(d-1); that is only correct for d == 2 — we use
+            # the correct forcing so the manufactured solution holds in any d.)
+            v = jnp.prod(1.0 - x**2, axis=-1)
+            w = jnp.zeros_like(v)
+            for j in range(d):
+                z = 2.0 * jnp.ones_like(v)
+                for k in range(d):
+                    if k != j:
+                        z = z * (1.0 - x[..., k] ** 2)
+                w = w + z
+            return v, w
+        if exact == 2:
+            v = jnp.ones(g.dims)
+            for j in range(d):
+                v = v * x[..., j] ** (4 + j)
+            w = jnp.zeros_like(v)
+            for j in range(d):
+                z = jnp.ones_like(v)
+                for k in range(d):
+                    if k == j:
+                        z = z * (4 + k) * (3 + k) * x[..., k] ** (2 + k)
+                    else:
+                        z = z * x[..., k] ** (4 + k)
+                w = w - z
+            return v, w
+        raise ValueError("Choose an exact solution (elliptic.C:657).")
+
+    def setup_problem(self, exact: int = 0, cos_scale: float = 1.0):
+        """Split the manufactured solution into (u_global, b, dirichlet)."""
+        g = self.grid
+        v, w = self.exact_solution(exact, cos_scale)
+        u_global = g.zero_boundary(v)
+        b = g.zero_boundary(w)
+        dirichlet = jnp.where(g.boundary_mask, v, 0.0)
+        return u_global, b, dirichlet
+
+    # -- driver (main, elliptic.C:117-246) ------------------------------------
+    def solve(self, b, dirichlet, x0=None, *, ksp: KSPConfig | None = None,
+              newton: NewtonConfig | None = None, pc_type: str = "fastdiag") -> NewtonResult:
+        ksp = ksp or KSPConfig(type="fgmres", rtol=1e-5, max_it=300)
+        newton = newton or NewtonConfig(rtol=1e-8, max_it=50)
+        residual = self.make_residual(b, dirichlet)
+        pc_setup, pc_apply = self.make_pc(pc_type) if pc_type != "none" else (None, None)
+        x0 = jnp.zeros(self.grid.dims) if x0 is None else x0
+        return newton_solve(residual, x0, jacobian_action=self.jacobian_action,
+                            pc_setup=pc_setup, pc_apply=pc_apply, ksp=ksp,
+                            config=newton)
+
+
+def _stencil_dense_indices(g: Grid):
+    """Static (rows, cols) index arrays that scatter stencil coefficient
+    fields into a dense matrix: order [center, lower_0.., upper_0..]."""
+    dims = g.dims
+    size = g.size
+    strides = [math.prod(dims[j + 1:]) for j in range(len(dims))]
+    flat = np.arange(size)
+    idx = np.indices(dims).reshape(len(dims), -1)
+    rows = [flat]
+    cols = [flat]
+    for ax in range(len(dims)):
+        # lower: column = i - stride; clamp off-grid to the diagonal (their
+        # coefficients are zero by construction)
+        ok = idx[ax] > 0
+        rows.append(flat)
+        cols.append(np.where(ok, flat - strides[ax], flat))
+    for ax in range(len(dims)):
+        ok = idx[ax] < dims[ax] - 1
+        rows.append(flat)
+        cols.append(np.where(ok, flat + strides[ax], flat))
+    return jnp.asarray(np.concatenate(rows)), jnp.asarray(np.concatenate(cols))
