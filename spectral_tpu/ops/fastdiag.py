@@ -55,7 +55,7 @@ class FastDiagSolver:
     shift_const: float = 0.0      # solve (A + shift) — used by MG coarse levels
 
     @staticmethod
-    def build(grid: Grid, dtype=jnp.float64, shift: float = 0.0,
+    def build(grid: Grid, dtype=None, shift: float = 0.0,
               axis_scale: np.ndarray | None = None) -> "FastDiagSolver":
         """Diagonalize each axis' interior tridiagonal (host-side, float64).
 

@@ -133,7 +133,7 @@ class StencilOp:
         return A
 
 
-def poisson_fd_stencil(grid: Grid, dtype=jnp.float64) -> StencilOp:
+def poisson_fd_stencil(grid: Grid, dtype=None) -> StencilOp:
     """d-dimensional FD Laplacian surrogate on CGL nodes.
 
     Generalizes AssemblePoissonPC2 (poisson.c:271-313) to arbitrary dimension:
