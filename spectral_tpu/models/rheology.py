@@ -1,0 +1,47 @@
+"""Rheology models: effective viscosity eta(gamma) and its derivative.
+
+Reference: StokesRheologyLinear / StokesRheologyPower (stokes.C:1919-1944),
+selected by ``-rheology`` (stokes.C:482-493).  Here each rheology is a pure
+vectorized function of the strain-rate second invariant gamma, jit-compatible
+(the reference calls a C function pointer per node, stokes.C:718).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class PowerLawParams:
+    """-hardness / -exponent / -eps / -gamma0 (stokes.C:413-416)."""
+
+    hardness: float = 1.0
+    exponent: float = 1.0
+    regularization: float = 1.0  # -eps
+    gamma0: float = 1.0
+
+
+def rheology_linear(gamma: jax.Array, params: PowerLawParams):
+    """eta = 1, eta' = 0 (stokes.C:1919-1926)."""
+    return jnp.ones_like(gamma), jnp.zeros_like(gamma)
+
+
+def rheology_power(gamma: jax.Array, params: PowerLawParams):
+    """eta = hardness * (eps + gamma/gamma0)^((1-n)/(2n)), analytic eta'
+    (stokes.C:1929-1944)."""
+    n = params.exponent
+    p = (1.0 - n) / (2.0 * n)
+    base = params.regularization + gamma / params.gamma0
+    eta = params.hardness * base**p
+    if abs(n) > 1e-5:
+        deta = params.hardness * p / params.gamma0 * base ** (p - 1.0)
+    else:
+        deta = jnp.zeros_like(gamma)
+    return eta, deta
+
+
+RHEOLOGIES = {0: rheology_linear, 1: rheology_power,
+              "linear": rheology_linear, "power": rheology_power}

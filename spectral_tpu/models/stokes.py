@@ -1,0 +1,414 @@
+"""Stokes saddle-point model with non-Newtonian rheology.
+
+Reference oracle: /root/reference/stokes.C.  The system is
+    [ VV  VP ] [v]   [f_v]        VV: Newton-linearized viscous operator
+    [ PV  0  ] [p] = [f_p]        PV: divergence, VP: pressure gradient
+on the CGL tensor grid, preconditioned by a Schur-complement block
+factorization with independently configurable nested solves
+(-vel_/-svel_/-schur_, stokes.C:328-341; saddle variants PCApply0..3,
+stokes.C:1710-1817), wrapped in Newton with parameter continuation
+(stokes.C:217-235).
+
+TPU-native design decisions (vs the reference's IS/VecScatter machinery,
+stokes.C:772-938):
+- State is a pytree {'v': (dims...,d), 'p': (dims...)} at full grid shape;
+  the 10 index sets + 10 scatters collapse into static boolean mask fields.
+- The strain/gradient tensor is computed by batched-axis DCT derivatives
+  (the reference's rank d+1 ``DV`` matrices, stokes.C:283-291).
+- Pressure order reduction is a precomputed per-axis extrapolation matrix
+  (ops.extrapolation) instead of per-pencil Neville loops.
+- Mixed/Neumann row surgery (StokesMixedApply, stokes.C:1083-1110) is a
+  masked ``where`` with precomputed normal / alpha / one-hot fields.
+  (Note: stokes.C:1102 indexes the velocity with the mixed-node *counter*;
+  we use the velocity at the node itself, which is what the alpha-sliding
+  term means physically.)
+- The velocity sub-preconditioner replaces hypre with an exact
+  fast-diagonalization solve of the FD Laplacian surrogate (or multigrid).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import cached_property
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.grid import Grid
+from spectral_tpu.models import stokes_exact as SE
+from spectral_tpu.models.rheology import RHEOLOGIES, PowerLawParams
+from spectral_tpu.ops.chebyshev import chebdiff
+from spectral_tpu.ops.extrapolation import pressure_reduce_order
+from spectral_tpu.ops.fastdiag import FastDiagSolver
+from spectral_tpu.solvers.krylov import KSPConfig
+from spectral_tpu.solvers.newton import NewtonConfig, NewtonResult, newton_solve
+
+
+@dataclasses.dataclass(frozen=True)
+class StokesConfig:
+    """-exact/-boundary/-rheology/... options (StokesProcessOptions,
+    stokes.C:391-495) plus the nested solver configurations."""
+
+    exact: int = 0
+    boundary: int = 0
+    rheology: int = 0
+    hardness: float = 1.0
+    exponent: float = 1.0
+    regularization: float = 1.0   # -eps
+    gamma0: float = 1.0
+    cont0: int = 0
+    cont: int = 1
+    scaleM: float = 1.0
+    scaleN: float = 1.0
+    pcvel: str = "fastdiag"       # -pcvel analog: fastdiag | mg | jacobi
+    saddle: int = 0               # -pc_saddle_type: 0 LU, 1 upper, 2 diag, 3 lower
+    outer_ksp: KSPConfig = KSPConfig(type="fgmres", rtol=1e-10, max_it=200, restart=50)
+    vel_ksp: KSPConfig = KSPConfig(type="gmres", rtol=1e-5, max_it=4, restart=4)
+    svel_ksp: KSPConfig = KSPConfig(type="preonly")
+    schur_ksp: KSPConfig = KSPConfig(type="gmres", rtol=1e-5, max_it=3, restart=3)
+    newton: NewtonConfig = NewtonConfig(rtol=1e-8, max_it=50)
+
+
+class StokesProblem:
+    """Holds the static domain structure and the jittable operators."""
+
+    def __init__(self, grid: Grid, config: StokesConfig = StokesConfig()):
+        self.grid = grid
+        self.config = config
+        self.d = grid.ndim
+        self._setup_domain()
+        self._setup_exact_and_force()
+
+    # ------------------------------------------------------------------
+    # Domain setup: masks instead of IS/scatters (StokesSetupDomain analog)
+    # ------------------------------------------------------------------
+    def _setup_domain(self):
+        g, d = self.grid, self.d
+        cfg = self.config
+        bmask = g.boundary_mask_np
+        coords_b = g.coords_np[bmask]           # (k, d)
+        normals_b = g.normal_np[bmask]
+        exact_fn = SE.EXACT_SOLUTIONS[cfg.exact]
+        bf = SE.BOUNDARY_FUNCS[cfg.boundary]
+        types_b, values_b, alpha_b = bf(coords_b, normals_b, exact_fn)
+
+        types = np.full(g.dims, -1, dtype=np.int32)
+        types[bmask] = types_b
+        bc_vel = np.zeros(g.dims + (d,))
+        bc_vel[bmask] = values_b
+        alpha = np.zeros(g.dims)
+        alpha[bmask] = alpha_b
+
+        dirichlet_mask = types == SE.BdyType.DIRICHLET
+        neumann_mask = types == SE.BdyType.NEUMANN
+        mixed_mask = types == SE.BdyType.MIXED
+        nm_mask = neumann_mask | mixed_mask
+
+        # one-hot of the most-normal component at mixed nodes (stokes.C:836-851)
+        in_onehot = np.zeros(g.dims + (d,))
+        if mixed_mask.any():
+            nvecs = g.normal_np[mixed_mask]
+            comp = np.argmax(np.abs(nvecs), axis=-1)
+            oh = np.zeros_like(nvecs)
+            oh[np.arange(len(comp)), comp] = 1.0
+            in_onehot[mixed_mask] = oh
+
+        vel_mask = np.ones(g.dims + (d,), dtype=bool)
+        vel_mask[dirichlet_mask] = False
+        vel_mask &= in_onehot == 0.0  # mixed normal component removed
+
+        self.types_np = types
+        self.vel_mask = jnp.asarray(vel_mask)
+        self.p_mask = jnp.asarray(~bmask)
+        self.dirichlet_mask = jnp.asarray(dirichlet_mask)
+        self.nm_mask = jnp.asarray(nm_mask)
+        self.mixed_mask = jnp.asarray(mixed_mask)
+        self.alpha = jnp.asarray(alpha)
+        self.bc_vel = jnp.asarray(bc_vel)
+        self.normal = g.normal
+        self.in_onehot = jnp.asarray(in_onehot)
+        self.num_mixed = int(nm_mask.sum())
+
+    def census(self) -> str:
+        """DOF distribution print (stokes.C:891)."""
+        g, d = self.grid, self.d
+        gv = int(np.asarray(self.vel_mask).sum())
+        gp = int(np.asarray(self.p_mask).sum())
+        dv = int(np.asarray(self.dirichlet_mask).sum()) * d
+        return (f"DOF distribution: {gv + gp} global   {gp}/{g.size} pressure"
+                f"    {gv}/{g.size * d} velocity    {dv} dirichlet"
+                f"    {self.num_mixed} mixed")
+
+    def _setup_exact_and_force(self):
+        g, d = self.grid, self.d
+        exact_fn = SE.EXACT_SOLUTIONS[self.config.exact]
+        value, rhs = exact_fn(g.coords_np)
+        rhs_v = np.where(np.asarray(self.nm_mask)[..., None],
+                         np.asarray(self.bc_vel), rhs[..., :d])
+        self.exact_v = jnp.where(self.vel_mask, jnp.asarray(value[..., :d]), 0.0)
+        self.exact_p = jnp.where(self.p_mask, jnp.asarray(value[..., d]), 0.0)
+        self.force = {
+            "v": jnp.where(self.vel_mask, jnp.asarray(rhs_v), 0.0),
+            "p": jnp.where(self.p_mask, jnp.asarray(rhs[..., d]), 0.0),
+        }
+
+    # ------------------------------------------------------------------
+    # Masked "scatters"
+    # ------------------------------------------------------------------
+    def mask_v(self, v):
+        return jnp.where(self.vel_mask, v, 0.0)
+
+    def mask_p(self, p):
+        return jnp.where(self.p_mask, p, 0.0)
+
+    def recover_mixed(self, v):
+        """StokesMixedVelocity (stokes.C:1133-1156): reconstruct the removed
+        most-normal component for zero normal flux."""
+        if self.num_mixed == 0:
+            return v
+        oh = self.in_onehot
+        n = self.normal
+        v_excl = v * (1.0 - oh)
+        num = jnp.sum(v_excl * n, axis=-1, keepdims=True)
+        n_in = jnp.sum(n * oh, axis=-1, keepdims=True)
+        vin = -num / jnp.where(jnp.abs(n_in) > 1e-14, n_in, 1.0)
+        return jnp.where(self.mixed_mask[..., None], v_excl + oh * vin, v)
+
+    def local_velocity(self, vG, with_dirichlet=True):
+        v = self.recover_mixed(self.mask_v(vG))
+        if with_dirichlet:
+            v = jnp.where(self.dirichlet_mask[..., None], self.bc_vel, v)
+        return v
+
+    # ------------------------------------------------------------------
+    # Differential pieces
+    # ------------------------------------------------------------------
+    def _grad_tensor(self, vL):
+        """G[..., j, k] = d v_k / d x_j via batched DCT derivative."""
+        return jnp.stack([chebdiff(vL, axis=j) for j in range(self.d)], axis=-2)
+
+    def _strain(self, vL):
+        G = self._grad_tensor(vL)
+        return 0.5 * (G + jnp.swapaxes(G, -1, -2))
+
+    def _tensor_divergence(self, flux):
+        """y_k = sum_j d flux[..., j, k] / d x_j."""
+        y = jnp.zeros(flux.shape[:-2] + (self.d,), flux.dtype)
+        for j in range(self.d):
+            y = y + chebdiff(flux[..., j, :], axis=j)
+        return y
+
+    def divergence(self, vG, with_dirichlet):
+        """StokesDivergence (stokes.C:569-595)."""
+        vL = self.local_velocity(vG, with_dirichlet)
+        div = jnp.zeros(self.grid.dims, vL.dtype)
+        for i in range(self.d):
+            div = div + chebdiff(vL[..., i], axis=i)
+        return self.mask_p(div)
+
+    def pressure_gradient(self, pG):
+        """VP block (stokes.C:598-619): reduce pressure order, take the
+        gradient, zero mixed/Neumann rows, mask to global velocity."""
+        pL = pressure_reduce_order(self.mask_p(pG), self.grid.nodes_1d)
+        gp = jnp.stack([chebdiff(pL, axis=i) for i in range(self.d)], axis=-1)
+        gp = jnp.where(self.nm_mask[..., None], 0.0, gp)
+        return self.mask_v(gp)
+
+    def _mixed_rows(self, y, stress, vL):
+        """StokesMixedApply (stokes.C:1083-1110): replace Neumann/mixed rows
+        with scaleM*(scaleN * stress.n + alpha * v)."""
+        if self.num_mixed == 0:
+            return y
+        cfg = self.config
+        traction = jnp.einsum("...jk,...k->...j", stress, self.normal)
+        rows = cfg.scaleM * (cfg.scaleN * traction + self.alpha[..., None] * vL)
+        return jnp.where(self.nm_mask[..., None], rows, y)
+
+    def rheology(self, gamma, params: PowerLawParams):
+        return RHEOLOGIES[self.config.rheology](gamma, params)
+
+    # ------------------------------------------------------------------
+    # Residual and Jacobian blocks
+    # ------------------------------------------------------------------
+    def make_residual(self, params: PowerLawParams):
+        """StokesFunction (stokes.C:679-758) as x -> (F, lin_state)."""
+
+        def residual(xG):
+            vL = self.local_velocity(xG["v"], with_dirichlet=True)
+            S = self._strain(vL)
+            gamma = 0.5 * jnp.sum(S * S, axis=(-1, -2))
+            eta, deta = self.rheology(gamma, params)
+            flux = eta[..., None, None] * S
+            yv = -self._tensor_divergence(flux)
+            yv = self._mixed_rows(yv, flux, vL)
+            Fv = self.mask_v(yv) + self.pressure_gradient(xG["p"])
+            Fp = self.divergence(xG["v"], with_dirichlet=True)
+            F = {"v": Fv - self.force["v"], "p": Fp - self.force["p"]}
+            return F, (eta, deta, S)
+
+        return residual
+
+    def vv_action(self, lin_state, wv):
+        """VV block (StokesMatMultVV, stokes.C:622-676): exact Newton
+        linearization of the viscous term about the frozen state."""
+        eta, deta, S0 = lin_state
+        wL = self.recover_mixed(self.mask_v(wv))
+        Sw = self._strain(wL)
+        z = jnp.sum(Sw * S0, axis=(-1, -2))
+        flux = eta[..., None, None] * Sw + deta[..., None, None] * S0 * z[..., None, None]
+        stress = eta[..., None, None] * Sw
+        yv = -self._tensor_divergence(flux)
+        yv = self._mixed_rows(yv, stress, wL)
+        return self.mask_v(yv)
+
+    def jacobian_action(self, x, lin_state, w):
+        """Full block matvec (StokesMatMult, stokes.C:497-519)."""
+        return {
+            "v": self.vv_action(lin_state, w["v"]) + self.pressure_gradient(w["p"]),
+            "p": self.divergence(w["v"], with_dirichlet=False),
+        }
+
+    # ------------------------------------------------------------------
+    # Null space (StokesRemoveConstantPressure, stokes.C:1006-1025)
+    # ------------------------------------------------------------------
+    def project_p(self, p):
+        count = float(self.grid.num_interior)
+        mean = jnp.sum(self.mask_p(p)) / count
+        return self.mask_p(p - mean)
+
+    def null_project(self, x):
+        return {"v": x["v"], "p": self.project_p(x["p"])}
+
+    # ------------------------------------------------------------------
+    # Preconditioning (PCSetUp0 + PCApply0..3)
+    # ------------------------------------------------------------------
+    @cached_property
+    def _vel_fastdiag(self) -> FastDiagSolver:
+        return FastDiagSolver.build(self.grid)
+
+    def make_vel_pc(self) -> Callable:
+        """Strong approximate inverse of the FD velocity surrogate
+        (MatVVPC solved with hypre in the reference, README:36-40)."""
+        if self.config.pcvel == "fastdiag":
+            fd = self._vel_fastdiag
+            return lambda r: self.mask_v(fd.apply(r))
+        if self.config.pcvel == "jacobi":
+            from spectral_tpu.ops.stencil import poisson_fd_stencil
+            diag = poisson_fd_stencil(self.grid).diag()[..., None]
+            return lambda r: self.mask_v(r / diag)
+        raise ValueError(f"unknown pcvel {self.config.pcvel!r}")
+
+    def make_pc(self):
+        """(pc_setup, pc_apply) implementing the saddle-point preconditioner."""
+        cfg = self.config
+        vel_pc = self.make_vel_pc()
+
+        def vel_solve(lin_state, rv):
+            A = lambda w: self.vv_action(lin_state, w)
+            return cfg.vel_ksp.solve(A, rv, M=vel_pc).x
+
+        def svel_solve(lin_state, rv):
+            A = lambda w: self.vv_action(lin_state, w)
+            return cfg.svel_ksp.solve(A, rv, M=vel_pc).x
+
+        def schur_action(lin_state, wp):
+            """S = -PV VV^{-1} VP with the inner -svel_ solve (stokes.C:522-535)."""
+            v0 = self.pressure_gradient(wp)
+            v1 = svel_solve(lin_state, v0)
+            return -self.divergence(v1, with_dirichlet=False)
+
+        def schur_solve(lin_state, eta, rp):
+            A = lambda wp: schur_action(lin_state, wp)
+            # Jacobi PC with diag = 1/eta (StokesMatGetDiagonalSchur,
+            # stokes.C:538-553) => apply multiplies by eta
+            M = lambda r: self.mask_p(r * eta)
+            return cfg.schur_ksp.solve(A, rp, M=M, null_project=self.project_p).x
+
+        def pc_setup(x, lin_state):
+            return lin_state
+
+        def pc_apply(lin_state, r):
+            eta = lin_state[0]
+            rv, rp = r["v"], r["p"]
+            if cfg.saddle == 0:    # full block LU (stokes.C:1710-1741)
+                v1 = vel_solve(lin_state, rv)
+                p0 = rp - self.divergence(v1, with_dirichlet=False)
+                p1 = schur_solve(lin_state, eta, p0)
+                v2 = vel_solve(lin_state, -self.pressure_gradient(p1))
+                return {"v": v1 + v2, "p": p1}
+            if cfg.saddle == 1:    # upper triangular (stokes.C:1743-1767)
+                p1 = schur_solve(lin_state, eta, rp)
+                v1 = vel_solve(lin_state, rv - self.pressure_gradient(p1))
+                return {"v": v1, "p": p1}
+            if cfg.saddle == 2:    # block diagonal (stokes.C:1769-1791)
+                return {"v": vel_solve(lin_state, rv),
+                        "p": schur_solve(lin_state, eta, rp)}
+            if cfg.saddle == 3:    # lower triangular (stokes.C:1793-1817)
+                v1 = vel_solve(lin_state, rv)
+                p0 = rp - self.divergence(v1, with_dirichlet=False)
+                return {"v": v1, "p": schur_solve(lin_state, eta, p0)}
+            raise ValueError(f"pc_saddle_type {cfg.saddle} not implemented")
+
+        return pc_setup, pc_apply
+
+    # ------------------------------------------------------------------
+    # Drivers (main, stokes.C:119-253)
+    # ------------------------------------------------------------------
+    def zero_state(self):
+        return {"v": jnp.zeros(self.grid.dims + (self.d,)),
+                "p": jnp.zeros(self.grid.dims)}
+
+    def exact_state(self):
+        return {"v": self.exact_v, "p": self.exact_p}
+
+    def params_at(self, i: int) -> PowerLawParams:
+        """Continuation schedule (stokes.C:218-219)."""
+        cfg = self.config
+        if cfg.cont <= 0:
+            return PowerLawParams(cfg.hardness, cfg.exponent,
+                                  cfg.regularization, cfg.gamma0)
+        t = i / cfg.cont
+        exponent = 1.0 + t**0.8 * (cfg.exponent - 1.0)
+        reg = math.exp(math.log(cfg.regularization) * t) if cfg.regularization > 0 else 0.0
+        return PowerLawParams(cfg.hardness, exponent, reg, cfg.gamma0)
+
+    def solve(self, x0=None, params: Optional[PowerLawParams] = None,
+              monitor: bool = False) -> NewtonResult:
+        """One SNES solve at fixed rheology parameters."""
+        cfg = self.config
+        params = params or self.params_at(cfg.cont)
+        residual = self.make_residual(params)
+        pc_setup, pc_apply = self.make_pc()
+        x0 = x0 if x0 is not None else self.zero_state()
+        newton = dataclasses.replace(cfg.newton, monitor=monitor)
+        return newton_solve(residual, x0,
+                            jacobian_action=self.jacobian_action,
+                            pc_setup=pc_setup, pc_apply=pc_apply,
+                            ksp=cfg.outer_ksp, config=newton,
+                            null_project=self.null_project)
+
+    def solve_continuation(self, monitor: bool = False) -> list[NewtonResult]:
+        """The continuation loop (stokes.C:217-235): ramp exponent and
+        regularization, reusing each solution as the next initial guess."""
+        cfg = self.config
+        results = []
+        x = self.zero_state()
+        for i in range(cfg.cont0, cfg.cont + 1):
+            p = self.params_at(i)
+            if monitor:
+                print(f"## [{i}/{cfg.cont}] Solving with exponent = {p.exponent:5f} "
+                      f"regularization {p.regularization:8.2e}")
+            res = self.solve(x, params=p, monitor=monitor)
+            x = res.x
+            results.append(res)
+        return results
+
+    def error_vs_exact(self, x) -> float:
+        """Max-norm error with the constant-pressure mode removed
+        (stokes.C:222-228)."""
+        dv = x["v"] - self.exact_v
+        dp = self.project_p(x["p"] - self.exact_p)
+        return float(jnp.maximum(jnp.max(jnp.abs(dv)), jnp.max(jnp.abs(dp))))

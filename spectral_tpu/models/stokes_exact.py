@@ -1,0 +1,188 @@
+"""Stokes exact solutions and boundary-condition registries (host-side numpy).
+
+Reference: StokesExact0..3 (stokes.C:1946-2034) selected by ``-exact``;
+StokesDirichlet/StokesBoundary1..4 (stokes.C:2038-2181) selected by
+``-boundary``.  These run once at setup to build static masks and value
+fields, so they are plain vectorized numpy (the reference calls per-node C
+function pointers during the SetupDomain walk, stokes.C:794).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Callable
+
+import numpy as np
+
+
+class BdyType(enum.IntEnum):
+    DIRICHLET = 0
+    NEUMANN = 1
+    MIXED = 2
+    OUTFLOW = 3
+
+
+# ---------------------------------------------------------------------------
+# Exact solutions: coords (..., d) -> (value (..., d+1), rhs (..., d+1))
+# ---------------------------------------------------------------------------
+
+def exact0(coords: np.ndarray):
+    """Zero solution and forcing (stokes.C:1947-1959); any dimension."""
+    d = coords.shape[-1]
+    z = np.zeros(coords.shape[:-1] + (d + 1,))
+    return z, z.copy()
+
+
+def _taylor_velocity(coords):
+    x, y = coords[..., 0], coords[..., 1]
+    u = np.sin(0.5 * np.pi * x) * np.cos(0.5 * np.pi * y)
+    v = -np.cos(0.5 * np.pi * x) * np.sin(0.5 * np.pi * y)
+    return u, v
+
+
+def exact1(coords: np.ndarray):
+    """Taylor-vortex-like velocity + cosine/linear pressure (stokes.C:1962-1986)."""
+    d = coords.shape[-1]
+    if d > 3:
+        raise ValueError("exact 1 implemented for d in {2,3} (stokes.C:1969)")
+    x, y = coords[..., 0], coords[..., 1]
+    u, v = _taylor_velocity(coords)
+    p = 0.25 * (np.cos(np.pi * x) + np.cos(np.pi * y)) + 10.0 * (x + y)
+    value = np.zeros(coords.shape[:-1] + (d + 1,))
+    rhs = np.zeros_like(value)
+    value[..., 0] = u
+    value[..., 1] = v
+    value[..., d] = p
+    rhs[..., 0] = (0.5 * np.pi) ** 2 * u - 0.25 * np.pi * np.sin(np.pi * x) + 10.0
+    rhs[..., 1] = (0.5 * np.pi) ** 2 * v - 0.25 * np.pi * np.sin(np.pi * y) + 10.0
+    return value, rhs
+
+
+def exact2(coords: np.ndarray):
+    """Same velocity, zero pressure (stokes.C:1990-2012)."""
+    d = coords.shape[-1]
+    if d > 3:
+        raise ValueError("exact 2 implemented for d in {2,3} (stokes.C:1997)")
+    u, v = _taylor_velocity(coords)
+    value = np.zeros(coords.shape[:-1] + (d + 1,))
+    rhs = np.zeros_like(value)
+    value[..., 0] = u
+    value[..., 1] = v
+    rhs[..., 0] = (0.5 * np.pi) ** 2 * u
+    rhs[..., 1] = (0.5 * np.pi) ** 2 * v
+    return value, rhs
+
+
+def exact3(coords: np.ndarray):
+    """Simple shear u = y + 1 (stokes.C:2015-2034), 2-D."""
+    d = coords.shape[-1]
+    if d != 2:
+        raise ValueError("exact 3 is 2-D only (stokes.C:2021)")
+    value = np.zeros(coords.shape[:-1] + (d + 1,))
+    rhs = np.zeros_like(value)
+    value[..., 0] = coords[..., 1] + 1.0
+    return value, rhs
+
+
+EXACT_SOLUTIONS: dict[int, Callable] = {0: exact0, 1: exact1, 2: exact2, 3: exact3}
+
+
+# ---------------------------------------------------------------------------
+# Boundary functions (vectorized over boundary nodes)
+#   bf(coords (k,d), normals (k,d), exact) ->
+#       (types (k,), vel_values (k,d), alpha (k,))
+# For NEUMANN rows vel_values carries the traction; for MIXED, the extra
+# traction (and alpha the sliding coefficient).
+# ---------------------------------------------------------------------------
+
+def _exact_strain_traction(coords, normals, exact, eps=1e-7):
+    """epsilon(u_exact) . n via centered finite differences of the exact
+    velocity (stokes.C:2063-2083)."""
+    k, d = coords.shape
+    grad = np.zeros((k, d, d))  # grad[:, j, i] = d u_j / d x_i
+    for i in range(d):
+        dxp = coords.copy()
+        dxp[:, i] += eps
+        dxm = coords.copy()
+        dxm[:, i] -= eps
+        wp = exact(dxp)[0][..., :d]
+        wm = exact(dxm)[0][..., :d]
+        grad[:, :, i] = (wp - wm) / (2.0 * eps)
+    strain = 0.5 * (grad + np.swapaxes(grad, 1, 2))
+    return np.einsum("kij,kj->ki", strain, normals)
+
+
+def boundary0(coords, normals, exact):
+    """Dirichlet from the exact solution everywhere (stokes.C:2038-2048)."""
+    k, d = coords.shape
+    types = np.full(k, BdyType.DIRICHLET, dtype=np.int32)
+    values = exact(coords)[0][..., :d]
+    return types, values, np.zeros(k)
+
+
+def _surface_mask(coords):
+    d = coords.shape[-1]
+    inside = np.zeros(len(coords), dtype=bool)
+    for i in range(d - 1):
+        inside |= np.abs(coords[:, i]) < 0.999
+    return (coords[:, d - 1] > 0.999) & inside
+
+
+def boundary1(coords, normals, exact):
+    """Neumann (exact traction) on the top surface, Dirichlet elsewhere
+    (stokes.C:2051-2089).  README:64-66 flags this as ill-conditioned."""
+    k, d = coords.shape
+    types, values, alpha = boundary0(coords, normals, exact)
+    surf = _surface_mask(coords)
+    if surf.any():
+        types[surf] = BdyType.NEUMANN
+        values[surf] = _exact_strain_traction(coords[surf], normals[surf], exact)
+    return types, values, alpha
+
+
+def boundary2(coords, normals, exact):
+    """boundary1 + MIXED (sliding, alpha=1, zero flux) at the bed
+    (stokes.C:2092-2134).  README:66-67: correctness uncertain upstream."""
+    k, d = coords.shape
+    types, values, alpha = boundary1(coords, normals, exact)
+    bed = coords[:, d - 1] < -0.999
+    types[bed] = BdyType.MIXED
+    values[bed] = 0.0
+    alpha[bed] = 1.0
+    return types, values, alpha
+
+
+def boundary3(coords, normals, exact):
+    """Lid/channel-driven Dirichlet profile (stokes.C:2137-2163)."""
+    k, d = coords.shape
+    types = np.full(k, BdyType.DIRICHLET, dtype=np.int32)
+    values = np.zeros((k, d))
+    c1, c2 = coords[:, d - 2], coords[:, d - 1]
+    prof = np.ones(k)
+    prof = np.where(c2 > 0.999, 0.5 * (3.0 - c1), prof)
+    prof = np.where(c2 < -0.999, 0.5 * (1.0 + c1), prof)
+    prof = np.where(c1 < -0.999, 1.0 + c2, prof)
+    values[:, d - 2] = prof
+    return types, values, np.zeros(k)
+
+
+def boundary4(coords, normals, exact):
+    """Inflow parabola + OUTFLOW + Neumann lid (stokes.C:2166-2181)."""
+    k, d = coords.shape
+    types = np.full(k, BdyType.DIRICHLET, dtype=np.int32)
+    values = np.zeros((k, d))
+    c1, c2 = coords[:, d - 2], coords[:, d - 1]
+    inflow = c1 < -0.999
+    outflow = ~inflow & (c1 > 0.999)
+    lid = c2 > 0.999
+    values[inflow, d - 2] = 1.0 - 0.25 * (c2[inflow] - 1.0) ** 2
+    types[outflow] = BdyType.OUTFLOW
+    values[lid & ~inflow & ~outflow, d - 2] = 1.0
+    # the lid override keeps whatever value was assigned (stokes.C:2176-2179)
+    types[lid] = BdyType.NEUMANN
+    return types, values, np.zeros(k)
+
+
+BOUNDARY_FUNCS: dict[int, Callable] = {
+    0: boundary0, 1: boundary1, 2: boundary2, 3: boundary3, 4: boundary4,
+}

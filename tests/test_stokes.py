@@ -1,0 +1,156 @@
+"""Stokes end-to-end tests.  Oracles: stokes.C driver checks — exact-solution
+residual (stokes.C:191-205), MatNullSpaceTest (stokes.C:206-212), solve +
+error norms (stokes.C:217-235), continuation (README:45-52)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectral_tpu.grid import Grid
+from spectral_tpu.models.stokes import StokesConfig, StokesProblem
+from spectral_tpu.ops.extrapolation import pressure_reduce_order
+
+
+def test_census():
+    p = StokesProblem(Grid((8, 6)), StokesConfig(exact=0))
+    # 48 nodes, 24 boundary (all Dirichlet): velocity global 24*2,
+    # pressure 24, dirichlet velocity dofs 48
+    assert int(np.asarray(p.p_mask).sum()) == 24
+    assert int(np.asarray(p.vel_mask).sum()) == 48
+    assert int(np.asarray(p.dirichlet_mask).sum()) == 24
+
+
+def test_exact_residual_and_nullspace():
+    p = StokesProblem(Grid((16, 16)), StokesConfig(exact=2))
+    F, lin = p.make_residual(p.params_at(1))(p.exact_state())
+    assert float(jnp.max(jnp.abs(F["v"]))) < 1e-10
+    assert float(jnp.max(jnp.abs(F["p"]))) < 1e-12
+    # constant pressure is in the null space of the Jacobian
+    ns = {"v": jnp.zeros_like(p.exact_v), "p": jnp.where(p.p_mask, 1.0, 0.0)}
+    An = p.jacobian_action(None, lin, ns)
+    assert float(jnp.max(jnp.abs(An["v"]))) < 1e-12
+    assert float(jnp.max(jnp.abs(An["p"]))) == 0.0
+
+
+def test_jacobian_matches_jvp():
+    """For pure-Dirichlet boundaries the block Jacobian is the exact jvp of
+    the residual (power-law rheology included)."""
+    cfg = StokesConfig(exact=2, rheology=1, exponent=2.0, regularization=0.1)
+    p = StokesProblem(Grid((8, 7)), cfg)
+    params = p.params_at(cfg.cont)
+    residual = p.make_residual(params)
+    rng = np.random.default_rng(0)
+    x = {"v": p.mask_v(jnp.asarray(rng.standard_normal(p.exact_v.shape))),
+         "p": p.mask_p(jnp.asarray(rng.standard_normal(p.exact_p.shape)))}
+    w = {"v": p.mask_v(jnp.asarray(rng.standard_normal(p.exact_v.shape))),
+         "p": p.mask_p(jnp.asarray(rng.standard_normal(p.exact_p.shape)))}
+    F, lin = residual(x)
+    Jw = p.jacobian_action(x, lin, w)
+    _, jvp = jax.jvp(lambda z: residual(z)[0], (x,), (w,))
+    np.testing.assert_allclose(np.asarray(Jw["v"]), np.asarray(jvp["v"]), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Jw["p"]), np.asarray(jvp["p"]), atol=1e-8)
+
+
+def test_pressure_reduce_order_properties():
+    g = Grid((10, 9))
+    # constants are preserved (needed for the null-space property)
+    c = jnp.ones(g.dims)
+    np.testing.assert_allclose(np.asarray(pressure_reduce_order(c, g.nodes_1d)), 1.0,
+                               atol=1e-12)
+    # a low-degree polynomial is extrapolated exactly
+    X = g.coords_np
+    q = jnp.asarray(X[..., 0] ** 3 + 2 * X[..., 1] ** 2)
+    out = np.asarray(pressure_reduce_order(q, g.nodes_1d))
+    np.testing.assert_allclose(out, np.asarray(q), atol=1e-9)
+
+
+def test_linear_stokes_2d():
+    """BASELINE config family: linear Stokes, FGMRES + Schur block LU."""
+    p = StokesProblem(Grid((12, 12)), StokesConfig(exact=2, cont0=1))
+    res = p.solve()
+    assert res.reason > 0, res.reason_str()
+    assert res.iters <= 2
+    assert max(res.ksp_iters) < 30
+    assert p.error_vs_exact(res.x) < 1e-6
+
+
+def test_linear_stokes_3d():
+    p = StokesProblem(Grid((8, 8, 8)), StokesConfig(exact=2, cont0=1))
+    res = p.solve()
+    assert res.reason > 0
+    assert p.error_vs_exact(res.x) < 1e-3  # coarse grid, spectral in n
+
+
+def test_exact1_with_pressure():
+    p = StokesProblem(Grid((14, 14)), StokesConfig(exact=1, cont0=1))
+    res = p.solve()
+    assert res.reason > 0
+    assert p.error_vs_exact(res.x) < 1e-4
+
+
+@pytest.mark.parametrize("saddle", [1, 2, 3])
+def test_saddle_variants(saddle):
+    """-pc_saddle_type 1/2/3 (upper/diag/lower) all converge."""
+    import dataclasses
+    from spectral_tpu.solvers.krylov import KSPConfig
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    cfg = StokesConfig(exact=2, cont0=1, saddle=saddle,
+                       outer_ksp=KSPConfig(type="fgmres", rtol=1e-8, max_it=200,
+                                           restart=60))
+    p = StokesProblem(Grid((10, 10)), cfg)
+    res = p.solve()
+    assert res.reason > 0, (saddle, res.reason_str())
+    assert p.error_vs_exact(res.x) < 1e-5
+
+
+def test_power_law_continuation():
+    """README:45-52: power-law rheology needs continuation; -cont 2 here to
+    keep CI fast (the full -cont 4 -eps 1e-4 config runs in the CLI/bench)."""
+    cfg = StokesConfig(exact=2, rheology=1, cont=2, regularization=1e-2,
+                       exponent=3.0)
+    p = StokesProblem(Grid((10, 10)), cfg)
+    results = p.solve_continuation()
+    assert all(r.reason > 0 for r in results)
+    # eta varies now: min/max spread recorded in the linearization state
+    eta = results[-1].lin_state[0]
+    assert float(jnp.max(eta)) / float(jnp.min(eta)) > 1.5
+
+
+def test_lid_driven_boundary3():
+    """-boundary 3: channel/lid Dirichlet profile, no exact solution; check
+    the solver converges and produces nonzero flow."""
+    cfg = StokesConfig(exact=0, boundary=3, cont0=1)
+    p = StokesProblem(Grid((10, 10)), cfg)
+    res = p.solve()
+    assert res.reason > 0
+    assert float(jnp.max(jnp.abs(res.x["v"]))) > 0.01
+
+
+def test_neumann_boundary1_exact_residual():
+    """-boundary 1 (Neumann at the surface): the exact solution satisfies
+    the traction rows, so the residual vanishes at the FD-traction accuracy
+    (eps = 1e-7, stokes.C:2054)."""
+    cfg = StokesConfig(exact=2, boundary=1)
+    p = StokesProblem(Grid((12, 12)), cfg)
+    assert p.num_mixed > 0  # Neumann rows present
+    F, _ = p.make_residual(p.params_at(1))(p.exact_state())
+    assert float(jnp.max(jnp.abs(F["v"]))) < 1e-6
+    assert float(jnp.max(jnp.abs(F["p"]))) < 1e-8
+
+
+def test_mixed_boundary_machinery():
+    """-boundary 2 (Neumann surface + MIXED bed): README:64-68 warns the
+    regime is broken/ill-conditioned upstream and the exact solution does
+    not satisfy the sliding condition; we verify the machinery itself:
+    masks present and the mixed recovery enforces zero normal flux."""
+    cfg = StokesConfig(exact=2, boundary=2)
+    p = StokesProblem(Grid((10, 10)), cfg)
+    assert p.num_mixed > 0
+    assert int(np.asarray(p.mixed_mask).sum()) > 0
+    rng = np.random.default_rng(1)
+    v = p.mask_v(jnp.asarray(rng.standard_normal(p.exact_v.shape)))
+    vL = p.recover_mixed(v)
+    flux = jnp.sum(vL * p.normal, axis=-1)
+    assert float(jnp.max(jnp.abs(jnp.where(p.mixed_mask, flux, 0.0)))) < 1e-12
