@@ -160,7 +160,7 @@ class EllipticModel:
 
             def setup(x, lin_state):
                 eta, deta, gradu = lin_state
-                return mg.setup(elliptic_jacobian_stencil(g, eta, deta, gradu))
+                return mg.setup({"eta": eta, "deta": deta, "gradu": list(gradu)})
 
             def apply(state, r):
                 return mg.vcycle(state, r)

@@ -56,7 +56,9 @@ class PoissonModel:
             return lambda r: r / diag
         if pc_type == "mg":
             from spectral_tpu.ops.multigrid import Multigrid
-            return Multigrid.build(self.grid).as_pc()
+            mg = Multigrid.build(self.grid)
+            state = mg.setup({})
+            return lambda r: mg.vcycle(state, r)
         if pc_type == "none":
             return None
         raise ValueError(f"unknown pc_type {pc_type!r}")

@@ -1,0 +1,173 @@
+"""Batched geometric multigrid on CGL tensor grids.
+
+The TPU-native replacement for ``-pc_type hypre`` (algebraic multigrid) on
+the variable-coefficient low-order surrogate (README:12-17, BASELINE.md).
+Hypre's role in the reference is a black-box strong solve of the assembled
+AIJ matrix; here the hierarchy is *geometric*: every level is itself a CGL
+tensor grid, transfers are 1-D interpolation matrices in theta = acos(x)
+(uniform in theta, so linear interpolation is well conditioned), coarse
+operators are **rediscretized** from restricted coefficient fields, and the
+smoother is damped Jacobi — every ingredient a batched matmul or fused
+elementwise pass, nothing sequential.
+
+Works on full-grid vectors with identity Dirichlet rows and zero boundary
+values (the framework's global-vector convention); trailing component axes
+(Stokes velocity) broadcast through every level.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.grid import Grid
+from spectral_tpu.ops.stencil import StencilOp, elliptic_jacobian_stencil
+from spectral_tpu.ops.tensorops import apply_axis_matmul, stencil_to_dense
+
+
+def _theta_interp_np(n_f: int, n_c: int) -> np.ndarray:
+    """(n_f, n_c) linear interpolation from coarse to fine CGL in theta."""
+    tf = np.linspace(0.0, np.pi, n_f)
+    tc = np.linspace(0.0, np.pi, n_c)
+    P = np.zeros((n_f, n_c))
+    j = np.clip(np.searchsorted(tc, tf) - 1, 0, n_c - 2)
+    w = (tf - tc[j]) / (tc[j + 1] - tc[j])
+    P[np.arange(n_f), j] = 1.0 - w
+    P[np.arange(n_f), j + 1] += w
+    return P
+
+
+def default_stencil_builder(grid: Grid, coeffs: dict) -> StencilOp:
+    """Variable-coefficient elliptic Jacobian stencil from coefficient fields
+    (eta, deta, gradu); constant-coefficient Laplacian when fields absent."""
+    dims = grid.dims
+    dtype = coeffs.get("eta", jnp.zeros(0)).dtype if coeffs else None
+    eta = coeffs.get("eta")
+    if eta is None:
+        eta = jnp.ones(dims)
+    deta = coeffs.get("deta")
+    if deta is None:
+        deta = jnp.zeros(dims)
+    gradu = coeffs.get("gradu")
+    if gradu is None:
+        gradu = [jnp.zeros(dims)] * grid.ndim
+    return elliptic_jacobian_stencil(grid, eta, deta, gradu)
+
+
+@dataclasses.dataclass(frozen=True)
+class Multigrid:
+    """Static hierarchy; per-solve state comes from ``setup``.
+
+    setup(coeffs) -> state pytree (stencils per level + coarse dense LU);
+    vcycle(state, b) -> approximate solve (one V-cycle), jittable.
+    """
+
+    grids: tuple[Grid, ...]
+    prolong: tuple[tuple[jax.Array, ...], ...]   # per level: per-axis (n_f, n_c)
+    restrict_coeff: tuple[tuple[jax.Array, ...], ...]  # normalized averaging
+    builder: Callable[[Grid, dict], StencilOp]
+    pre_smooth: int = 2
+    post_smooth: int = 2
+    omega: float = 0.8
+
+    @staticmethod
+    def build(grid: Grid, builder: Callable = default_stencil_builder,
+              coarsest: int = 4, max_levels: int = 10,
+              pre_smooth: int = 2, post_smooth: int = 2,
+              omega: float = 0.8) -> "Multigrid":
+        grids = [grid]
+        while len(grids) < max_levels:
+            dims = grids[-1].dims
+            if max(dims) <= coarsest or math.prod(dims) <= 200:
+                break
+            new_dims = tuple(max(3, (n + 1) // 2) for n in dims)
+            if new_dims == dims:
+                break
+            grids.append(Grid(new_dims))
+        Ps, Rcs = [], []
+        for lvl in range(len(grids) - 1):
+            fine, coarse = grids[lvl], grids[lvl + 1]
+            P_axes, Rc_axes = [], []
+            for ax in range(grid.ndim):
+                P = _theta_interp_np(fine.dims[ax], coarse.dims[ax])
+                R = P.T.copy()
+                R /= R.sum(axis=1, keepdims=True)  # averaging: constants -> constants
+                P_axes.append(jnp.asarray(P))
+                Rc_axes.append(jnp.asarray(R))
+            Ps.append(tuple(P_axes))
+            Rcs.append(tuple(Rc_axes))
+        return Multigrid(tuple(grids), tuple(Ps), tuple(Rcs), builder,
+                         pre_smooth, post_smooth, omega)
+
+    # -- transfers ------------------------------------------------------------
+    def _prolong(self, lvl: int, xc: jax.Array) -> jax.Array:
+        for ax in range(self.grids[0].ndim):
+            xc = apply_axis_matmul(self.prolong[lvl][ax].astype(xc.dtype), xc, ax)
+        return xc
+
+    def _restrict_residual(self, lvl: int, rf: jax.Array) -> jax.Array:
+        # full weighting: transpose of prolongation (scaled by averaging is
+        # fine for a rediscretized hierarchy)
+        for ax in range(self.grids[0].ndim):
+            rf = apply_axis_matmul(self.restrict_coeff[lvl][ax].astype(rf.dtype), rf, ax)
+        return rf
+
+    def _restrict_field(self, lvl: int, f: jax.Array) -> jax.Array:
+        for ax in range(self.grids[0].ndim):
+            f = apply_axis_matmul(self.restrict_coeff[lvl][ax].astype(f.dtype), f, ax)
+        return f
+
+    def _mask(self, lvl: int, x: jax.Array) -> jax.Array:
+        return self.grids[lvl].zero_boundary(x)
+
+    # -- per-solve state ------------------------------------------------------
+    def setup(self, coeffs: dict | None = None):
+        """Restrict coefficient fields, rediscretize every level, factor the
+        coarsest (jittable; the analog of PCSetUp + hypre setup)."""
+        coeffs = dict(coeffs or {})
+        levels = []
+        for lvl, g in enumerate(self.grids):
+            S = self.builder(g, coeffs)
+            levels.append((S, S.diag()))
+            if lvl < len(self.grids) - 1:
+                coeffs = jax.tree_util.tree_map(
+                    lambda f: self._restrict_field(lvl, f), coeffs)
+        coarse_S = levels[-1][0]
+        A = stencil_to_dense(coarse_S, self.grids[-1].dims)
+        coarse_lu = jax.scipy.linalg.lu_factor(A)
+        return {"levels": levels, "coarse_lu": coarse_lu}
+
+    # -- cycle ----------------------------------------------------------------
+    def _smooth(self, S: StencilOp, diag: jax.Array, x, b, iters: int):
+        d = diag if x.ndim == diag.ndim else diag.reshape(diag.shape + (1,) * (x.ndim - diag.ndim))
+        for _ in range(iters):
+            x = x + self.omega * (b - S.apply(x)) / d
+        return x
+
+    def _cycle(self, state, lvl: int, b: jax.Array) -> jax.Array:
+        S, diag = state["levels"][lvl]
+        if lvl == len(self.grids) - 1:
+            size = math.prod(self.grids[lvl].dims)
+            comp = b.shape[len(self.grids[lvl].dims):]
+            z = jax.scipy.linalg.lu_solve(state["coarse_lu"],
+                                          b.reshape(size, -1))
+            return z.reshape(b.shape)
+        x = self._smooth(S, diag, jnp.zeros_like(b), b, self.pre_smooth)
+        r = b - S.apply(x)
+        rc = self._mask(lvl + 1, self._restrict_residual(lvl, r))
+        ec = self._cycle(state, lvl + 1, rc)
+        x = x + self._mask(lvl, self._prolong(lvl, ec))
+        return self._smooth(S, diag, x, b, self.post_smooth)
+
+    def vcycle(self, state, b: jax.Array) -> jax.Array:
+        """One V-cycle as a preconditioner apply (boundary passes through)."""
+        z = self._cycle(state, 0, self._mask(0, b))
+        bmask = self.grids[0].boundary_mask
+        if b.ndim > bmask.ndim:
+            bmask = bmask.reshape(bmask.shape + (1,) * (b.ndim - bmask.ndim))
+        return jnp.where(bmask, b, z)
