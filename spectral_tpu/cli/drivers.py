@@ -1,0 +1,192 @@
+"""Driver implementations: output format mirrors the reference executables."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from spectral_tpu.utils.options import Options
+
+
+def _print_unused(opts: Options) -> None:
+    left = opts.unused()
+    if left:
+        print(f"WARNING! There are options you set that were not used: {left}")
+
+
+def cheb_main(opts: Options) -> int:
+    """Transform self-test (cheb.c:16-135): apply the 1-D and rank-3
+    derivative operators to exp-type functions with known derivatives."""
+    import jax.numpy as jnp
+
+    from spectral_tpu.ops.chebyshev import cgl_nodes_np, chebdiff
+
+    m1 = opts.get_int("m1", 5)
+    m = opts.get_int("m", 8)
+    n = opts.get_int("n", 7)
+    p = opts.get_int("p", 1)
+    d = opts.get_int("d", 0)
+
+    x = cgl_nodes_np(m1)
+    u = jnp.asarray(np.exp(x))
+    if m1 >= 3:
+        err = float(jnp.max(jnp.abs(chebdiff(u, 0) - jnp.asarray(np.exp(x)))))
+        print(f"Norm of error {err:e}")
+
+    dims = [m, n, p]
+    xs = [cgl_nodes_np(k) if k > 1 else np.zeros(1) for k in dims]
+    X = np.meshgrid(*xs, indexing="ij")
+    u2 = jnp.asarray(sum(np.exp(g) for g in X))
+    du2 = chebdiff(u2, axis=d)
+    err2 = float(jnp.max(jnp.abs(du2 - jnp.asarray(np.exp(X[d])))))
+    print(f"Norm of error {err2:e}")
+    _print_unused(opts)
+    return 0
+
+
+def poisson_main(opts: Options) -> int:
+    """Linear Poisson solve (poisson.c:33-175)."""
+    import jax.numpy as jnp
+
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.poisson import PoissonModel
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    m = opts.get_int("m", 8)
+    n = opts.get_int("n", 7)
+    p = opts.get_int("p", 1)
+    dims = (m, n) if p == 1 else (m, n, p)
+    model = PoissonModel(Grid(dims))
+    u, f = model.exact_solution()
+    b = model.rhs(u, f)
+    ksp = opts.ksp_config("", KSPConfig(type="gmres", rtol=1e-7, max_it=500))
+    pc = opts.pc_type("", "fastdiag")
+    res = model.solve(b, ksp=ksp, pc_type=pc)
+    err = float(jnp.max(jnp.abs(res.x - u)))
+    print(f"Norm of error {err:e} iterations {int(res.iters)}")
+    _print_unused(opts)
+    return 0
+
+
+def elliptic_main(opts: Options) -> int:
+    """Nonlinear elliptic driver (elliptic.C:117-246)."""
+    import jax.numpy as jnp
+
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.elliptic import EllipticModel
+    from spectral_tpu.solvers.krylov import KSPConfig
+    from spectral_tpu.solvers.newton import NewtonConfig
+    from spectral_tpu.utils.printing import vec_print2
+
+    dims = opts.get_int_array("dim", (8, 6))
+    debug = opts.get_int("debug", 0)
+    exact = opts.get_int("exact", 0)
+    gamma = opts.get_real("gamma", 0.0)
+    exponent = opts.get_real("exponent", 2.0)
+    cos_scale = opts.get_real("cos_scale", 1.0)
+
+    print(f"Elliptic problem  dims = [{','.join(map(str, dims))}]"
+          f"    gamma = {gamma:f}    exponent = {exponent:8f}")
+
+    model = EllipticModel(Grid(dims), gamma=gamma, exponent=exponent)
+    g = model.grid
+    print(g.census())
+    u, b, dirichlet = model.setup_problem(exact=exact, cos_scale=cos_scale)
+
+    # CHECK_EXACT (elliptic.C:193-209)
+    residual = model.make_residual(b, dirichlet)
+    F, _ = residual(u)
+    norm = float(jnp.max(jnp.abs(F)))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rel = np.asarray(F) / np.where(np.asarray(b) != 0, np.asarray(b), np.inf)
+    rnorm = float(np.nanmax(np.abs(rel)))
+    print(f"{'Norm of exact residual':<25}: abs = {norm:8e}   rel = {rnorm:8e}")
+
+    ksp = opts.ksp_config("", KSPConfig(type="fgmres", rtol=1e-5, max_it=500))
+    newton = opts.newton_config(NewtonConfig(rtol=1e-8, max_it=50))
+    pc = opts.pc_type("", "fastdiag")
+    res = model.solve(b, dirichlet, ksp=ksp, newton=newton, pc_type=pc)
+
+    if debug >= 2:
+        vec_print2(np.asarray(res.x)[1:-1, 1:-1], dims[0] - 2, dims[1] - 2, "computed u")
+    err = res.x - u
+    norm = float(jnp.max(jnp.abs(err)))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rel = np.asarray(err) / np.where(np.asarray(u) != 0, np.asarray(u), np.inf)
+    rnorm = float(np.nanmax(np.abs(rel)))
+    print(f"Number of nonlinear iterations = {res.iters}")
+    print(f"Reason for solver termination: {res.reason_str()}")
+    print(f"{'Norm of error':<25}: abs = {norm:8e}   rel = {rnorm:8e}")
+    if debug >= 1:
+        print(f"KSP iterations per Newton step: {res.ksp_iters}")
+    _print_unused(opts)
+    return 0 if res.reason > 0 else 2
+
+
+def stokes_main(opts: Options) -> int:
+    """Stokes driver (stokes.C:119-253) with continuation."""
+    import jax.numpy as jnp
+
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.stokes import StokesConfig, StokesProblem
+    from spectral_tpu.solvers.krylov import KSPConfig
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    dims = opts.get_int_array("dim", (8, 6))
+    cfg = StokesConfig(
+        exact=opts.get_int("exact", 0),
+        boundary=opts.get_int("boundary", 0),
+        rheology=opts.get_int("rheology", 0),
+        hardness=opts.get_real("hardness", 1.0),
+        exponent=opts.get_real("exponent", 1.0),
+        regularization=opts.get_real("eps", 1.0),
+        gamma0=opts.get_real("gamma0", 1.0),
+        cont0=opts.get_int("cont0", 0),
+        cont=opts.get_int("cont", 1),
+        scaleM=opts.get_real("scaleM", 1.0),
+        scaleN=opts.get_real("scaleN", 1.0),
+        pcvel={0: "fastdiag", 1: "fastdiag", 2: "jacobi", 3: "fastdiag"}.get(
+            opts.get_int("pcvel", 0), "fastdiag"),
+        saddle=opts.get_int("pc_saddle_type", 0),
+        outer_ksp=opts.ksp_config("", KSPConfig(type="fgmres", rtol=1e-5,
+                                                max_it=500, restart=50)),
+        vel_ksp=opts.ksp_config("vel_", KSPConfig(type="gmres", rtol=1e-5,
+                                                  max_it=10000, restart=30)),
+        svel_ksp=opts.ksp_config("svel_", KSPConfig(type="gmres", rtol=1e-5,
+                                                    max_it=10000, restart=30)),
+        schur_ksp=opts.ksp_config("schur_", KSPConfig(type="gmres", rtol=1e-5,
+                                                      max_it=10000, restart=30)),
+        newton=opts.newton_config(NewtonConfig(rtol=1e-8, max_it=50)),
+    )
+    print(f"Stokes problem  dim = [{','.join(map(str, dims))}]")
+    print(f"  hardness = {cfg.hardness:f}    exponent = {cfg.exponent:8f}"
+          f"    regularization = {cfg.regularization:8f}    gamma0 = {cfg.gamma0:8f}")
+
+    p = StokesProblem(Grid(dims), cfg)
+    print(p.census())
+
+    # exact residual check (stokes.C:191-205)
+    residual = p.make_residual(p.params_at(cfg.cont))
+    xex = p.exact_state()
+    F, _ = residual(xex)
+    unorm = max(float(jnp.max(jnp.abs(xex["v"]))), float(jnp.max(jnp.abs(xex["p"]))))
+    fnorm = max(float(jnp.max(jnp.abs(p.force["v"]))), float(jnp.max(jnp.abs(p.force["p"]))))
+    rnorm = max(float(jnp.max(jnp.abs(F["v"]))), float(jnp.max(jnp.abs(F["p"]))))
+    print(f"Norm of solution {unorm:9.3e}  norm of forcing {fnorm:9.3e}"
+          f"  norm of residual {rnorm:9.3e}")
+
+    monitor = opts.has("snes_monitor")
+    results = p.solve_continuation(monitor=monitor)
+    res = results[-1]
+    err = p.error_vs_exact(res.x)
+    print(f"Number of nonlinear iterations = {res.iters}")
+    print(f"Reason for solver termination: {res.reason_str()}")
+    print(f"{'Norm of error':<25}: abs = {err:8e}")
+
+    if opts.has("output_vtk"):
+        from spectral_tpu.utils.vtk import write_stokes_vtk
+        write_stokes_vtk(p, res.x, "stokes.vtk")
+        print("wrote stokes.vtk")
+    _print_unused(opts)
+    return 0 if res.reason > 0 else 2

@@ -164,9 +164,22 @@ def _gmres_flat(A, M, P, b, x0, *, restart, rtol, atol, dtol, max_it,
         y = jax.scipy.linalg.solve_triangular(Rk, gk, lower=False)
         basis = s.Z if flexible else s.V[:m]
         x = s.x + basis.T @ y
-        r = P(b - A(x))
-        rp = r if flexible else M(r)
-        beta = _norm(rp)
+        # Reconstruct the residual from the basis instead of reapplying the
+        # operator (PETSc KSPGMRES does the same): b - A x = V Q^T (e_k g_k),
+        # so one inverse Givens sweep + one basis matmul suffice.  This keeps
+        # exactly ONE copy of the operator graph per solver level, which is
+        # what makes deeply nested solves (Stokes) compile fast on TPU.
+        q = jnp.zeros((m + 1,), dtype).at[s.k].set(s.g[s.k])
+
+        def unrot(j, qv):
+            i = s.k - 1 - j
+            qi, qi1 = qv[i], qv[i + 1]
+            return qv.at[i].set(s.cs[i] * qi - s.sn[i] * qi1) \
+                     .at[i + 1].set(s.sn[i] * qi + s.cs[i] * qi1)
+
+        q = jax.lax.fori_loop(0, s.k, unrot, q)
+        rp = s.V.T @ q
+        beta = jnp.abs(s.g[s.k])
         tol = jnp.maximum(rtol * s.rnorm0, atol)
         reason = jnp.where(
             ~jnp.isfinite(beta), int(ConvergedReason.DIVERGED_NANORINF),

@@ -1,0 +1,75 @@
+"""Legacy-ASCII VTK writer for Stokes states.
+
+Mirrors ``StokesStateView`` (stokes.C:1820-1894): a STRUCTURED_GRID file with
+coordinates, velocity, pressure, forces, eta, deta and the strain tensor;
+boundary values are reconstructed (mixed recovery, Dirichlet insert, pressure
+order reduction) before writing (stokes.C:1827-1851).  The hot formatting
+loop is implemented in the native C runtime component when available
+(csrc/io.cpp via ctypes), with a numpy fallback.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _fmt_rows(arr: np.ndarray, per_line: int) -> str:
+    """Rows of ``per_line`` zero-padded %20e values (StokesVecView analog)."""
+    flat = arr.reshape(-1, arr.shape[-1]) if arr.ndim > 1 else arr.reshape(-1, 1)
+    k = flat.shape[1]
+    if k < per_line:
+        flat = np.concatenate([flat, np.zeros((len(flat), per_line - k))], axis=1)
+    try:
+        from spectral_tpu.utils import native
+        return native.format_rows(flat)
+    except Exception:
+        return "\n".join(" ".join(f"{v:20e}" for v in row) + " " for row in flat)
+
+
+def write_stokes_vtk(problem, state, filename: str = "stokes.vtk") -> None:
+    """Write the final state like ``-output_vtk`` (stokes.C:238-241)."""
+    import jax.numpy as jnp
+
+    from spectral_tpu.ops.extrapolation import pressure_reduce_order
+
+    g = problem.grid
+    d = problem.d
+    dims = g.dims
+    m, n = dims[0], dims[1]
+    p = dims[2] if d > 2 else 1
+    nodes = g.size
+
+    vL = np.asarray(problem.local_velocity(state["v"], with_dirichlet=True))
+    pL = np.asarray(pressure_reduce_order(problem.mask_p(state["p"]), g.nodes_1d))
+    fv = np.asarray(problem.local_velocity(problem.force["v"], with_dirichlet=True))
+    fp = np.asarray(pressure_reduce_order(problem.force["p"], g.nodes_1d))
+    _, lin = problem.make_residual(problem.params_at(problem.config.cont))(state)
+    eta, deta, S = (np.asarray(v) for v in lin)
+
+    coords = g.coords_np.reshape(nodes, d)
+    with open(filename, "w") as f:
+        f.write("# vtk DataFile Version 2.0\nStokes Output\nASCII\n"
+                "DATASET STRUCTURED_GRID\n")
+        f.write(f"DIMENSIONS {m} {n} {p}\nPOINTS {nodes} double\n")
+        f.write(_fmt_rows(coords, 3) + "\n")
+        f.write(f"\nPOINT_DATA {nodes}\nVECTORS velocity double\n")
+        f.write(_fmt_rows(vL.reshape(nodes, d), 3) + "\n")
+        f.write("\nSCALARS pressure double 1\nLOOKUP_TABLE default\n")
+        f.write(_fmt_rows(pL.reshape(nodes), 1) + "\n")
+        f.write("\nVECTORS vel_force double\n")
+        f.write(_fmt_rows(fv.reshape(nodes, d), 3) + "\n")
+        f.write("\nSCALARS div_force double 1\nLOOKUP_TABLE default\n")
+        f.write(_fmt_rows(fp.reshape(nodes), 1) + "\n")
+        f.write("\nSCALARS eta double 1\nLOOKUP_TABLE default\n")
+        f.write(_fmt_rows(eta.reshape(nodes), 1) + "\n")
+        f.write("\nSCALARS deta double 1\nLOOKUP_TABLE default\n")
+        f.write(_fmt_rows(deta.reshape(nodes), 1) + "\n")
+        f.write("\nTENSORS strain double\n")
+        Sfull = np.zeros((nodes, 3, 3))
+        Sfull[:, :d, :d] = S.reshape(nodes, d, d)
+        blocks = []
+        for i in range(nodes):
+            rows = "\n".join(" ".join(f"{v:20e}" for v in Sfull[i, j]) + " "
+                             for j in range(3))
+            blocks.append(rows + "\n")
+        f.write("\n".join(blocks))

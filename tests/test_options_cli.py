@@ -1,0 +1,72 @@
+"""Options database + CLI driver tests.
+
+Oracle: the PETSc options DB semantics the reference relies on (prefix
+namespacing, -flag presence, int arrays; SURVEY.md section 5.6)."""
+
+import numpy as np
+
+from spectral_tpu.solvers.krylov import KSPConfig
+from spectral_tpu.utils.options import Options
+
+
+def test_parse_basic():
+    o = Options(["-dim", "12,12,12", "-exact", "2", "-ksp_rtol", "1e-10",
+                 "-output_vtk", "-gamma", "-0.5"])
+    assert o.get_int_array("dim", ()) == (12, 12, 12)
+    assert o.get_int("exact", 0) == 2
+    assert o.get_real("ksp_rtol", 1e-5) == 1e-10
+    assert o.has("output_vtk")
+    assert o.get_real("gamma", 0.0) == -0.5
+    assert o.get_int("missing", 7) == 7
+
+
+def test_prefixed_ksp_configs():
+    """The stokes README config: -schur_ksp_max_it 3 -vel_ksp_max_it 4
+    -svel_ksp_type preonly -ksp_type fgmres (README:43)."""
+    o = Options("-exact 2 -cont0 1 -schur_ksp_max_it 3 -vel_ksp_max_it 4 "
+                "-svel_ksp_type preonly -ksp_type fgmres -dim 20,20,20 "
+                "-ksp_rtol 1e-10".split())
+    outer = o.ksp_config("", KSPConfig(type="gmres"))
+    assert outer.type == "fgmres" and outer.rtol == 1e-10
+    vel = o.ksp_config("vel_", KSPConfig())
+    assert vel.max_it == 4
+    svel = o.ksp_config("svel_", KSPConfig())
+    assert svel.type == "preonly"
+    schur = o.ksp_config("schur_", KSPConfig())
+    assert schur.max_it == 3
+    assert o.get_int_array("dim", ()) == (20, 20, 20)
+
+
+def test_unused_tracking():
+    o = Options(["-used", "1", "-unused_opt", "2"])
+    o.get_int("used", 0)
+    assert o.unused() == ["unused_opt"]
+
+
+def test_cheb_cli_runs(capsys):
+    from spectral_tpu.cli.drivers import cheb_main
+
+    rc = cheb_main(Options(["-m1", "17", "-m", "14", "-n", "13", "-p", "12", "-d", "2"]))
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Norm of error" in out
+    errs = [float(l.split()[-1]) for l in out.splitlines() if "Norm of error" in l]
+    assert all(e < 1e-6 for e in errs)
+
+
+def test_poisson_cli_runs(capsys):
+    from spectral_tpu.cli.drivers import poisson_main
+
+    rc = poisson_main(Options(["-m", "12", "-n", "12", "-ksp_rtol", "1e-10"]))
+    assert rc == 0
+    out = capsys.readouterr().out
+    err = float(out.split("Norm of error")[1].split()[0])
+    assert err < 1e-8
+
+
+def test_vec_print2(capsys):
+    from spectral_tpu.utils.printing import vec_print2
+
+    vec_print2(np.arange(6.0).reshape(3, 2), 3, 2, "field")
+    out = capsys.readouterr().out
+    assert "field" in out and out.count("\n") == 2
