@@ -1,0 +1,60 @@
+"""Pencil-decomposed spectral transforms over a device mesh.
+
+The reference's tensor-product transform batches one axis over all others
+(chebyshev.c:89-138, single address space).  Distributed TPU-native analog:
+shard one grid axis over the mesh; a derivative along an *unsharded* axis is
+embarrassingly parallel; along the *sharded* axis, all_to_all-transpose so
+the axis becomes device-local, differentiate, and transpose back — the
+classic pencil/Ulysses exchange pattern (SURVEY.md section 5.7), riding ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from spectral_tpu.ops.chebyshev import chebdiff
+
+
+def chebdiff_pencil(u: jax.Array, axis: int, mesh: Mesh, *,
+                    sharded_axis: int = 0, mesh_axis: str = "x",
+                    method: str = "auto") -> jax.Array:
+    """Derivative along ``axis`` of a grid sharded on ``sharded_axis``.
+
+    Uses shard_map with explicit collectives: if the derivative axis is the
+    sharded one, exchange it with the next grid axis via all_to_all (which
+    must be divisible by the mesh size), differentiate locally, and exchange
+    back.  Other axes differentiate with zero communication.
+    """
+    nshards = mesh.shape[mesh_axis]
+    ndim = u.ndim
+    spec = [None] * ndim
+    spec[sharded_axis] = mesh_axis
+    pspec = P(*spec)
+
+    if axis != sharded_axis:
+        @partial(jax.shard_map, mesh=mesh, in_specs=pspec, out_specs=pspec)
+        def local(u_blk):
+            return chebdiff(u_blk, axis, method)
+
+        return local(u)
+
+    # pick an exchange partner axis (any other grid axis)
+    partner = (axis + 1) % ndim
+    if u.shape[partner] % nshards:
+        raise ValueError(
+            f"axis {partner} extent {u.shape[partner]} not divisible by "
+            f"mesh axis {mesh_axis!r} size {nshards}")
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=pspec, out_specs=pspec)
+    def exchanged(u_blk):
+        t = jax.lax.all_to_all(u_blk, mesh_axis, split_axis=partner,
+                               concat_axis=axis, tiled=True)
+        t = chebdiff(t, axis, method)
+        return jax.lax.all_to_all(t, mesh_axis, split_axis=axis,
+                                  concat_axis=partner, tiled=True)
+
+    return exchanged(u)

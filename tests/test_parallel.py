@@ -1,0 +1,106 @@
+"""Sharded-execution tests on the 8-virtual-device CPU mesh (conftest forces
+--xla_force_host_platform_device_count=8; SURVEY.md section 4.6)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectral_tpu.grid import Grid
+from spectral_tpu.ops.chebyshev import chebdiff
+from spectral_tpu.ops.stencil import poisson_fd_stencil
+from spectral_tpu.parallel.halo import halo_shift, stencil_apply_sharded
+from spectral_tpu.parallel.mesh import grid_sharding, make_mesh
+from spectral_tpu.parallel.pencil import chebdiff_pencil
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 4,
+                                reason="needs >= 4 devices")
+
+
+def _mesh4():
+    return make_mesh({"x": 4})
+
+
+def test_pencil_diff_unsharded_axis():
+    mesh = _mesh4()
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((16, 12)))
+    got = chebdiff_pencil(u, 1, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(chebdiff(u, 1)),
+                               atol=1e-11)
+
+
+def test_pencil_diff_sharded_axis_all_to_all():
+    mesh = _mesh4()
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.standard_normal((16, 12, 5)))
+    got = chebdiff_pencil(u, 0, mesh)  # derivative along the sharded axis
+    np.testing.assert_allclose(np.asarray(got), np.asarray(chebdiff(u, 0)),
+                               atol=1e-11)
+
+
+def test_halo_shift_matches_local():
+    from spectral_tpu.ops.stencil import shift
+
+    mesh = _mesh4()
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((16, 7)))
+    for s in (-1, 1):
+        for ax in (0, 1):
+            got = halo_shift(x, ax, s, mesh)
+            np.testing.assert_allclose(np.asarray(got),
+                                       np.asarray(shift(x, ax, s)), atol=0)
+
+
+def test_sharded_stencil_apply():
+    mesh = _mesh4()
+    g = Grid((16, 9))
+    S = poisson_fd_stencil(g)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(g.dims))
+    got = stencil_apply_sharded(S, x, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(S.apply(x)), atol=1e-12)
+
+
+def test_sharded_poisson_solve_matches_single_device():
+    """GSPMD path: the whole jitted solve under input shardings must produce
+    the single-device answer (XLA inserts the collectives)."""
+    from spectral_tpu.models.poisson import PoissonModel
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    mesh = _mesh4()
+    m = PoissonModel(Grid((16, 16)))
+    u, f = m.exact_solution()
+    b = m.rhs(u, f)
+    res_ref = m.solve(b, ksp=KSPConfig(type="gmres", rtol=1e-10, max_it=100))
+
+    sh = grid_sharding(mesh, 2, {0: "x"})
+    b_sharded = jax.device_put(b, sh)
+    M = m.build_pc("fastdiag")
+    ksp = KSPConfig(type="gmres", rtol=1e-10, max_it=100)
+    with mesh:
+        res = jax.jit(lambda bb: ksp.solve(m.operator, bb, M=M))(b_sharded)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_ref.x), atol=1e-9)
+    assert int(res.iters) == int(res_ref.iters)
+
+
+def test_dp_vmap_over_mesh():
+    """Data-parallel batch of independent solves sharded over the mesh
+    (the reference has no DP at all; SURVEY.md section 2.3)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spectral_tpu.models.poisson import PoissonModel
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    mesh = _mesh4()
+    m = PoissonModel(Grid((12, 12)))
+    u, f = m.exact_solution()
+    scales = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+    bs = jax.vmap(lambda s: m.rhs(u * s, f * s))(scales)
+    bs = jax.device_put(bs, NamedSharding(mesh, P("x", None, None)))
+    M = m.build_pc("fastdiag")
+    ksp = KSPConfig(type="gmres", rtol=1e-10, max_it=100)
+    with mesh:
+        sols = jax.jit(jax.vmap(lambda bb: ksp.solve(m.operator, bb, M=M).x))(bs)
+    for i, s in enumerate([1.0, 2.0, 3.0, 4.0]):
+        np.testing.assert_allclose(np.asarray(sols[i]), np.asarray(u) * s, atol=1e-7)
