@@ -60,8 +60,10 @@ class Grid:
         mesh = np.meshgrid(*self.nodes_1d, indexing="ij")
         return np.stack(mesh, axis=-1)
 
-    @cached_property
+    @property
     def coords(self) -> jax.Array:
+        # NOTE: jnp-valued properties are deliberately NOT cached: a cached
+        # constant created during a jit trace would leak as a tracer.
         return jnp.asarray(self.coords_np)
 
     @cached_property
@@ -77,11 +79,11 @@ class Grid:
             m[tuple(sl1)] = True
         return m
 
-    @cached_property
+    @property
     def boundary_mask(self) -> jax.Array:
         return jnp.asarray(self.boundary_mask_np)
 
-    @cached_property
+    @property
     def interior_mask(self) -> jax.Array:
         return jnp.asarray(~self.boundary_mask_np)
 
@@ -105,7 +107,7 @@ class Grid:
             n = np.where(norm > 0, n / np.where(norm > 0, norm, 1.0), 0.0)
         return n
 
-    @cached_property
+    @property
     def normal(self) -> jax.Array:
         return jnp.asarray(self.normal_np)
 

@@ -289,67 +289,95 @@ class StokesProblem:
     def _vel_fastdiag(self) -> FastDiagSolver:
         return FastDiagSolver.build(self.grid)
 
+    @cached_property
+    def _vel_mg(self):
+        from spectral_tpu.models.stokes_pc import velocity_fd_stencil
+        from spectral_tpu.ops.multigrid import Multigrid
+
+        def builder(grid, coeffs):
+            eta = coeffs.get("eta")
+            if eta is None:
+                eta = jnp.ones(grid.dims)
+            return velocity_fd_stencil(grid, eta)
+
+        return Multigrid.build(self.grid, builder=builder)
+
     def make_vel_pc(self) -> Callable:
         """Strong approximate inverse of the FD velocity surrogate
-        (MatVVPC solved with hypre in the reference, README:36-40)."""
+        (MatVVPC solved with hypre in the reference, README:36-40).
+
+        Returns (setup: lin_state -> vstate, apply: (vstate, r) -> z):
+        - "fastdiag": exact constant-coefficient tensor solve (no setup);
+        - "mg": one eta-weighted multigrid V-cycle (StokesPCSetUp0 stencil
+          rediscretized per level) — the hypre-with-viscosity analog;
+        - "jacobi": stencil diagonal.
+        """
         if self.config.pcvel == "fastdiag":
             fd = self._vel_fastdiag
-            return lambda r: self.mask_v(fd.apply(r))
+            return (lambda lin_state: None,
+                    lambda vstate, r: self.mask_v(fd.apply(r)))
+        if self.config.pcvel == "mg":
+            mg = self._vel_mg
+            return (lambda lin_state: mg.setup({"eta": lin_state[0]}),
+                    lambda vstate, r: self.mask_v(mg.vcycle(vstate, r)))
         if self.config.pcvel == "jacobi":
-            from spectral_tpu.ops.stencil import poisson_fd_stencil
-            diag = poisson_fd_stencil(self.grid).diag()[..., None]
-            return lambda r: self.mask_v(r / diag)
+            from spectral_tpu.models.stokes_pc import velocity_fd_stencil
+            return (lambda lin_state: velocity_fd_stencil(
+                        self.grid, lin_state[0]).diag()[..., None],
+                    lambda diag, r: self.mask_v(r / diag))
         raise ValueError(f"unknown pcvel {self.config.pcvel!r}")
 
     def make_pc(self):
         """(pc_setup, pc_apply) implementing the saddle-point preconditioner."""
         cfg = self.config
-        vel_pc = self.make_vel_pc()
+        vel_setup, vel_apply = self.make_vel_pc()
 
-        def vel_solve(lin_state, rv):
+        def vel_solve(state, rv):
+            lin_state, vstate = state
             A = lambda w: self.vv_action(lin_state, w)
-            return cfg.vel_ksp.solve(A, rv, M=vel_pc).x
+            return cfg.vel_ksp.solve(A, rv, M=lambda r: vel_apply(vstate, r)).x
 
-        def svel_solve(lin_state, rv):
+        def svel_solve(state, rv):
+            lin_state, vstate = state
             A = lambda w: self.vv_action(lin_state, w)
-            return cfg.svel_ksp.solve(A, rv, M=vel_pc).x
+            return cfg.svel_ksp.solve(A, rv, M=lambda r: vel_apply(vstate, r)).x
 
-        def schur_action(lin_state, wp):
+        def schur_action(state, wp):
             """S = -PV VV^{-1} VP with the inner -svel_ solve (stokes.C:522-535)."""
             v0 = self.pressure_gradient(wp)
-            v1 = svel_solve(lin_state, v0)
+            v1 = svel_solve(state, v0)
             return -self.divergence(v1, with_dirichlet=False)
 
-        def schur_solve(lin_state, eta, rp):
-            A = lambda wp: schur_action(lin_state, wp)
+        def schur_solve(state, rp):
+            eta = state[0][0]
+            A = lambda wp: schur_action(state, wp)
             # Jacobi PC with diag = 1/eta (StokesMatGetDiagonalSchur,
             # stokes.C:538-553) => apply multiplies by eta
             M = lambda r: self.mask_p(r * eta)
             return cfg.schur_ksp.solve(A, rp, M=M, null_project=self.project_p).x
 
         def pc_setup(x, lin_state):
-            return lin_state
+            return (lin_state, vel_setup(lin_state))
 
-        def pc_apply(lin_state, r):
-            eta = lin_state[0]
+        def pc_apply(state, r):
             rv, rp = r["v"], r["p"]
             if cfg.saddle == 0:    # full block LU (stokes.C:1710-1741)
-                v1 = vel_solve(lin_state, rv)
+                v1 = vel_solve(state, rv)
                 p0 = rp - self.divergence(v1, with_dirichlet=False)
-                p1 = schur_solve(lin_state, eta, p0)
-                v2 = vel_solve(lin_state, -self.pressure_gradient(p1))
+                p1 = schur_solve(state, p0)
+                v2 = vel_solve(state, -self.pressure_gradient(p1))
                 return {"v": v1 + v2, "p": p1}
             if cfg.saddle == 1:    # upper triangular (stokes.C:1743-1767)
-                p1 = schur_solve(lin_state, eta, rp)
-                v1 = vel_solve(lin_state, rv - self.pressure_gradient(p1))
+                p1 = schur_solve(state, rp)
+                v1 = vel_solve(state, rv - self.pressure_gradient(p1))
                 return {"v": v1, "p": p1}
             if cfg.saddle == 2:    # block diagonal (stokes.C:1769-1791)
-                return {"v": vel_solve(lin_state, rv),
-                        "p": schur_solve(lin_state, eta, rp)}
+                return {"v": vel_solve(state, rv),
+                        "p": schur_solve(state, rp)}
             if cfg.saddle == 3:    # lower triangular (stokes.C:1793-1817)
-                v1 = vel_solve(lin_state, rv)
+                v1 = vel_solve(state, rv)
                 p0 = rp - self.divergence(v1, with_dirichlet=False)
-                return {"v": v1, "p": schur_solve(lin_state, eta, p0)}
+                return {"v": v1, "p": schur_solve(state, p0)}
             raise ValueError(f"pc_saddle_type {cfg.saddle} not implemented")
 
         return pc_setup, pc_apply

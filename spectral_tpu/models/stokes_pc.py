@@ -1,0 +1,211 @@
+"""Velocity-block preconditioner matrices for Stokes: -pcvel 0/2/3 analogs.
+
+The reference offers four assemblies of the sparse velocity surrogate
+``MatVVPC`` (selected by ``-pcvel``, stokes.C:159-174):
+
+0. simple eta-weighted finite difference (StokesPCSetUp0, stokes.C:1159-1241)
+   — the default and recommended one (README:55-57);
+1. Q1 finite element (StokesPCSetUp1) — speculative upstream, see
+   ``q1_velocity_stencil`` below for the lumped diagonal variant;
+2. subsampling the spectral matrix by FD coloring (StokesPCSetUp2,
+   stokes.C:1459-1512) — documented as a *poor* preconditioner (README:60-61);
+3. nodal Jacobian via CppAD automatic differentiation (StokesPCSetUp3 +
+   StokesComputeNodalJacobian, stokes.C:1526-1708), QUALITY=2 default = the
+   eta-weighted Laplacian.
+
+TPU-native: all three produce the same ``StencilOp`` coefficient-field
+representation.  The CppAD machinery collapses to ``jax.jacfwd`` of a nodal
+residual (a few lines); coloring probes the jitted matvec with striped basis
+vectors.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.grid import Grid
+from spectral_tpu.ops.stencil import StencilOp, _bcast_axis, shift
+
+
+def velocity_fd_stencil(grid: Grid, eta: jax.Array, *,
+                        scaleN: float = 1.0,
+                        nm_mask: jax.Array | None = None,
+                        nm_onehot: jax.Array | None = None,
+                        normal: jax.Array | None = None,
+                        alpha: jax.Array | None = None) -> StencilOp:
+    """StokesPCSetUp0 (stokes.C:1159-1241): component-decoupled eta-weighted
+    FD Laplacian with arithmetic-mean midpoint coefficients; mixed/Neumann
+    rows become one-sided differences in the principal normal direction
+    scaled by scaleN (+ alpha on the diagonal for sliding)."""
+    d = grid.ndim
+    dtype = eta.dtype
+    interior = grid.interior_mask
+    center = jnp.zeros(grid.dims, dtype)
+    lowers, uppers = [], []
+    for ax in range(d):
+        z = grid.nodes_1d[ax]
+        n = len(z)
+        idxM = np.zeros(n)
+        idxP = np.zeros(n)
+        idx = np.zeros(n)
+        idxM[1:-1] = 1.0 / (z[1:-1] - z[:-2])
+        idxP[1:-1] = 1.0 / (z[2:] - z[1:-1])
+        idx[1:-1] = 2.0 / (z[2:] - z[:-2])
+        idxM = jnp.asarray(_bcast_axis(idxM, ax, d), dtype)
+        idxP = jnp.asarray(_bcast_axis(idxP, ax, d), dtype)
+        idx = jnp.asarray(_bcast_axis(idx, ax, d), dtype)
+        etaM = 0.5 * (shift(eta, ax, -1) + eta)
+        etaP = 0.5 * (shift(eta, ax, +1) + eta)
+        lo = jnp.where(interior & shift(interior, ax, -1),
+                       -idx * idxM * etaM, 0.0)
+        up = jnp.where(interior & shift(interior, ax, +1),
+                       -idx * idxP * etaP, 0.0)
+        center = center + jnp.where(interior, idx * (idxP * etaP + idxM * etaM), 0.0)
+        lowers.append(lo)
+        uppers.append(up)
+    center = jnp.where(interior, center, 1.0)
+
+    if nm_mask is not None and normal is not None:
+        # one-sided rows at mixed/Neumann nodes (stokes.C:1183-1199)
+        lowers = list(lowers)
+        uppers = list(uppers)
+        for ax in range(d):
+            z = grid.nodes_1d[ax]
+            n = len(z)
+            inv_p = np.zeros(n)   # 1/(z_i - z_{i+1}): step toward +index
+            inv_m = np.zeros(n)
+            inv_p[:-1] = 1.0 / (z[:-1] - z[1:])
+            inv_m[1:] = 1.0 / (z[1:] - z[:-1])
+            inv_p = jnp.asarray(_bcast_axis(inv_p, ax, d), dtype)
+            inv_m = jnp.asarray(_bcast_axis(inv_m, ax, d), dtype)
+            on_ax = nm_mask & (nm_onehot[..., ax] > 0)
+            # normal > 0 <-> index-0 face <-> inward neighbor at +1 index
+            sel_p = on_ax & (normal[..., ax] > 0)
+            sel_m = on_ax & (normal[..., ax] < 0)
+            diag_row = scaleN * eta * jnp.where(sel_p, inv_p, inv_m)
+            if alpha is not None:
+                diag_row = diag_row + alpha
+            center = jnp.where(sel_p | sel_m, diag_row, center)
+            uppers[ax] = jnp.where(sel_p, -scaleN * eta * inv_p, uppers[ax])
+            lowers[ax] = jnp.where(sel_m, -scaleN * eta * inv_m, lowers[ax])
+            # a mixed row couples only along the principal axis
+            for ax2 in range(d):
+                if ax2 != ax:
+                    lowers[ax2] = jnp.where(on_ax, 0.0, lowers[ax2])
+                    uppers[ax2] = jnp.where(on_ax, 0.0, uppers[ax2])
+            uppers[ax] = jnp.where(sel_m, 0.0, uppers[ax])
+            lowers[ax] = jnp.where(sel_p, 0.0, lowers[ax])
+    return StencilOp(center, tuple(lowers), tuple(uppers))
+
+
+def nodal_jacfwd_stencil(grid: Grid, eta: jax.Array) -> StencilOp:
+    """StokesPCSetUp3 replacement: the per-node Jacobian of the local FD
+    residual via ``jax.jacfwd`` — the entire CppAD taping machinery
+    (stokes.C:1601-1708, QUALITY=2) collapses to automatic differentiation
+    of the residual below.
+
+    The nodal residual (QUALITY=2, stokes.C:1670-1683) is the eta-weighted
+    flux-form Laplacian acting on the (2d+1)-point neighborhood
+    [center, (minus, plus) per axis]; its Jacobian row gives exactly the
+    stencil coefficients, so the result must match velocity_fd_stencil —
+    asserted in tests.
+    """
+    d = grid.ndim
+    dtype = eta.dtype
+
+    # static per-axis spacing fields (as in velocity_fd_stencil)
+    idxM, idxP, idx = [], [], []
+    for ax in range(d):
+        z = grid.nodes_1d[ax]
+        n = len(z)
+        a = np.zeros(n); b = np.zeros(n); c = np.zeros(n)
+        a[1:-1] = 1.0 / (z[1:-1] - z[:-2])
+        b[1:-1] = 1.0 / (z[2:] - z[1:-1])
+        c[1:-1] = 2.0 / (z[2:] - z[:-2])
+        idxM.append(jnp.asarray(np.broadcast_to(_bcast_axis(a, ax, d), grid.dims), dtype))
+        idxP.append(jnp.asarray(np.broadcast_to(_bcast_axis(b, ax, d), grid.dims), dtype))
+        idx.append(jnp.asarray(np.broadcast_to(_bcast_axis(c, ax, d), grid.dims), dtype))
+    etaM = [0.5 * (shift(eta, ax, -1) + eta) for ax in range(d)]
+    etaP = [0.5 * (shift(eta, ax, +1) + eta) for ax in range(d)]
+
+    def nodal_residual(vel, geom):
+        """vel: (2d+1,) neighborhood values [v0, vM_0, vP_0, vM_1, ...];
+        geom: per-node packed coefficients."""
+        iM, iP, ix, eM, eP = geom
+        r = 0.0
+        for ax in range(d):
+            vM_ = iM[ax] * (vel[0] - vel[1 + 2 * ax])
+            vP_ = iP[ax] * (vel[2 + 2 * ax] - vel[0])
+            r = r - ix[ax] * (eP[ax] * vP_ - eM[ax] * vM_)
+        return r  # residual[i] -= idx*(eP*vP - eM*vM), stokes.C:1681
+
+    jac = jax.jacfwd(nodal_residual)  # (2d+1,) coefficient row per node
+
+    def per_node(iM, iP, ix, eM, eP):
+        return jac(jnp.zeros((2 * d + 1,), dtype), (iM, iP, ix, eM, eP))
+
+    flat = lambda fs: jnp.stack([f.reshape(-1) for f in fs], axis=0)
+    rows = jax.vmap(per_node, in_axes=(1, 1, 1, 1, 1))(
+        flat(idxM), flat(idxP), flat(idx), flat(etaM), flat(etaP))
+    rows = rows.reshape(grid.dims + (2 * d + 1,))
+
+    interior = grid.interior_mask
+    center = jnp.where(interior, rows[..., 0], 1.0)
+    lowers, uppers = [], []
+    for ax in range(d):
+        lo = jnp.where(interior & shift(interior, ax, -1), rows[..., 1 + 2 * ax], 0.0)
+        up = jnp.where(interior & shift(interior, ax, +1), rows[..., 2 + 2 * ax], 0.0)
+        lowers.append(lo)
+        uppers.append(up)
+    return StencilOp(center, tuple(lowers), tuple(uppers))
+
+
+def colored_probe_stencil(matvec: Callable, grid: Grid) -> StencilOp:
+    """StokesPCSetUp2 replacement: extract a (2d+1)-point stencil from a
+    matrix-free operator by probing with striped (colored) basis vectors —
+    the MatFDColoring analog (stokes.C:1503-1507), but with *exact* jitted
+    matvecs instead of finite differences.
+
+    Distance-2 striping per axis (3^d colors) isolates each node's stencil
+    row from the dense spectral matvec.  As the reference documents
+    (README:60-61), subsampling the spectral matrix this way is a poor
+    preconditioner; it is provided for parity and as a validation tool.
+    """
+    d = grid.ndim
+    dims = grid.dims
+    idx = np.indices(dims)
+    color = sum(idx[ax] % 3 * 3**ax for ax in range(d))
+    ncolors = 3**d
+
+    cols = []
+    for c in range(ncolors):
+        e = jnp.asarray((color == c).astype(np.float64))
+        cols.append(matvec(e))
+
+    # For each node r and offset o, the coefficient A[r, r+o] appears in the
+    # probe of color(r+o) at row r.
+    def coef(offset_ax: int | None, s: int):
+        if offset_ax is None:
+            shifted_color = color
+        else:
+            shifted_color = np.roll(color, -s, axis=offset_ax)  # color of neighbor
+        out = jnp.zeros(dims, cols[0].dtype)
+        for c in range(ncolors):
+            sel = jnp.asarray(shifted_color == c)
+            out = jnp.where(sel, cols[c], out)
+        return out
+
+    center = coef(None, 0)
+    lowers, uppers = [], []
+    interior = grid.interior_mask
+    for ax in range(d):
+        lo = jnp.where(interior & shift(interior, ax, -1), coef(ax, -1), 0.0)
+        up = jnp.where(interior & shift(interior, ax, +1), coef(ax, +1), 0.0)
+        lowers.append(lo)
+        uppers.append(up)
+    center = jnp.where(interior, center, 1.0)
+    return StencilOp(center, tuple(lowers), tuple(uppers))

@@ -154,3 +154,16 @@ def test_mixed_boundary_machinery():
     vL = p.recover_mixed(v)
     flux = jnp.sum(vL * p.normal, axis=-1)
     assert float(jnp.max(jnp.abs(jnp.where(p.mixed_mask, flux, 0.0)))) < 1e-12
+
+
+def test_power_law_mg_velocity_pc():
+    """The eta-aware multigrid velocity PC (pcvel='mg', the
+    hypre-with-viscosity analog) should sharply reduce outer iterations on
+    hard power-law problems vs the constant-coefficient fastdiag PC."""
+    base = dict(exact=2, rheology=1, cont=2, regularization=1e-3, exponent=3.0)
+    p_fd = StokesProblem(Grid((10, 10)), StokesConfig(**base, pcvel="fastdiag"))
+    p_mg = StokesProblem(Grid((10, 10)), StokesConfig(**base, pcvel="mg"))
+    r_fd = p_fd.solve_continuation()[-1]
+    r_mg = p_mg.solve_continuation()[-1]
+    assert r_fd.reason > 0 and r_mg.reason > 0
+    assert max(r_mg.ksp_iters) < max(r_fd.ksp_iters)

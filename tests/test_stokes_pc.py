@@ -1,0 +1,94 @@
+"""Velocity-PC assembly tests: -pcvel 0/2/3 analogs.
+
+Key oracle: the reference's CppAD QUALITY=2 nodal Jacobian *is* the simple
+eta-weighted FD stencil — our jacfwd version must therefore reproduce
+velocity_fd_stencil exactly (the reference relies on this equivalence
+implicitly, README:58-59)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.grid import Grid
+from spectral_tpu.models.stokes_pc import (colored_probe_stencil,
+                                           nodal_jacfwd_stencil,
+                                           velocity_fd_stencil)
+from spectral_tpu.ops.stencil import poisson_fd_stencil
+
+
+def _eta(grid, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(1.0 + 0.5 * rng.random(grid.dims))
+
+
+def test_jacfwd_matches_hand_assembled():
+    """pcvel 3 (autodiff) == pcvel 0 (hand-coded) for QUALITY=2."""
+    g = Grid((9, 8))
+    eta = _eta(g)
+    S0 = velocity_fd_stencil(g, eta)
+    S3 = nodal_jacfwd_stencil(g, eta)
+    np.testing.assert_allclose(np.asarray(S3.center), np.asarray(S0.center),
+                               rtol=1e-12)
+    for ax in range(2):
+        np.testing.assert_allclose(np.asarray(S3.lower[ax]), np.asarray(S0.lower[ax]),
+                                   rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(S3.upper[ax]), np.asarray(S0.upper[ax]),
+                                   rtol=1e-12, atol=1e-14)
+
+
+def test_jacfwd_3d():
+    g = Grid((6, 5, 7))
+    eta = _eta(g, 1)
+    S0 = velocity_fd_stencil(g, eta)
+    S3 = nodal_jacfwd_stencil(g, eta)
+    np.testing.assert_allclose(np.asarray(S3.center), np.asarray(S0.center),
+                               rtol=1e-12)
+
+
+def test_unit_eta_reduces_to_double_poisson():
+    g = Grid((8, 8))
+    S = velocity_fd_stencil(g, jnp.ones(g.dims))
+    Sp = poisson_fd_stencil(g)
+    interior = ~g.boundary_mask_np
+    np.testing.assert_allclose(np.asarray(S.center)[interior],
+                               2 * np.asarray(Sp.center)[interior], rtol=1e-12)
+
+
+def test_colored_probe_recovers_stencil_exactly():
+    """Probing an operator that IS a (2d+1)-stencil must reproduce it
+    exactly (no aliasing) — validates the coloring pattern."""
+    g = Grid((9, 7))
+    eta = _eta(g, 2)
+    S = velocity_fd_stencil(g, eta)
+    Sp = colored_probe_stencil(lambda x: S.apply(x), g)
+    np.testing.assert_allclose(np.asarray(Sp.center), np.asarray(S.center),
+                               atol=1e-12)
+    for ax in range(2):
+        np.testing.assert_allclose(np.asarray(Sp.lower[ax]), np.asarray(S.lower[ax]),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(Sp.upper[ax]), np.asarray(S.upper[ax]),
+                                   atol=1e-12)
+
+
+def test_mixed_row_one_sided():
+    """Mixed/Neumann rows become one-sided differences (stokes.C:1183-1199)."""
+    from spectral_tpu.models.stokes import StokesConfig, StokesProblem
+
+    p = StokesProblem(Grid((10, 10)), StokesConfig(exact=2, boundary=2))
+    g = p.grid
+    eta = jnp.ones(g.dims)
+    nm_oh = jnp.where(p.nm_mask[..., None], 1.0, 0.0) * jnp.abs(p.normal) / \
+        jnp.maximum(jnp.max(jnp.abs(p.normal), -1, keepdims=True), 1e-14)
+    nm_oh = (nm_oh >= 1.0).astype(eta.dtype)
+    S = velocity_fd_stencil(g, eta, scaleN=1.0, nm_mask=p.nm_mask,
+                            nm_onehot=nm_oh, normal=p.normal, alpha=p.alpha)
+    nm = np.asarray(p.nm_mask)
+    assert nm.any()
+    # mixed rows: nonzero center, exactly one nonzero off-diagonal
+    c = np.asarray(S.center)
+    offs = sum(np.abs(np.asarray(S.lower[ax])) + np.abs(np.asarray(S.upper[ax]))
+               for ax in range(2))
+    nnz = sum((np.abs(np.asarray(S.lower[ax])) > 0).astype(int)
+              + (np.abs(np.asarray(S.upper[ax])) > 0).astype(int)
+              for ax in range(2))
+    assert np.all(np.abs(c[nm]) > 0)
+    assert np.all(nnz[nm] == 1)
