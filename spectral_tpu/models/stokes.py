@@ -418,13 +418,28 @@ class StokesProblem:
                             ksp=cfg.outer_ksp, config=newton,
                             null_project=self.null_project)
 
-    def solve_continuation(self, monitor: bool = False) -> list[NewtonResult]:
+    def solve_continuation(self, monitor: bool = False,
+                           checkpoint_dir: str | None = None) -> list[NewtonResult]:
         """The continuation loop (stokes.C:217-235): ramp exponent and
-        regularization, reusing each solution as the next initial guess."""
+        regularization, reusing each solution as the next initial guess.
+
+        With ``checkpoint_dir``, each step's solution is persisted and the
+        loop resumes after the last completed step (the reference has no
+        checkpointing; SURVEY.md section 5.4)."""
+        from spectral_tpu.utils import checkpoint as ckpt
+
         cfg = self.config
         results = []
         x = self.zero_state()
-        for i in range(cfg.cont0, cfg.cont + 1):
+        start = cfg.cont0
+        if checkpoint_dir is not None:
+            last = ckpt.latest_step(checkpoint_dir)
+            if last is not None and last >= cfg.cont0:
+                x = ckpt.load_state(checkpoint_dir, last, x)
+                start = last + 1
+                if monitor:
+                    print(f"## resuming continuation from step {last}")
+        for i in range(start, cfg.cont + 1):
             p = self.params_at(i)
             if monitor:
                 print(f"## [{i}/{cfg.cont}] Solving with exponent = {p.exponent:5f} "
@@ -432,6 +447,11 @@ class StokesProblem:
             res = self.solve(x, params=p, monitor=monitor)
             x = res.x
             results.append(res)
+            if checkpoint_dir is not None:
+                ckpt.save_state(checkpoint_dir, i, x,
+                                meta={"exponent": p.exponent,
+                                      "regularization": p.regularization,
+                                      "fnorm": res.fnorm, "reason": res.reason})
         return results
 
     def error_vs_exact(self, x) -> float:

@@ -1,0 +1,44 @@
+"""Checkpoint/resume and profiling utility tests (SURVEY.md sections 5.1, 5.4)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.utils import checkpoint as ckpt
+from spectral_tpu.utils.profiling import PhaseTimer
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    x = {"v": jnp.arange(6.0).reshape(2, 3), "p": jnp.ones(4)}
+    ckpt.save_state(str(tmp_path), 2, x, meta={"exponent": 1.5})
+    assert ckpt.latest_step(str(tmp_path)) == 2
+    y = ckpt.load_state(str(tmp_path), 2, x)
+    np.testing.assert_allclose(np.asarray(y["v"]), np.asarray(x["v"]))
+    np.testing.assert_allclose(np.asarray(y["p"]), np.asarray(x["p"]))
+    assert ckpt.load_meta(str(tmp_path), 2)["exponent"] == 1.5
+
+
+def test_continuation_resume(tmp_path):
+    """Kill-and-resume: a second run skips the completed steps."""
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.stokes import StokesConfig, StokesProblem
+
+    cfg = StokesConfig(exact=2, rheology=1, cont=1, regularization=1e-1,
+                       exponent=2.0)
+    p = StokesProblem(Grid((8, 8)), cfg)
+    r1 = p.solve_continuation(checkpoint_dir=str(tmp_path))
+    assert len(r1) == 2  # steps 0, 1
+    r2 = p.solve_continuation(checkpoint_dir=str(tmp_path))
+    assert len(r2) == 0  # everything resumed/complete
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t.phase("a", sync=False):
+        pass
+    with t.phase("a", sync=False):
+        pass
+    with t.phase("b", sync=False):
+        pass
+    s = t.summary()
+    assert "a" in s and "b" in s
+    assert t.counts["a"] == 2
