@@ -1,0 +1,46 @@
+"""Pallas kernel tests (interpreter mode on CPU; compiled path exercised by
+bench.py on the real TPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectral_tpu.ops.chebyshev import chebdiff
+from spectral_tpu.ops.pallas_cheb import chebdiff_last_pallas, laplacian3d_pallas
+
+
+def test_last_axis_matvec_matches_reference():
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((3, 10, 16)))
+    got = chebdiff_last_pallas(u, block_rows=16, interpret=True)
+    ref = chebdiff(u, 2, "matmul")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-10)
+
+
+def test_last_axis_padding():
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.standard_normal((7, 12)))  # 7 rows, blk 4 -> padding
+    got = chebdiff_last_pallas(u, block_rows=4, interpret=True)
+    ref = chebdiff(u, 1, "matmul")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-10)
+
+
+def test_fused_laplacian_matches_composed():
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.standard_normal((12, 10, 8)))
+    got = laplacian3d_pallas(u, interpret=True)
+    ref = -(chebdiff(chebdiff(u, 0), 0) + chebdiff(chebdiff(u, 1), 1)
+            + chebdiff(chebdiff(u, 2), 2))
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(np.asarray(got) / scale, np.asarray(ref) / scale,
+                               atol=1e-11)
+
+
+def test_fused_laplacian_boundary_mask():
+    from spectral_tpu.grid import Grid
+
+    g = Grid((8, 8, 8))
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal(g.dims))
+    got = laplacian3d_pallas(u, bmask=g.boundary_mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got)[0], np.asarray(u)[0])
