@@ -153,6 +153,19 @@ class EllipticModel:
 
             return setup, apply
 
+        if pc_type == "q1fem":
+            from spectral_tpu.ops.fem import Q1FastDiag
+
+            fd = Q1FastDiag.build(g)
+
+            def setup(x, lin_state):
+                return None
+
+            def apply(state, r):
+                return fd.apply(r)
+
+            return setup, apply
+
         if pc_type == "mg":
             from spectral_tpu.ops.multigrid import Multigrid
 

@@ -325,6 +325,11 @@ class StokesProblem:
             return (lambda lin_state: velocity_fd_stencil(
                         self.grid, lin_state[0]).diag()[..., None],
                     lambda diag, r: self.mask_v(r / diag))
+        if self.config.pcvel == "q1fem":
+            from spectral_tpu.ops.fem import Q1FastDiag
+            fd = Q1FastDiag.build(self.grid)
+            return (lambda lin_state: None,
+                    lambda vstate, r: self.mask_v(fd.apply(r)))
         raise ValueError(f"unknown pcvel {self.config.pcvel!r}")
 
     def make_pc(self):
