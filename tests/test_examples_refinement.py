@@ -1,0 +1,63 @@
+"""Didactic examples (shell.c / nk.c analogs) + mixed-precision refinement."""
+
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, "examples")
+
+
+def test_shell_demo_orders(capsys):
+    from examples.shell_demo import main
+
+    for order in (2, 4, 6):
+        assert main(["-m", "16", "-n", "16", "-order", str(order)]) == 0
+    out = capsys.readouterr().out
+    assert out.count("err") == 3
+    for line in out.splitlines():
+        assert float(line.split()[-1]) < 1e-5
+
+
+def test_shell_demo_munge(capsys):
+    from examples.shell_demo import main
+
+    assert main(["-m", "12", "-n", "12", "-munge"]) == 0
+    assert "munge=True" in capsys.readouterr().out
+
+
+def test_nk_demo_variants(capsys):
+    from examples.nk_demo import main
+
+    assert main(["-n", "24", "-rhistory"]) == 0
+    assert main(["-n", "24", "-snes_mf", "-user_precond"]) == 0
+    out = capsys.readouterr().out
+    assert "Newton iterations" in out and "fnorm history" in out
+
+
+def test_refine_solve_reaches_f64_accuracy():
+    """f32 inner solves + f64 residuals reach rtol 1e-12 (SURVEY hard pt 4)."""
+    from spectral_tpu.solvers.krylov import KSPConfig
+    from spectral_tpu.solvers.refinement import refine_solve
+
+    rng = np.random.default_rng(0)
+    n = 40
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    lam = np.linspace(1.0, 30.0, n)
+    A64 = jnp.asarray((Q * lam) @ Q.T)
+    A32 = jnp.asarray(A64, jnp.float32)
+    xstar = jnp.asarray(rng.standard_normal(n))
+    b = A64 @ xstar
+
+    ksp = KSPConfig(type="gmres", rtol=1e-6, max_it=200)
+
+    def inner(r32):
+        res = ksp.solve(lambda v: A32 @ v, r32)
+        return res.x, res.iters
+
+    out = refine_solve(lambda x: A64 @ x, inner, b, rtol=1e-12)
+    assert out.reason > 0, out.reason_str()
+    assert out.rnorm <= 1e-12 * float(jnp.linalg.norm(b))
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(xstar), atol=1e-10)
+    assert out.refine_steps <= 6
