@@ -37,7 +37,15 @@ class PoissonModel:
     method: str = "auto"  # chebdiff execution path
 
     def operator(self, u: jax.Array) -> jax.Array:
-        """y = -sum_j D_j(D_j u); boundary rows y_b = u_b (poisson.c:215-245)."""
+        """y = -sum_j D_j(D_j u); boundary rows y_b = u_b (poisson.c:215-245).
+
+        method="pallas" (3-D, VMEM-sized grids) uses the fused single-pass
+        kernel (ops.pallas_cheb.laplacian3d_pallas): one HBM round trip
+        instead of 12.
+        """
+        if self.method == "pallas" and self.grid.ndim == 3:
+            from spectral_tpu.ops.pallas_cheb import laplacian3d_pallas
+            return laplacian3d_pallas(u, bmask=self.grid.boundary_mask)
         y = jnp.zeros_like(u)
         for ax in range(self.grid.ndim):
             y = y - chebdiff(chebdiff(u, ax, self.method), ax, self.method)

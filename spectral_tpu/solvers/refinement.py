@@ -36,7 +36,9 @@ class RefineResult:
 
 def _norm(x) -> float:
     leaves = jax.tree_util.tree_leaves(x)
-    return float(np.sqrt(sum(float(jnp.vdot(l, l).real) for l in leaves)))
+    return float(np.sqrt(sum(float(np.vdot(np.asarray(l, np.float64),
+                                           np.asarray(l, np.float64)).real)
+                             for l in leaves)))
 
 
 def refine_solve(A_hi: Callable, inner_solve: Callable, b, *,
@@ -50,19 +52,24 @@ def refine_solve(A_hi: Callable, inner_solve: Callable, b, *,
         (e.g. a jitted f32 GMRES with a strong PC); receives/returns f32.
       b: high-precision RHS pytree.
     """
+    # The high-precision state lives in HOST numpy float64: jnp arrays would
+    # silently truncate to f32 unless jax_enable_x64 is set, defeating the
+    # whole scheme.  A_hi therefore receives/returns numpy-compatible trees.
     to32 = lambda t: jax.tree_util.tree_map(
-        lambda a: jnp.asarray(a, jnp.float32), t)
-    to64 = lambda t: jax.tree_util.tree_map(
-        lambda a: jnp.asarray(np.asarray(a), jnp.float64), t)
+        lambda a: jnp.asarray(np.asarray(a), jnp.float32), t)
+    to_np64 = lambda t: jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float64), t)
 
-    x = jax.tree_util.tree_map(jnp.zeros_like, b) if x0 is None else x0
+    b = to_np64(b)
+    x = jax.tree_util.tree_map(np.zeros_like, b) if x0 is None else to_np64(x0)
     bnorm = max(_norm(b), 1e-300)
     hist = []
     inner_total = 0
     reason = int(ConvergedReason.DIVERGED_ITS)
     steps = 0
     for steps in range(max_refine + 1):
-        r = jax.tree_util.tree_map(lambda bi, ai: bi - ai, b, A_hi(x))
+        Ax = to_np64(A_hi(x))
+        r = jax.tree_util.tree_map(lambda bi, ai: bi - ai, b, Ax)
         rnorm = _norm(r)
         hist.append(rnorm)
         if rnorm <= max(rtol * bnorm, atol):
@@ -75,6 +82,6 @@ def refine_solve(A_hi: Callable, inner_solve: Callable, b, *,
             break
         dx, iters = inner_solve(to32(r))
         inner_total += int(iters)
-        dx64 = to64(dx)
-        x = jax.tree_util.tree_map(lambda xi, di: xi + di, x, dx64)
+        x = jax.tree_util.tree_map(lambda xi, di: xi + np.asarray(di, np.float64),
+                                   x, dx)
     return RefineResult(x, steps, inner_total, reason, hist[-1], hist)
