@@ -177,8 +177,17 @@ def stokes_main(opts: Options) -> int:
           f"  norm of residual {rnorm:9.3e}")
 
     monitor = opts.has("snes_monitor")
-    results = p.solve_continuation(monitor=monitor)
+    ckpt_dir = opts.get_string("checkpoint_dir", "") or None
+    from spectral_tpu.utils.profiling import PhaseTimer
+    timer = PhaseTimer()
+    with timer.phase("SNESSolve"):
+        results = p.solve_continuation(monitor=monitor, checkpoint_dir=ckpt_dir)
     res = results[-1]
+    if monitor:
+        # eta extremes per solve (stokes.C:730-735 prints them per residual)
+        eta = results[-1].lin_state[0]
+        print(f"Minimum eta = {float(jnp.min(eta)):9.3e}   "
+              f"Maximum eta = {float(jnp.max(eta)):9.3e}")
     err = p.error_vs_exact(res.x)
     print(f"Number of nonlinear iterations = {res.iters}")
     print(f"Reason for solver termination: {res.reason_str()}")
@@ -188,5 +197,7 @@ def stokes_main(opts: Options) -> int:
         from spectral_tpu.utils.vtk import write_stokes_vtk
         write_stokes_vtk(p, res.x, "stokes.vtk")
         print("wrote stokes.vtk")
+    if opts.has("log_summary"):
+        print(timer.summary())
     _print_unused(opts)
     return 0 if res.reason > 0 else 2

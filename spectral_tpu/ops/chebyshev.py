@@ -183,20 +183,24 @@ def _chebdiff_fft(u: jax.Array, axis: int) -> jax.Array:
 def _chebdiff_matmul(u: jax.Array, axis: int) -> jax.Array:
     """Dense-matmul path: contract the differentiation matrix along ``axis``.
 
-    The contraction is arranged as (batch, n) @ (n, n) so XLA maps it onto
-    the MXU; ``precision=HIGHEST`` keeps full float32 accuracy on TPU (the
-    default TPU matmul passes truncate to bfloat16, which would destroy the
-    spectral accuracy this method exists for).
+    The contraction happens *in place* (no moveaxis round trip): derivatives
+    along the first or last axis need zero explicit transposes, middle axes
+    need one output moveaxis — XLA folds any remaining relayout into the MXU
+    feed.  ``precision=HIGHEST`` keeps full float32 accuracy on TPU (default
+    TPU matmul passes truncate to bfloat16, which would destroy the spectral
+    accuracy this method exists for).
     """
     n = u.shape[axis]
+    axis = axis % u.ndim
     D = diffmat(n, dtype=u.dtype)
-    um = jnp.moveaxis(u, axis, -1)
-    y = jax.lax.dot_general(
-        um, D,
-        dimension_numbers=(((um.ndim - 1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=u.dtype,
-    )
+    kw = dict(precision=jax.lax.Precision.HIGHEST, preferred_element_type=u.dtype)
+    if axis == 0:
+        # y[i, ...] = sum_j D[i, j] u[j, ...]
+        return jax.lax.dot_general(D, u, (((1,), (0,)), ((), ())), **kw)
+    y = jax.lax.dot_general(u, D, (((axis,), (1,)), ((), ())), **kw)
+    # contracted axis is removed; the new one lands last
+    if axis == u.ndim - 1:
+        return y
     return jnp.moveaxis(y, -1, axis)
 
 
