@@ -25,6 +25,23 @@ def make_mesh(axes: dict[str, int] | None = None) -> Mesh:
     return Mesh(np.asarray(devs[:need]).reshape(shape), names)
 
 
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host initialization (jax.distributed) for pod-slice runs.
+
+    The reference's MPI layer is degenerate (single rank everywhere,
+    SURVEY.md section 0); multi-host here means: call this once per host,
+    then build a Mesh over jax.devices() spanning the slice — collectives
+    ride ICI within a slice and DCN across slices automatically.
+    No-op when already initialized or single-process.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        pass  # already initialized or single-process environment
+
+
 def grid_sharding(mesh: Mesh, ndim: int, axis_map: dict[int, str]) -> NamedSharding:
     """NamedSharding for a grid tensor: grid axis -> mesh axis name."""
     spec = [None] * ndim
