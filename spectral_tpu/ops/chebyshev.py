@@ -232,3 +232,47 @@ def chebdiff(u: jax.Array, axis: int = 0, method: str = "auto") -> jax.Array:
 def gradient(u: jax.Array, ndim: int, method: str = "auto") -> list[jax.Array]:
     """[d/dx_0 u, ..., d/dx_{ndim-1} u]; axes beyond ndim are batch axes."""
     return [chebdiff(u, axis=i, method=method) for i in range(ndim)]
+
+
+# ---------------------------------------------------------------------------
+# Coefficient-space utilities (the FFTW-plan surface the reference exposes,
+# generalized: modal <-> nodal transforms and off-grid evaluation)
+# ---------------------------------------------------------------------------
+
+def cheb_coefficients(u: jax.Array, axis: int = -1) -> jax.Array:
+    """Chebyshev modal coefficients a_k of nodal values along ``axis``:
+    u = sum_k a_k T_k(x) with a_k = W_k / (N c_k), c_0 = c_N = 2 (DCT-I)."""
+    u = jnp.moveaxis(u, axis, -1)
+    n = u.shape[-1]
+    N = n - 1
+    W = dct1(u, -1)
+    c = np.ones(n)
+    c[0] = c[-1] = 2.0
+    a = W / jnp.asarray(N * c, u.dtype)
+    return jnp.moveaxis(a, -1, axis)
+
+
+def cheb_nodal(a: jax.Array, axis: int = -1) -> jax.Array:
+    """Inverse of cheb_coefficients: evaluate the Chebyshev series at the
+    CGL nodes (DCT-I is self-inverse up to scaling)."""
+    a = jnp.moveaxis(a, axis, -1)
+    n = a.shape[-1]
+    c = np.ones(n)
+    c[0] = c[-1] = 2.0
+    W = a * jnp.asarray(c, a.dtype) / 2.0
+    u = dct1(W, -1)
+    return jnp.moveaxis(u, -1, axis)
+
+
+def cheb_eval(a: jax.Array, x: jax.Array, axis: int = -1) -> jax.Array:
+    """Evaluate the Chebyshev series with coefficients ``a`` (along ``axis``)
+    at arbitrary points x in [-1, 1] — Clenshaw-free matmul form
+    T[k](x) = cos(k arccos x), MXU-friendly."""
+    a = jnp.moveaxis(a, axis, -1)
+    n = a.shape[-1]
+    k = jnp.arange(n, dtype=a.dtype)
+    T = jnp.cos(k[None, :] * jnp.arccos(jnp.asarray(x, a.dtype))[:, None])
+    y = jax.lax.dot_general(a, T, (((a.ndim - 1,), (1,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=a.dtype)
+    return jnp.moveaxis(y, -1, axis)

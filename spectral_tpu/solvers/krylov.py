@@ -321,6 +321,76 @@ def cg(A: Operator, b, x0=None, *, M: Optional[Operator] = None,
     return SolveResult(unravel(s.x), s.it, s.reason, s.rnorm, s.hist)
 
 
+class _BCGSState(NamedTuple):
+    x: jax.Array
+    r: jax.Array
+    rhat: jax.Array
+    p: jax.Array
+    v: jax.Array
+    rho: jax.Array
+    alpha: jax.Array
+    omega: jax.Array
+    it: jax.Array
+    rnorm: jax.Array
+    reason: jax.Array
+    hist: jax.Array
+
+
+def bicgstab(A: Operator, b, x0=None, *, M: Optional[Operator] = None,
+             rtol=1e-5, atol=1e-50, dtol=1e4, max_it=10000,
+             null_project=None, history_len=HISTORY_LEN) -> SolveResult:
+    """BiCGStab with left preconditioning (PETSc KSPBCGS semantics):
+    short recurrences for nonsymmetric systems, two matvecs per iteration."""
+    Af, bf, x0f, Mf, Pf, unravel = _flatten_system(A, b, x0, M, null_project)
+    dtype = bf.dtype
+    op = lambda v: Mf(Pf(Af(v)))
+    r0 = Mf(Pf(bf - Af(x0f)))
+    beta0 = _norm(r0)
+    rnorm0 = jnp.maximum(beta0, _TINY)
+    hist = jnp.full((history_len,), -1.0, dtype).at[0].set(beta0)
+    reason0 = jnp.where(beta0 <= atol, int(ConvergedReason.CONVERGED_ATOL),
+                        int(ConvergedReason.ITERATING)).astype(jnp.int32)
+    one = jnp.asarray(1.0, dtype)
+    z = jnp.zeros_like(r0)
+    s0 = _BCGSState(x0f, r0, r0, z, z, one, one, one,
+                    jnp.asarray(0, jnp.int32), beta0, reason0, hist)
+
+    def cond(s):
+        return s.reason == int(ConvergedReason.ITERATING)
+
+    def body(s):
+        rho = jnp.vdot(s.rhat, s.r).real.astype(dtype)
+        safe = lambda d: jnp.where(jnp.abs(d) > _TINY, d, 1.0)
+        beta = (rho / safe(s.rho)) * (s.alpha / safe(s.omega))
+        p = s.r + beta * (s.p - s.omega * s.v)
+        v = op(p)
+        alpha = rho / safe(jnp.vdot(s.rhat, v).real.astype(dtype))
+        sres = s.r - alpha * v
+        t = op(sres)
+        omega = (jnp.vdot(t, sres).real /
+                 safe(jnp.vdot(t, t).real)).astype(dtype)
+        x = s.x + alpha * p + omega * sres
+        r = sres - omega * t
+        rnorm = _norm(r)
+        it = s.it + 1
+        hist = s.hist.at[jnp.minimum(it, history_len - 1)].set(rnorm)
+        tol = jnp.maximum(rtol * rnorm0, atol)
+        reason = jnp.where(
+            ~jnp.isfinite(rnorm), int(ConvergedReason.DIVERGED_NANORINF),
+            jnp.where(rnorm <= tol,
+                      jnp.where(rnorm <= atol, int(ConvergedReason.CONVERGED_ATOL),
+                                int(ConvergedReason.CONVERGED_RTOL)),
+                      jnp.where(it >= max_it, int(ConvergedReason.DIVERGED_ITS),
+                                jnp.where(rnorm >= dtol * rnorm0,
+                                          int(ConvergedReason.DIVERGED_DTOL),
+                                          int(ConvergedReason.ITERATING)))))
+        return _BCGSState(x, r, s.rhat, p, v, rho, alpha, omega, it, rnorm,
+                          reason.astype(jnp.int32), hist)
+
+    s = jax.lax.while_loop(cond, body, s0)
+    return SolveResult(unravel(s.x), s.it, s.reason, s.rnorm, s.hist)
+
+
 def richardson(A: Operator, b, x0=None, *, M: Optional[Operator] = None,
                scale=1.0, rtol=1e-5, atol=1e-50, dtol=1e4, max_it=10000,
                null_project=None, history_len=HISTORY_LEN) -> SolveResult:
@@ -381,6 +451,8 @@ _KSP_TYPES = {
     "gmres": gmres,
     "fgmres": fgmres,
     "cg": cg,
+    "bcgs": bicgstab,
+    "bicgstab": bicgstab,
     "richardson": richardson,
     "preonly": preonly,
 }

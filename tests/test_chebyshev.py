@@ -109,3 +109,22 @@ def test_spectral_convergence():
     assert errs[1] < errs[0] / 30
     assert errs[2] < errs[1] / 30
     assert errs[3] < 1e-6
+
+
+def test_coefficient_roundtrip_and_eval():
+    """Modal <-> nodal transforms and off-grid evaluation (the FFTW-plan
+    API surface, generalized)."""
+    from spectral_tpu.ops.chebyshev import cheb_coefficients, cheb_eval, cheb_nodal
+
+    n = 20
+    x = cheb.cgl_nodes_np(n)
+    u = jnp.asarray(np.exp(x))
+    a = cheb_coefficients(u, 0)
+    # spectral decay of coefficients for an analytic function
+    assert abs(float(a[-1])) < 1e-15
+    back = cheb_nodal(a, 0)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(u), atol=1e-13)
+    # evaluate off-grid
+    pts = np.array([0.33, -0.71, 0.0])
+    vals = cheb_eval(a, jnp.asarray(pts), 0)
+    np.testing.assert_allclose(np.asarray(vals), np.exp(pts), atol=1e-12)
