@@ -74,12 +74,13 @@ class Multigrid:
     pre_smooth: int = 2
     post_smooth: int = 2
     omega: float = 0.8
+    smoother: str = "chebyshev"  # "chebyshev" | "jacobi"
 
     @staticmethod
     def build(grid: Grid, builder: Callable = default_stencil_builder,
               coarsest: int = 4, max_levels: int = 10,
               pre_smooth: int = 2, post_smooth: int = 2,
-              omega: float = 0.8) -> "Multigrid":
+              omega: float = 0.8, smoother: str = "chebyshev") -> "Multigrid":
         grids = [grid]
         while len(grids) < max_levels:
             dims = grids[-1].dims
@@ -102,7 +103,7 @@ class Multigrid:
             Ps.append(tuple(P_axes))
             Rcs.append(tuple(Rc_axes))
         return Multigrid(tuple(grids), tuple(Ps), tuple(Rcs), builder,
-                         pre_smooth, post_smooth, omega)
+                         pre_smooth, post_smooth, omega, smoother)
 
     # -- transfers ------------------------------------------------------------
     def _prolong(self, lvl: int, xc: jax.Array) -> jax.Array:
@@ -127,13 +128,18 @@ class Multigrid:
 
     # -- per-solve state ------------------------------------------------------
     def setup(self, coeffs: dict | None = None):
-        """Restrict coefficient fields, rediscretize every level, factor the
-        coarsest (jittable; the analog of PCSetUp + hypre setup)."""
+        """Restrict coefficient fields, rediscretize every level, estimate
+        smoother eigenvalue bounds, factor the coarsest (jittable; the analog
+        of PCSetUp + hypre setup)."""
         coeffs = dict(coeffs or {})
         levels = []
         for lvl, g in enumerate(self.grids):
             S = self.builder(g, coeffs)
-            levels.append((S, S.diag()))
+            diag = S.diag()
+            lam_max = None
+            if self.smoother == "chebyshev" and lvl < len(self.grids) - 1:
+                lam_max = self._power_lambda_max(lvl, S, diag)
+            levels.append((S, diag, lam_max))
             if lvl < len(self.grids) - 1:
                 coeffs = jax.tree_util.tree_map(
                     lambda f: self._restrict_field(lvl, f), coeffs)
@@ -142,27 +148,63 @@ class Multigrid:
         coarse_lu = jax.scipy.linalg.lu_factor(A)
         return {"levels": levels, "coarse_lu": coarse_lu}
 
+    def _power_lambda_max(self, lvl: int, S: StencilOp, diag: jax.Array,
+                          iters: int = 12) -> jax.Array:
+        """Largest eigenvalue of D^{-1} S by power iteration (jittable,
+        deterministic start; the analog of hypre's smoother eig estimate)."""
+        g = self.grids[lvl]
+        x = self._mask(lvl, jnp.sin(jnp.arange(1.0, g.size + 1.0)
+                                    ).reshape(g.dims).astype(diag.dtype))
+
+        def body(_, x):
+            y = S.apply(x) / diag
+            return y / jnp.maximum(jnp.linalg.norm(y.reshape(-1)), 1e-30)
+
+        x = jax.lax.fori_loop(0, iters, body, x)
+        y = S.apply(x) / diag
+        num = jnp.vdot(x.reshape(-1), y.reshape(-1)).real
+        den = jnp.vdot(x.reshape(-1), x.reshape(-1)).real
+        return 1.1 * num / jnp.maximum(den, 1e-30)
+
     # -- cycle ----------------------------------------------------------------
-    def _smooth(self, S: StencilOp, diag: jax.Array, x, b, iters: int):
+    def _smooth(self, S: StencilOp, diag: jax.Array, lam_max, x, b, iters: int):
         d = diag if x.ndim == diag.ndim else diag.reshape(diag.shape + (1,) * (x.ndim - diag.ndim))
-        for _ in range(iters):
-            x = x + self.omega * (b - S.apply(x)) / d
+        if self.smoother == "jacobi" or lam_max is None:
+            for _ in range(iters):
+                x = x + self.omega * (b - S.apply(x)) / d
+            return x
+        # Chebyshev smoothing on [lam_max/4, lam_max] of D^{-1}S — the
+        # standard hypre/AMG polynomial smoother, batched and matrix-free.
+        lmin = lam_max / 4.0
+        theta = 0.5 * (lam_max + lmin)
+        delta = 0.5 * (lam_max - lmin)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        r = (b - S.apply(x)) / d
+        dx = r / theta
+        x = x + dx
+        for _ in range(iters - 1):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            r = (b - S.apply(x)) / d
+            dx = rho_new * rho * dx + 2.0 * rho_new / delta * r
+            x = x + dx
+            rho = rho_new
         return x
 
     def _cycle(self, state, lvl: int, b: jax.Array) -> jax.Array:
-        S, diag = state["levels"][lvl]
+        S, diag, lam_max = state["levels"][lvl]
         if lvl == len(self.grids) - 1:
             size = math.prod(self.grids[lvl].dims)
             comp = b.shape[len(self.grids[lvl].dims):]
             z = jax.scipy.linalg.lu_solve(state["coarse_lu"],
                                           b.reshape(size, -1))
             return z.reshape(b.shape)
-        x = self._smooth(S, diag, jnp.zeros_like(b), b, self.pre_smooth)
+        x = self._smooth(S, diag, lam_max, jnp.zeros_like(b), b, self.pre_smooth)
         r = b - S.apply(x)
         rc = self._mask(lvl + 1, self._restrict_residual(lvl, r))
         ec = self._cycle(state, lvl + 1, rc)
         x = x + self._mask(lvl, self._prolong(lvl, ec))
-        return self._smooth(S, diag, x, b, self.post_smooth)
+        return self._smooth(S, diag, lam_max, x, b, self.post_smooth)
 
     def vcycle(self, state, b: jax.Array) -> jax.Array:
         """One V-cycle as a preconditioner apply (boundary passes through)."""
