@@ -109,3 +109,20 @@ def test_arbitrary_dimension_4d():
     assert res.reason > 0
     err = float(jnp.max(jnp.abs(res.x - u)))
     assert err < 1e-7
+
+
+@pytest.mark.slow
+def test_tests_sh_sweep():
+    """Full tests.sh analog: sweep n = 4..44 (step 8) at two -cos_scale
+    values with tight tolerances; 'Norm of error' must decay spectrally."""
+    for cos_scale in (1.0, 2.0):
+        errs = []
+        for n in (12, 20, 28, 36, 44):
+            m = EllipticModel(Grid((n, n)), gamma=1.0, exponent=2.0)
+            u, b, d = m.setup_problem(exact=0, cos_scale=cos_scale)
+            res = m.solve(b, d, ksp=KSPConfig(type="fgmres", rtol=1e-12, max_it=400),
+                          newton=NewtonConfig(rtol=1e-11, max_it=30))
+            assert res.reason > 0, (n, cos_scale, res.reason_str())
+            errs.append(float(jnp.max(jnp.abs(res.x - u))))
+        assert errs[1] < errs[0] / 5, (cos_scale, errs)
+        assert errs[-1] < 5e-10, (cos_scale, errs)

@@ -167,3 +167,28 @@ def test_power_law_mg_velocity_pc():
     r_mg = p_mg.solve_continuation()[-1]
     assert r_fd.reason > 0 and r_mg.reason > 0
     assert max(r_mg.ksp_iters) < max(r_fd.ksp_iters)
+
+
+def test_outflow_boundary4():
+    """-boundary 4: inflow parabola + OUTFLOW + Neumann lid (stokes.C:2166).
+    Outflow nodes keep velocity dofs but no pressure dof; the solver runs
+    and produces through-flow.  (Upstream: 'a suitable outflow boundary is
+    also needed, but this is not implemented' README:67-68 — the machinery
+    here is complete; conditioning caveats inherited.)"""
+    import dataclasses
+    from spectral_tpu.solvers.krylov import KSPConfig
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    cfg = StokesConfig(exact=0, boundary=4, cont0=1,
+                       outer_ksp=KSPConfig(type="fgmres", rtol=1e-4, max_it=80,
+                                           restart=80),
+                       newton=NewtonConfig(rtol=1e-4, max_it=5))
+    p = StokesProblem(Grid((10, 10)), cfg)
+    # outflow face (x index 0 side is c1=+1): velocity dofs present
+    assert bool(np.asarray(p.vel_mask).any())
+    types = p.types_np
+    from spectral_tpu.models.stokes_exact import BdyType
+    assert (types == BdyType.OUTFLOW).sum() > 0
+    res = p.solve()
+    assert np.isfinite(res.fnorm)
+    assert float(jnp.max(jnp.abs(res.x["v"]))) > 1e-3
