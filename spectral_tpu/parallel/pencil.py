@@ -58,3 +58,48 @@ def chebdiff_pencil(u: jax.Array, axis: int, mesh: Mesh, *,
                                   concat_axis=partner, tiled=True)
 
     return exchanged(u)
+
+
+def chebdiff_pencil2(u: jax.Array, axis: int, mesh: Mesh,
+                     axis_map: dict[int, str], *, method: str = "auto") -> jax.Array:
+    """Derivative on a grid sharded over a multi-axis process mesh.
+
+    ``axis_map`` maps grid axes to mesh axis names (the classic P x Q pencil
+    decomposition for 3-D grids).  A derivative along an unsharded grid axis
+    is communication-free; along a sharded one, a single all_to_all on *its*
+    mesh axis exchanges it with an unsharded partner axis — exactly one
+    transpose pair per derivative regardless of mesh rank.
+    """
+    ndim = u.ndim
+    spec = [None] * ndim
+    for gax, max_ in axis_map.items():
+        spec[gax] = max_
+    pspec = P(*spec)
+
+    if axis not in axis_map:
+        @partial(jax.shard_map, mesh=mesh, in_specs=pspec, out_specs=pspec)
+        def local(u_blk):
+            return chebdiff(u_blk, axis, method)
+
+        return local(u)
+
+    mesh_axis = axis_map[axis]
+    nshards = mesh.shape[mesh_axis]
+    partners = [a for a in range(ndim) if a not in axis_map]
+    if not partners:
+        raise ValueError("need at least one unsharded grid axis to exchange with")
+    partner = partners[0]
+    if u.shape[partner] % nshards:
+        raise ValueError(
+            f"partner axis {partner} extent {u.shape[partner]} not divisible "
+            f"by mesh axis {mesh_axis!r} size {nshards}")
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=pspec, out_specs=pspec)
+    def exchanged(u_blk):
+        t = jax.lax.all_to_all(u_blk, mesh_axis, split_axis=partner,
+                               concat_axis=axis, tiled=True)
+        t = chebdiff(t, axis, method)
+        return jax.lax.all_to_all(t, mesh_axis, split_axis=axis,
+                                  concat_axis=partner, tiled=True)
+
+    return exchanged(u)

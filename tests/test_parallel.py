@@ -130,3 +130,18 @@ def test_sharded_stokes_residual_matches_single_device():
     np.testing.assert_allclose(np.asarray(F["v"]), np.asarray(F_ref["v"]), atol=1e-11)
     np.testing.assert_allclose(np.asarray(F["p"]), np.asarray(F_ref["p"]), atol=1e-11)
     np.testing.assert_allclose(np.asarray(Jw["v"]), np.asarray(Jw_ref["v"]), atol=1e-10)
+
+
+def test_pencil2_two_axis_mesh():
+    """P x Q pencil decomposition: grid sharded over a ('x','y') = 2x4 mesh;
+    derivatives along every axis match the single-device result."""
+    from spectral_tpu.parallel.pencil import chebdiff_pencil2
+
+    mesh = make_mesh({"x": 2, "y": 4})
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.standard_normal((8, 12, 16)))
+    axis_map = {0: "x", 1: "y"}
+    for ax in range(3):
+        got = chebdiff_pencil2(u, ax, mesh, axis_map)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(chebdiff(u, ax)),
+                                   atol=1e-11, err_msg=f"axis {ax}")
