@@ -89,3 +89,30 @@ def test_stokes_powerlaw_fixture():
     results = p.solve_continuation()
     assert all(r.reason > 0 for r in results)
     assert max(results[-1].ksp_iters) <= 20, results[-1].ksp_iters
+
+
+@pytest.mark.slow
+def test_stokes_20cubed_linear_fixture():
+    """The reference README:43 headline config at full size:
+    -dim 20,20,20 -exact 2 -cont0 1 FGMRES + Schur block LU.
+    Recorded: 1 Newton step, 14 outer iterations, ~9 s on one CPU core."""
+    p = StokesProblem(Grid((20, 20, 20)), StokesConfig(exact=2, cont0=1))
+    res = p.solve()
+    assert res.reason > 0
+    assert res.iters == 1
+    assert res.ksp_iters[0] <= 18
+    assert p.error_vs_exact(res.x) < 1e-5
+
+
+@pytest.mark.slow
+def test_stokes_20cubed_powerlaw_fixture():
+    """The reference README:52 headline config at full size:
+    -exact 2 -cont 4 -rheology 1 -eps 1e-4 -exponent 3 -dim 20,20,20.
+    Recorded: every continuation step converges; hardest step <= 45 outer
+    iterations with the eta-aware MG velocity PC (~110 s on one CPU core)."""
+    cfg = StokesConfig(exact=2, rheology=1, cont=4, regularization=1e-4,
+                       exponent=3.0, pcvel="mg")
+    p = StokesProblem(Grid((20, 20, 20)), cfg)
+    results = p.solve_continuation()
+    assert all(r.reason > 0 for r in results)
+    assert max(results[-1].ksp_iters) <= 55
