@@ -37,7 +37,7 @@ def _device_bw_gbps() -> float:
     return 819.0
 
 
-def bench_cheb_matvec(n=64, batch=32, inner=32, reps=6, dtype=jnp.float32):
+def bench_cheb_matvec(n=64, batch=256, inner=8, reps=5, dtype=jnp.float32):
     """Throughput of chebdiff along the last axis of a (batch, n, n, n) field.
 
     ``inner`` applications chain inside one jitted scan (amortizing dispatch);

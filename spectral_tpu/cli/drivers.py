@@ -120,6 +120,9 @@ def elliptic_main(opts: Options) -> int:
     print(f"{'Norm of error':<25}: abs = {norm:8e}   rel = {rnorm:8e}")
     if debug >= 1:
         print(f"KSP iterations per Newton step: {res.ksp_iters}")
+    if opts.has("snes_monitor") or opts.has("rhistory"):
+        for i, fn in enumerate(res.fnorm_history):
+            print(f"{i:3d} SNES fnorm history {fn:.12e}")
     _print_unused(opts)
     return 0 if res.reason > 0 else 2
 
