@@ -61,3 +61,20 @@ def test_refine_solve_reaches_f64_accuracy():
     assert out.rnorm <= 1e-12 * float(jnp.linalg.norm(b))
     np.testing.assert_allclose(np.asarray(out.x), np.asarray(xstar), atol=1e-10)
     assert out.refine_steps <= 6
+
+
+def test_elliptic_defect_correction_newton():
+    """Nonlinear mixed precision: f32 Newton + f64 defect correction reaches
+    rtol 1e-10 with all device arithmetic in f32 (the TPU-practical route to
+    the reference's accuracy regime)."""
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.elliptic import EllipticModel
+
+    m = EllipticModel(Grid((20, 20)), gamma=1.0, exponent=2.0)
+    u64, b64, d64 = m.setup_problem_np(exact=0, cos_scale=1.0)
+    x, info = m.solve_refined(b64, d64, rtol=1e-10)
+    assert info["rel_residual"] <= 1e-10, info["refine_history"]
+    err = float(np.max(np.abs(x - u64)))
+    assert err < 1e-9
+    # the f32 stage did the heavy lifting; refinement needs only a few passes
+    assert len(info["refine_history"]) <= 8
