@@ -111,6 +111,25 @@ def bench_poisson64(rtol=1e-10):
     return dt, out.inner_iters, out.rnorm / bnorm, err
 
 
+def bench_elliptic32(rtol=1e-10):
+    """Nonlinear elliptic 32^3 (eta = 1 + u^2) to rtol 1e-10 by f32 Newton +
+    f64 defect correction — the reference's accuracy regime with all device
+    arithmetic in f32."""
+    import numpy as np
+
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.elliptic import EllipticModel
+
+    m = EllipticModel(Grid((32, 32, 32)), gamma=1.0, exponent=2.0)
+    u64, b64, d64 = m.setup_problem_np(exact=0, cos_scale=1.0)
+    t0 = time.perf_counter()
+    x, info = m.solve_refined(b64, d64, rtol=rtol)
+    dt = time.perf_counter() - t0
+    err = float(np.max(np.abs(x - u64)))
+    total_ksp = sum(info["newton32"].ksp_iters) + info["refine_inner_iters"]
+    return dt, info["newton32"].iters, total_ksp, info["rel_residual"], err
+
+
 def main():
     gdofs, dt = bench_cheb_matvec()
     bw = _device_bw_gbps()
@@ -128,6 +147,17 @@ def main():
         }
     except Exception as e:  # keep the primary metric robust
         extra = {"poisson64_error": str(e)[:200]}
+    try:
+        et, enewton, eksp, erel, eerr = bench_elliptic32()
+        extra.update({
+            "elliptic32_time_s": round(et, 3),
+            "elliptic32_newton_iters": enewton,
+            "elliptic32_krylov_iters": eksp,
+            "elliptic32_rel_residual": erel,
+            "elliptic32_max_err": eerr,
+        })
+    except Exception as e:
+        extra["elliptic32_error"] = str(e)[:200]
 
     out = {
         "metric": "cheb_matvec_gdofs",
