@@ -146,14 +146,19 @@ class StokesProblem:
         g, d = self.grid, self.d
         exact_fn = SE.EXACT_SOLUTIONS[self.config.exact]
         value, rhs = exact_fn(g.coords_np)
+        vel_mask_np = np.asarray(self.vel_mask)
+        p_mask_np = np.asarray(self.p_mask)
         rhs_v = np.where(np.asarray(self.nm_mask)[..., None],
                          np.asarray(self.bc_vel), rhs[..., :d])
-        self.exact_v = jnp.where(self.vel_mask, jnp.asarray(value[..., :d]), 0.0)
-        self.exact_p = jnp.where(self.p_mask, jnp.asarray(value[..., d]), 0.0)
-        self.force = {
-            "v": jnp.where(self.vel_mask, jnp.asarray(rhs_v), 0.0),
-            "p": jnp.where(self.p_mask, jnp.asarray(rhs[..., d]), 0.0),
-        }
+        # float64 host copies (for mixed-precision defect correction)
+        self.exact_v_np = np.where(vel_mask_np, value[..., :d], 0.0)
+        self.exact_p_np = np.where(p_mask_np, value[..., d], 0.0)
+        self.force_np = {"v": np.where(vel_mask_np, rhs_v, 0.0),
+                         "p": np.where(p_mask_np, rhs[..., d], 0.0)}
+        self.exact_v = jnp.asarray(self.exact_v_np)
+        self.exact_p = jnp.asarray(self.exact_p_np)
+        self.force = {"v": jnp.asarray(self.force_np["v"]),
+                      "p": jnp.asarray(self.force_np["p"])}
 
     # ------------------------------------------------------------------
     # Masked "scatters"
@@ -458,6 +463,137 @@ class StokesProblem:
                                       "regularization": p.regularization,
                                       "fnorm": res.fnorm, "reason": res.reason})
         return results
+
+    # ------------------------------------------------------------------
+    # Mixed precision: float64 host residual + defect-correction solve
+    # ------------------------------------------------------------------
+    def make_residual_np(self, params: PowerLawParams):
+        """Host float64 Stokes residual (numpy transforms), mirroring
+        make_residual; the high-precision side of solve_refined."""
+        from spectral_tpu.ops.chebyshev import chebdiff_np
+        from spectral_tpu.ops.extrapolation import _reduce_matrix_np
+
+        g, d, cfg = self.grid, self.d, self.config
+        vel_mask = np.asarray(self.vel_mask)
+        p_mask = np.asarray(self.p_mask)
+        dmask = np.asarray(self.dirichlet_mask)
+        nm = np.asarray(self.nm_mask)
+        mixed = np.asarray(self.mixed_mask)
+        normal = g.normal_np
+        onehot = np.asarray(self.in_onehot)
+        alpha = np.asarray(self.alpha)
+        bc_vel = np.asarray(self.bc_vel)
+        E = [_reduce_matrix_np(tuple(float(v) for v in g.nodes_1d[ax]))
+             for ax in range(d)]
+
+        def rheology_np(gamma):
+            if cfg.rheology in (0, "linear"):
+                return np.ones_like(gamma), np.zeros_like(gamma)
+            n = params.exponent
+            p = (1.0 - n) / (2.0 * n)
+            base = params.regularization + gamma / params.gamma0
+            eta = params.hardness * base**p
+            deta = (params.hardness * p / params.gamma0 * base ** (p - 1.0)
+                    if abs(n) > 1e-5 else np.zeros_like(gamma))
+            return eta, deta
+
+        def reduce_order(p):
+            for ax in reversed(range(d)):
+                p = np.moveaxis(np.moveaxis(p, ax, -1) @ E[ax].T, -1, ax)
+            return p
+
+        def recover(v):
+            if self.num_mixed == 0:
+                return v
+            v_excl = v * (1.0 - onehot)
+            num = np.sum(v_excl * normal, axis=-1, keepdims=True)
+            n_in = np.sum(normal * onehot, axis=-1, keepdims=True)
+            vin = -num / np.where(np.abs(n_in) > 1e-14, n_in, 1.0)
+            return np.where(mixed[..., None], v_excl + onehot * vin, v)
+
+        def residual(x):
+            vL = recover(np.where(vel_mask, x["v"], 0.0))
+            vL = np.where(dmask[..., None], bc_vel, vL)
+            G = np.stack([chebdiff_np(vL, j) for j in range(d)], axis=-2)
+            S = 0.5 * (G + np.swapaxes(G, -1, -2))
+            gamma = 0.5 * np.sum(S * S, axis=(-1, -2))
+            eta, deta = rheology_np(gamma)
+            flux = eta[..., None, None] * S
+            yv = np.zeros_like(vL)
+            for j in range(d):
+                yv -= chebdiff_np(flux[..., j, :], j)
+            if self.num_mixed:
+                traction = np.einsum("...jk,...k->...j", flux, normal)
+                rows = cfg.scaleM * (cfg.scaleN * traction
+                                     + alpha[..., None] * vL)
+                yv = np.where(nm[..., None], rows, yv)
+            pL = reduce_order(np.where(p_mask, x["p"], 0.0))
+            gp = np.stack([chebdiff_np(pL, i) for i in range(d)], axis=-1)
+            gp = np.where(nm[..., None], 0.0, gp)
+            Fv = np.where(vel_mask, yv + gp, 0.0) - self.force_np["v"]
+            div = np.zeros(g.dims)
+            for i in range(d):
+                div += chebdiff_np(vL[..., i], i)
+            Fp = np.where(p_mask, div, 0.0) - self.force_np["p"]
+            return {"v": Fv, "p": Fp}
+
+        return residual
+
+    def solve_refined(self, *, rtol: float = 1e-10, max_refine: int = 10,
+                      monitor: bool = False):
+        """Defect-correction Stokes solve: f32 continuation/Newton, then
+        float64-residual steps with f32 saddle-point-preconditioned linear
+        solves — the reference's rtol 1e-10 regime with all device
+        arithmetic in f32.  Returns (x_np_f64_pytree, info)."""
+        cfg = self.config
+        params = self.params_at(cfg.cont)
+        results = self.solve_continuation(monitor=monitor)
+        x = {"v": np.asarray(results[-1].x["v"], np.float64),
+             "p": np.asarray(results[-1].x["p"], np.float64)}
+
+        residual_hi = self.make_residual_np(params)
+        residual_lo = self.make_residual(params)
+        pc_setup, pc_apply = self.make_pc()
+        f32 = lambda t: jax.tree_util.tree_map(
+            lambda a: jnp.asarray(np.asarray(a), jnp.float32), t)
+
+        @jax.jit
+        def lin_solve(x32, r32):
+            F, lin_state = residual_lo(x32)
+            pc_state = pc_setup(x32, lin_state)
+            out = cfg.outer_ksp.solve(
+                lambda w: self.jacobian_action(x32, lin_state, w), r32,
+                M=lambda r: pc_apply(pc_state, r),
+                null_project=self.null_project)
+            return out.x, out.iters
+
+        p_mask = np.asarray(self.p_mask)
+        count = float(self.grid.num_interior)
+
+        def project_np(t):
+            p = np.where(p_mask, t["p"], 0.0)
+            return {"v": t["v"], "p": p - np.where(p_mask, p.sum() / count, 0.0)}
+
+        bnorm = max(float(np.sqrt(sum(np.vdot(v, v).real
+                                      for v in self.force_np.values()))), 1e-300)
+        hist = []
+        inner = 0
+        for _ in range(max_refine):
+            r = project_np(residual_hi(x))
+            rnorm = float(np.sqrt(sum(np.vdot(v, v).real for v in r.values())))
+            hist.append(rnorm)
+            if rnorm <= rtol * bnorm:
+                break
+            dx, its = lin_solve(f32(x), f32(r))
+            inner += int(its)
+            x = {"v": x["v"] - np.asarray(dx["v"], np.float64),
+                 "p": x["p"] - np.asarray(dx["p"], np.float64)}
+        else:
+            hist.append(float(np.sqrt(sum(
+                np.vdot(v, v).real for v in project_np(residual_hi(x)).values()))))
+        info = {"continuation": results, "refine_history": hist,
+                "refine_inner_iters": inner, "rel_residual": hist[-1] / bnorm}
+        return x, info
 
     def error_vs_exact(self, x) -> float:
         """Max-norm error with the constant-pressure mode removed

@@ -192,3 +192,16 @@ def test_outflow_boundary4():
     res = p.solve()
     assert np.isfinite(res.fnorm)
     assert float(jnp.max(jnp.abs(res.x["v"]))) > 1e-3
+
+
+def test_stokes_defect_correction():
+    """Mixed-precision flagship: f32 Newton/continuation + f64 defect
+    correction reaches rtol 1e-10 (with the constant-pressure mode
+    projected), all device arithmetic f32-compatible."""
+    p = StokesProblem(Grid((10, 10)), StokesConfig(exact=2, cont0=1))
+    x, info = p.solve_refined(rtol=1e-10)
+    assert info["rel_residual"] <= 1e-10, info["refine_history"]
+    assert len(info["refine_history"]) <= 6
+    # f64 residual of the f64 state is genuinely small
+    r = p.make_residual_np(p.params_at(1))(x)
+    assert np.isfinite(r["v"]).all()
