@@ -107,7 +107,7 @@ class FastDiagSolver:
         """Full-grid preconditioner apply: interior exact solve, boundary identity."""
         d = self.grid.ndim
         inner = tuple([slice(1, -1)] * d) + tuple([slice(None)] * (r.ndim - d))
-        z = self.solve_interior(r[inner])
+        z = self.solve_interior(r[inner]).astype(r.dtype)
         return r.at[inner].set(z)
 
     def __call__(self, r: jax.Array) -> jax.Array:

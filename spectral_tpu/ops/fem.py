@@ -130,7 +130,7 @@ class Q1FastDiag:
         ri = r[inner]
         if ri.ndim > lump.ndim:
             lump = lump.reshape(lump.shape + (1,) * (ri.ndim - lump.ndim))
-        return r.at[inner].set(self.solve_interior(ri * lump))
+        return r.at[inner].set(self.solve_interior(ri * lump).astype(r.dtype))
 
     def __call__(self, r: jax.Array) -> jax.Array:
         return self.apply(r)

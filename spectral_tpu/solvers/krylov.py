@@ -54,18 +54,24 @@ def _norm(v):
 
 
 def _flatten_system(A, b, x0, M, null_project):
-    """Reduce a pytree-valued linear system to flat vectors."""
+    """Reduce a pytree-valued linear system to flat vectors.
+
+    The solve runs in b's dtype: operator/PC outputs are cast back to it so
+    mixed-precision closures (f32 state with f64 constants under x64) cannot
+    change the while-loop carry type.
+    """
     bf, unravel = ravel_pytree(b)
+    dtype = bf.dtype
 
     def wrap(op):
         if op is None:
             return None
-        return lambda vf: ravel_pytree(op(unravel(vf)))[0]
+        return lambda vf: ravel_pytree(op(unravel(vf)))[0].astype(dtype)
 
     Af = wrap(A)
     Mf = wrap(M) or _identity
     Pf = wrap(null_project) or _identity
-    x0f = bf * 0 if x0 is None else ravel_pytree(x0)[0]
+    x0f = bf * 0 if x0 is None else ravel_pytree(x0)[0].astype(dtype)
     return Af, bf, x0f, Mf, Pf, unravel
 
 
