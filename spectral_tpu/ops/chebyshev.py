@@ -31,7 +31,6 @@ Both paths compute *exactly the same operator*; tests assert agreement.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

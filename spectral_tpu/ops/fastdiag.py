@@ -20,7 +20,6 @@ surrogate.  This is the default strong PC for separable problems; multigrid
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -7,8 +7,9 @@ AIJ matrix; here the hierarchy is *geometric*: every level is itself a CGL
 tensor grid, transfers are 1-D interpolation matrices in theta = acos(x)
 (uniform in theta, so linear interpolation is well conditioned), coarse
 operators are **rediscretized** from restricted coefficient fields, and the
-smoother is damped Jacobi — every ingredient a batched matmul or fused
-elementwise pass, nothing sequential.
+smoother is Chebyshev-accelerated Jacobi (eigenvalue bounds from power
+iteration) — every ingredient a batched matmul or fused elementwise pass,
+nothing sequential.
 
 Works on full-grid vectors with identity Dirichlet rows and zero boundary
 values (the framework's global-vector convention); trailing component axes
@@ -19,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ cut HBM traffic by combining several axis contractions per round trip:
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

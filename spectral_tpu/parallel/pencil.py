@@ -13,7 +13,6 @@ from __future__ import annotations
 from functools import partial
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from spectral_tpu.ops.chebyshev import chebdiff

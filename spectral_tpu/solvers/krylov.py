@@ -30,7 +30,6 @@ Design notes (TPU):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax

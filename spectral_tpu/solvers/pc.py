@@ -20,7 +20,7 @@ protocol so solvers stay decoupled from problem structure.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 Preconditioner = Callable[[Any], Any]  # r -> z
 PCSetup = Callable[..., Preconditioner]
