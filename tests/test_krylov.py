@@ -180,3 +180,14 @@ def test_bicgstab():
     # short recurrences: strictly fewer stored vectors than GMRES; just check
     # it actually iterated
     assert 0 < int(res.iters) < 400
+
+
+def test_exact_convergence_in_one_iteration():
+    """Happy-breakdown handling: A = I converges immediately and the basis
+    bookkeeping stays finite."""
+    A = lambda x: x
+    b = jnp.asarray(np.linspace(1.0, 2.0, 9))
+    res = gmres(A, b, rtol=1e-12, restart=5, max_it=50)
+    assert int(res.reason) > 0
+    assert int(res.iters) == 1
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(b), atol=1e-14)

@@ -98,3 +98,25 @@ def test_elliptic_stencil_reduces_to_poisson():
     inner = interior & np.roll(interior, 1, 0)
     np.testing.assert_allclose(np.asarray(Se.lower[0])[inner],
                                2 * np.asarray(Sp.lower[0])[inner], rtol=1e-12)
+
+
+def test_mask_roundtrips():
+    """TEST_SCATTER analog (elliptic.C:436-456): the masked insert/extract
+    operations compose like the reference's scatters."""
+    import numpy as np
+
+    g = Grid((7, 6))
+    rng = np.random.default_rng(3)
+    vG = jnp.asarray(np.where(g.boundary_mask_np, 0.0, rng.standard_normal(g.dims)))
+    vD = jnp.asarray(np.where(g.boundary_mask_np, rng.standard_normal(g.dims), 0.0))
+    # local = global + dirichlet inserted (scatterGL then scatterDL)
+    vL = g.set_boundary(vG, vD)
+    np.testing.assert_array_equal(np.asarray(vL)[1:-1, 1:-1], np.asarray(vG)[1:-1, 1:-1])
+    np.testing.assert_array_equal(np.asarray(vL)[0, :], np.asarray(vD)[0, :])
+    # back to global (scatterLG): boundary zeroed, interior preserved
+    back = g.zero_boundary(vL)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(vG))
+    # component-axis broadcast variant
+    v3 = jnp.stack([vL, 2 * vL], axis=-1)
+    z3 = g.zero_boundary(v3)
+    assert float(jnp.abs(z3[0]).max()) == 0.0
