@@ -205,3 +205,27 @@ def test_stokes_defect_correction():
     # f64 residual of the f64 state is genuinely small
     r = p.make_residual_np(p.params_at(1))(x)
     assert np.isfinite(r["v"]).all()
+
+
+def test_solution_is_discretely_divergence_free():
+    """Physics check: the converged Stokes velocity satisfies the discrete
+    continuity equation (F_p row) to solver tolerance."""
+    p = StokesProblem(Grid((12, 12)), StokesConfig(exact=2, cont0=1))
+    res = p.solve()
+    assert res.reason > 0
+    div = p.divergence(res.x["v"], with_dirichlet=True) - p.force["p"]
+    assert float(jnp.max(jnp.abs(div))) < 1e-8
+
+
+def test_lid_driven_cavity_vortex():
+    """Qualitative physics: boundary-3 channel/lid flow develops interior
+    circulation (nonzero vorticity of both signs)."""
+    from spectral_tpu.ops.chebyshev import chebdiff
+
+    p = StokesProblem(Grid((14, 14)), StokesConfig(exact=0, boundary=3, cont0=1))
+    res = p.solve()
+    assert res.reason > 0
+    vL = p.local_velocity(res.x["v"], with_dirichlet=True)
+    vort = chebdiff(vL[..., 1], 0) - chebdiff(vL[..., 0], 1)
+    interior = np.asarray(vort)[2:-2, 2:-2]
+    assert interior.max() > 1e-3 and interior.min() < -1e-3
