@@ -335,6 +335,35 @@ class StokesProblem:
             fd = Q1FastDiag.build(self.grid)
             return (lambda lin_state: None,
                     lambda vstate, r: self.mask_v(fd.apply(r)))
+        if self.config.pcvel == "probed":
+            # -pcvel 2 analog (StokesPCSetUp2, stokes.C:1459-1512): subsample
+            # the spectral VV matvec onto a stencil pattern by colored probing
+            # (component-diagonal here), then smooth with it.  The reference
+            # documents this as a poor preconditioner (README:60-61); kept
+            # for parity and validation.
+            from spectral_tpu.models.stokes_pc import colored_probe_stencil
+
+            def setup(lin_state):
+                stencils = []
+                for c in range(self.d):
+                    def mv(x, c=c):
+                        w = jnp.zeros(self.grid.dims + (self.d,),
+                                      x.dtype).at[..., c].set(x)
+                        return self.vv_action(lin_state, w)[..., c]
+                    stencils.append(colored_probe_stencil(mv, self.grid))
+                return stencils
+
+            def apply(stencils, r):
+                z = jnp.zeros_like(r)
+                for c in range(self.d):
+                    S = stencils[c]
+                    zc = jnp.zeros_like(r[..., c])
+                    for _ in range(4):  # damped Jacobi on the probed stencil
+                        zc = zc + 0.7 * (r[..., c] - S.apply(zc)) / S.diag()
+                    z = z.at[..., c].set(zc)
+                return self.mask_v(z)
+
+            return setup, apply
         raise ValueError(f"unknown pcvel {self.config.pcvel!r}")
 
     def make_pc(self):

@@ -229,3 +229,17 @@ def test_lid_driven_cavity_vortex():
     vort = chebdiff(vL[..., 1], 0) - chebdiff(vL[..., 0], 1)
     interior = np.asarray(vort)[2:-2, 2:-2]
     assert interior.max() > 1e-3 and interior.min() < -1e-3
+
+
+def test_probed_pcvel():
+    """-pcvel 2 analog: colored probing of the spectral VV matvec as the
+    velocity PC matrix (stokes.C:1459-1512)."""
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    cfg = StokesConfig(exact=2, cont0=1, pcvel="probed",
+                       outer_ksp=KSPConfig(type="fgmres", rtol=1e-8,
+                                           max_it=300, restart=100))
+    p = StokesProblem(Grid((10, 10)), cfg)
+    res = p.solve()
+    assert res.reason > 0
+    assert p.error_vs_exact(res.x) < 1e-5
