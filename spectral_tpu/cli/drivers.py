@@ -123,6 +123,9 @@ def elliptic_main(opts: Options) -> int:
     if opts.has("snes_monitor") or opts.has("rhistory"):
         for i, fn in enumerate(res.fnorm_history):
             print(f"{i:3d} SNES fnorm history {fn:.12e}")
+    if opts.has("ksp_monitor"):
+        for i, rn in enumerate(res.ksp_history_last):
+            print(f"{i:5d} KSP Residual norm {rn:.12e}")
     _print_unused(opts)
     return 0 if res.reason > 0 else 2
 
@@ -196,6 +199,9 @@ def stokes_main(opts: Options) -> int:
     print(f"Reason for solver termination: {res.reason_str()}")
     print(f"{'Norm of error':<25}: abs = {err:8e}")
 
+    if opts.has("ksp_monitor"):
+        for i, rn in enumerate(res.ksp_history_last):
+            print(f"{i:5d} KSP Residual norm {rn:.12e}")
     if opts.has("output_vtk"):
         from spectral_tpu.utils.vtk import write_stokes_vtk
         write_stokes_vtk(p, res.x, "stokes.vtk")

@@ -238,14 +238,22 @@ class StokesProblem:
     # ------------------------------------------------------------------
     # Residual and Jacobian blocks
     # ------------------------------------------------------------------
-    def make_residual(self, params: PowerLawParams):
-        """StokesFunction (stokes.C:679-758) as x -> (F, lin_state)."""
+    def make_residual(self, params: PowerLawParams, monitor_eta: bool = False):
+        """StokesFunction (stokes.C:679-758) as x -> (F, lin_state).
+
+        monitor_eta prints the viscosity extremes at every residual
+        evaluation like the reference (stokes.C:730-735) via jax.debug.print.
+        """
 
         def residual(xG):
             vL = self.local_velocity(xG["v"], with_dirichlet=True)
             S = self._strain(vL)
             gamma = 0.5 * jnp.sum(S * S, axis=(-1, -2))
             eta, deta = self.rheology(gamma, params)
+            if monitor_eta:
+                jax.debug.print(
+                    "Minimum eta = {mn:.3e}   Maximum eta = {mx:.3e}",
+                    mn=jnp.min(eta), mx=jnp.max(eta))
             flux = eta[..., None, None] * S
             yv = -self._tensor_divergence(flux)
             yv = self._mixed_rows(yv, flux, vL)
@@ -447,7 +455,7 @@ class StokesProblem:
         """One SNES solve at fixed rheology parameters."""
         cfg = self.config
         params = params or self.params_at(cfg.cont)
-        residual = self.make_residual(params)
+        residual = self.make_residual(params, monitor_eta=monitor)
         pc_setup, pc_apply = self.make_pc()
         x0 = x0 if x0 is not None else self.zero_state()
         newton = dataclasses.replace(cfg.newton, monitor=monitor)

@@ -50,6 +50,7 @@ class NewtonResult:
     fnorm_history: list[float]
     ksp_iters: list[int]
     lin_state: Any = None
+    ksp_history_last: list[float] = dataclasses.field(default_factory=list)
 
     def reason_str(self) -> str:
         return ConvergedReason.describe(self.reason)
@@ -144,7 +145,7 @@ def newton_solve(
             ok = jnp.isfinite(fnn)
         else:
             xn, Fn, lstn, fnn, ok = _line_search_bt(residual_fn, x, dx, fnorm, config)
-        return xn, Fn, lstn, fnn, ok, dxnorm, lres.iters
+        return xn, Fn, lstn, fnn, ok, dxnorm, lres.iters, lres.history
 
     x = x0
     F, lin_state = residual_jit(x)
@@ -152,6 +153,7 @@ def newton_solve(
     fnorm0 = max(float(fnorm), 1e-300)
     hist = [float(fnorm)]
     ksp_iters: list[int] = []
+    ksp_history_last: list[float] = []
     reason = int(ConvergedReason.ITERATING)
     newton_its = 0
 
@@ -174,8 +176,9 @@ def newton_solve(
             reason = int(ConvergedReason.DIVERGED_ITS)
             break
 
-        x, F, lin_state, fnorm, ok, dxnorm, kits = newton_step(x, F, lin_state, fnorm)
+        x, F, lin_state, fnorm, ok, dxnorm, kits, khist = newton_step(x, F, lin_state, fnorm)
         ksp_iters.append(int(kits))
+        ksp_history_last = [float(v) for v in np.asarray(khist) if v >= 0.0]
         hist.append(float(fnorm))
         if config.line_search != "basic" and not bool(ok):
             newton_its = it + 1
@@ -189,4 +192,4 @@ def newton_solve(
 
     return NewtonResult(x=x, iters=newton_its, reason=reason, fnorm=float(fnorm),
                         fnorm_history=hist, ksp_iters=ksp_iters,
-                        lin_state=lin_state)
+                        lin_state=lin_state, ksp_history_last=ksp_history_last)
