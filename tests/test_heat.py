@@ -1,0 +1,64 @@
+"""Time-dependent diffusion tests (capability extension beyond the
+reference).  Analytic oracle: u = exp(-d (pi/2)^2 t) prod cos(pi x_j / 2)
+solves u_t = Laplace(u) with homogeneous Dirichlet data."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectral_tpu.grid import Grid
+from spectral_tpu.models.heat import HeatModel
+
+
+def _setup(n=16, d=2):
+    g = Grid((n,) * d)
+    u0 = jnp.prod(jnp.cos(0.5 * jnp.pi * g.coords), axis=-1)
+    lam = d * (0.5 * np.pi) ** 2
+    return g, g.zero_boundary(u0), lam
+
+
+def test_decay_matches_analytic():
+    g, u0, lam = _setup()
+    dt = 0.01
+    m = HeatModel(g, dt=dt, theta=0.5)
+    z = jnp.zeros(g.dims)
+    u = jax.jit(lambda u: m.rollout(u, z, z, 20))(u0)
+    expected = np.asarray(u0) * np.exp(-lam * 0.2)
+    np.testing.assert_allclose(np.asarray(u), expected, atol=2e-4)  # O(dt^2)
+
+
+def test_crank_nicolson_second_order():
+    g, u0, lam = _setup(n=14)
+    z = jnp.zeros(g.dims)
+    T = 0.2
+    errs = []
+    for nsteps in (10, 20, 40):
+        m = HeatModel(g, dt=T / nsteps, theta=0.5)
+        u = m.rollout(u0, z, z, nsteps)
+        exact = np.asarray(u0) * np.exp(-lam * T)
+        errs.append(np.abs(np.asarray(u) - exact).max())
+    # CN is O(dt^2): halving dt cuts the error ~4x
+    assert errs[0] / errs[1] > 3.0
+    assert errs[1] / errs[2] > 3.0
+
+
+def test_backward_euler_stable_large_dt():
+    g, u0, lam = _setup(n=12)
+    z = jnp.zeros(g.dims)
+    m = HeatModel(g, dt=1.0, theta=1.0)  # very stiff step
+    u = m.rollout(u0, z, z, 5)
+    assert np.isfinite(np.asarray(u)).all()
+    assert float(jnp.max(jnp.abs(u))) < float(jnp.max(jnp.abs(u0)))
+
+
+def test_steady_state_with_forcing():
+    """With forcing f = -Lap(u_inf), the rollout converges to u_inf."""
+    g = Grid((12, 12))
+    x = g.coords
+    u_inf = g.zero_boundary(jnp.prod(1.0 - x**2, axis=-1))
+    f = -(g.zero_boundary(HeatModel(g, dt=1.0).laplacian(u_inf)))
+    m = HeatModel(g, dt=0.5, theta=1.0)
+    z = jnp.zeros(g.dims)
+    u = m.rollout(z, f, z, 40)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_inf), atol=1e-6)
