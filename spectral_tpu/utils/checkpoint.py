@@ -51,3 +51,23 @@ def load_meta(directory: str, step: int) -> dict:
     path = os.path.join(directory, f"step_{step:04d}.npz.json")
     with open(path) as f:
         return json.load(f).get("meta", {})
+
+
+# -- optional orbax backend (multi-host friendly) ---------------------------
+
+def save_state_orbax(directory: str, step: int, x: Any) -> str:
+    """Orbax-backed save (sharded/multi-host capable); optional dependency."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(directory, f"orbax_{step:04d}"))
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, x, force=True)
+    return path
+
+
+def load_state_orbax(directory: str, step: int, like: Any = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(directory, f"orbax_{step:04d}"))
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(path, item=like)

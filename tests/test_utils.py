@@ -42,3 +42,15 @@ def test_phase_timer():
     s = t.summary()
     assert "a" in s and "b" in s
     assert t.counts["a"] == 2
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    pytest = __import__("pytest")
+    try:
+        import orbax.checkpoint  # noqa: F401
+    except ImportError:
+        pytest.skip("orbax not installed")
+    x = {"v": jnp.arange(4.0), "p": jnp.ones((2, 2))}
+    ckpt.save_state_orbax(str(tmp_path), 3, x)
+    y = ckpt.load_state_orbax(str(tmp_path), 3, like=x)
+    np.testing.assert_allclose(np.asarray(y["v"]), np.asarray(x["v"]))
