@@ -44,3 +44,11 @@ def test_fused_laplacian_boundary_mask():
     u = jnp.asarray(rng.standard_normal(g.dims))
     got = laplacian3d_pallas(u, bmask=g.boundary_mask, interpret=True)
     np.testing.assert_allclose(np.asarray(got)[0], np.asarray(u)[0])
+
+
+def test_folded_scale():
+    rng = np.random.default_rng(4)
+    u = jnp.asarray(rng.standard_normal((5, 12)))
+    got = chebdiff_last_pallas(u, block_rows=8, interpret=True, scale=0.25)
+    ref = 0.25 * chebdiff(u, 1, "matmul")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-10)
