@@ -25,4 +25,26 @@ from spectral_tpu.ops.chebyshev import cgl_nodes, chebdiff, diffmat
 
 __version__ = "0.1.0"
 
-__all__ = ["cgl_nodes", "chebdiff", "diffmat", "__version__"]
+__all__ = ["cgl_nodes", "chebdiff", "diffmat", "Grid", "PoissonModel",
+           "EllipticModel", "StokesProblem", "StokesConfig", "HeatModel",
+           "KSPConfig", "NewtonConfig", "__version__"]
+
+_LAZY = {
+    "Grid": ("spectral_tpu.grid", "Grid"),
+    "PoissonModel": ("spectral_tpu.models.poisson", "PoissonModel"),
+    "EllipticModel": ("spectral_tpu.models.elliptic", "EllipticModel"),
+    "StokesProblem": ("spectral_tpu.models.stokes", "StokesProblem"),
+    "StokesConfig": ("spectral_tpu.models.stokes", "StokesConfig"),
+    "HeatModel": ("spectral_tpu.models.heat", "HeatModel"),
+    "KSPConfig": ("spectral_tpu.solvers.krylov", "KSPConfig"),
+    "NewtonConfig": ("spectral_tpu.solvers.newton", "NewtonConfig"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'spectral_tpu' has no attribute {name!r}")
