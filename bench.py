@@ -57,7 +57,10 @@ def bench_cheb_matvec(n=64, batch=256, inner=8, reps=5, dtype=jnp.float32):
                                     precision=jax.lax.Precision.HIGHEST,
                                     preferred_element_type=dtype)
             return y, ()
-        return jax.lax.scan(step, u, None, length=inner)[0]
+        out = jax.lax.scan(step, u, None, length=inner)[0]
+        # scalar checksum: forces materialization (the tunneled runtime's
+        # block_until_ready can return early on some graph shapes)
+        return jnp.sum(out)
 
     many(u).block_until_ready()  # compile
     best = float("inf")
@@ -81,14 +84,15 @@ def measure_stream_bw(mb=128, inner=16, reps=5, dtype=jnp.float32):
     def many(z):
         def step(z, _):
             return z * 0.999 + x, ()
-        return jax.lax.scan(step, z, None, length=inner)[0]
+        out = jax.lax.scan(step, z, None, length=inner)[0]
+        return out, jnp.sum(out)  # checksum forces materialization
 
-    z = many(jnp.zeros((n,), dtype))
-    z.block_until_ready()
+    z, _ = many(jnp.zeros((n,), dtype))
+    jax.block_until_ready(z)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        many(z).block_until_ready()
+        jax.block_until_ready(many(z))
         best = min(best, (time.perf_counter() - t0) / inner)
     return 3.0 * 4.0 * n / best / 1e9
 

@@ -37,9 +37,8 @@ def chebdiff_last_pallas(u: jax.Array, block_rows: int = 1024,
     """Derivative along the last axis via a Pallas streaming kernel.
 
     ``scale`` (optional) is folded into the resident matrix — a scaled
-    derivative costs zero extra HBM traffic (the kernel sustains ~85% of
-    achievable stream bandwidth; a separate elementwise pass would double
-    the traffic)."""
+    derivative costs zero extra HBM traffic (a separate elementwise pass
+    would double it)."""
     n = u.shape[-1]
     dtype = u.dtype
     DTnp = diffmat_np(n).T
@@ -58,6 +57,12 @@ def chebdiff_last_pallas(u: jax.Array, block_rows: int = 1024,
     def kernel(u_ref, dt_ref, o_ref):
         o_ref[:] = _dot(u_ref[:], dt_ref[:], dtype)
 
+    kwargs = {}
+    if not interpret:
+        # the (blk, n) block occupies blk * max(n, 128) lanes in VMEM; leave
+        # explicit headroom for the pipeline's double buffers
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 2**20)
     out = pl.pallas_call(
         kernel,
         grid=(Mp // blk,),
@@ -68,6 +73,7 @@ def chebdiff_last_pallas(u: jax.Array, block_rows: int = 1024,
         out_specs=pl.BlockSpec((blk, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, n), dtype),
         interpret=interpret,
+        **kwargs,
     )(um, DT)
     return out[:M].reshape(*lead, n)
 
