@@ -210,3 +210,34 @@ def stokes_main(opts: Options) -> int:
         print(timer.summary())
     _print_unused(opts)
     return 0 if res.reason > 0 else 2
+
+
+def heat_main(opts: Options) -> int:
+    """Time-dependent diffusion driver (capability extension; models/heat.py).
+
+    spectral-tpu heat -dim 16,16 -dt 0.01 -nsteps 20 [-theta 0.5]
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.heat import HeatModel
+
+    dims = opts.get_int_array("dim", (16, 16))
+    dt = opts.get_real("dt", 0.01)
+    nsteps = opts.get_int("nsteps", 20)
+    theta = opts.get_real("theta", 0.5)
+    g = Grid(dims)
+    m = HeatModel(g, dt=dt, theta=theta)
+    u0 = g.zero_boundary(jnp.prod(jnp.cos(0.5 * jnp.pi * g.coords), axis=-1))
+    z = jnp.zeros(g.dims)
+    u = jax.jit(lambda v: m.rollout(v, z, z, nsteps))(u0)
+    lam = g.ndim * (0.5 * np.pi) ** 2
+    exact = np.asarray(u0) * np.exp(-lam * dt * nsteps)
+    err = float(np.max(np.abs(np.asarray(u) - exact)))
+    print(f"Heat problem  dims = [{','.join(map(str, dims))}]  dt = {dt}"
+          f"  theta = {theta}  steps = {nsteps}")
+    print(f"Norm of error vs analytic decay {err:e}")
+    _print_unused(opts)
+    return 0 if err < 1.0 else 2

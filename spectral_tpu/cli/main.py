@@ -55,7 +55,10 @@ def main(argv: list[str] | None = None) -> int:
     if cmd == "cheb":
         from spectral_tpu.cli.drivers import cheb_main
         return cheb_main(opts)
-    print(f"unknown driver {cmd!r}; one of: elliptic stokes poisson cheb")
+    if cmd == "heat":
+        from spectral_tpu.cli.drivers import heat_main
+        return heat_main(opts)
+    print(f"unknown driver {cmd!r}; one of: elliptic stokes poisson cheb heat")
     return 1
 
 

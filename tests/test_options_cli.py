@@ -70,3 +70,23 @@ def test_vec_print2(capsys):
     vec_print2(np.arange(6.0).reshape(3, 2), 3, 2, "field")
     out = capsys.readouterr().out
     assert "field" in out and out.count("\n") == 2
+
+
+def test_stokes_cli_end_to_end(capsys):
+    from spectral_tpu.cli.drivers import stokes_main
+
+    rc = stokes_main(Options("-exact 2 -cont0 1 -dim 8,8 -ksp_rtol 1e-8".split()))
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "DOF distribution" in out
+    assert "Reason for solver termination: CONVERGED" in out
+
+
+def test_heat_cli(capsys):
+    from spectral_tpu.cli.drivers import heat_main
+
+    rc = heat_main(Options("-dim 12,12 -dt 0.02 -nsteps 5".split()))
+    out = capsys.readouterr().out
+    assert rc == 0
+    err = float(out.split("decay")[1].split()[0])
+    assert err < 1e-3
