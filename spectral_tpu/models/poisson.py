@@ -31,10 +31,19 @@ from spectral_tpu.solvers.types import SolveResult
 
 @dataclasses.dataclass(frozen=True)
 class PoissonModel:
-    """-Laplace(u) = f on [-1,1]^d with Dirichlet boundary (identity rows)."""
+    """-Laplace(u) = f on [-1,1]^d with Dirichlet boundary (identity rows).
+
+    With ``mesh`` set, the operator runs the explicit pencil-decomposed SPMD
+    path (parallel.pencil): derivatives along the sharded leading axis
+    all_to_all-exchange over the mesh, other axes are communication-free.
+    Without it, GSPMD handles sharded inputs automatically.
+    """
 
     grid: Grid
     method: str = "auto"  # chebdiff execution path
+    mesh: object = None   # jax.sharding.Mesh for the explicit pencil path
+    sharded_axis: int = 0
+    mesh_axis: str = "x"
 
     def operator(self, u: jax.Array) -> jax.Array:
         """y = -sum_j D_j(D_j u); boundary rows y_b = u_b (poisson.c:215-245).
@@ -43,6 +52,16 @@ class PoissonModel:
         kernel (ops.pallas_cheb.laplacian3d_pallas): one HBM round trip
         instead of 12.
         """
+        if self.mesh is not None:
+            from spectral_tpu.parallel.pencil import chebdiff_pencil
+
+            dif = lambda v, ax: chebdiff_pencil(
+                v, ax, self.mesh, sharded_axis=self.sharded_axis,
+                mesh_axis=self.mesh_axis, method="matmul")
+            y = jnp.zeros_like(u)
+            for ax in range(self.grid.ndim):
+                y = y - dif(dif(u, ax), ax)
+            return jnp.where(self.grid.boundary_mask, u, y)
         if self.method == "pallas" and self.grid.ndim == 3:
             from spectral_tpu.ops.pallas_cheb import laplacian3d_pallas
             return laplacian3d_pallas(u, bmask=self.grid.boundary_mask)

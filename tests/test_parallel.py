@@ -145,3 +145,25 @@ def test_pencil2_two_axis_mesh():
         got = chebdiff_pencil2(u, ax, mesh, axis_map)
         np.testing.assert_allclose(np.asarray(got), np.asarray(chebdiff(u, ax)),
                                    atol=1e-11, err_msg=f"axis {ax}")
+
+
+def test_explicit_pencil_poisson_solve():
+    """PoissonModel(mesh=...) uses the explicit pencil-SPMD operator inside
+    the global Krylov solve; results match the single-device model."""
+    from spectral_tpu.models.poisson import PoissonModel
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    mesh = _mesh4()
+    m_ref = PoissonModel(Grid((16, 16)))
+    m_sh = PoissonModel(Grid((16, 16)), mesh=mesh)
+    u, f = m_ref.exact_solution()
+    b = m_ref.rhs(u, f)
+    sh = grid_sharding(mesh, 2, {0: "x"})
+    b_sharded = jax.device_put(b, sh)
+    ksp = KSPConfig(type="gmres", rtol=1e-10, max_it=100)
+    M = m_ref.build_pc("fastdiag")
+    with mesh:
+        res = jax.jit(lambda bb: ksp.solve(m_sh.operator, bb, M=M))(b_sharded)
+    res_ref = m_ref.solve(b, ksp=ksp)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_ref.x), atol=1e-9)
+    assert int(res.iters) == int(res_ref.iters)
