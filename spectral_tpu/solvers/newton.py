@@ -73,29 +73,35 @@ class NewtonConfig:
 def _line_search_bt(residual_fn, x, dx, fnorm0, cfg: NewtonConfig):
     """Backtracking line search on ||F|| with sufficient decrease.
 
-    Tries lambda = 1, 1/2, 1/4, ... (static trip count, jit-friendly) and
-    keeps the first accepted step.  Returns (x, F, lin_state, fnorm, ok).
-    """
+    Tries lambda = 1, 1/2, 1/4, ...; a ``lax.while_loop`` stops at the first
+    accepted step, so the common case (full Newton step accepted) costs ONE
+    residual evaluation, not ls_max_steps.  Returns (x, F, lin_state,
+    fnorm, ok)."""
 
     def trial(lam):
         xt = _axpy(-lam, dx, x)
         Ft, lst = residual_fn(xt)
-        return xt, Ft, lst, _norm(Ft)
+        fn = _norm(Ft)
+        accept = jnp.isfinite(fn) & (fn <= (1.0 - cfg.ls_alpha * lam) * fnorm0)
+        return (xt, Ft, lst, fn), accept
 
-    def body(carry, lam):
-        done, best = carry
-        xt, Ft, lst, fn = trial(lam)
-        accept = (~done) & jnp.isfinite(fn) & (fn <= (1.0 - cfg.ls_alpha * lam) * fnorm0)
-        best = jax.tree_util.tree_map(
-            lambda b, n: jnp.where(accept, n, b), best, (xt, Ft, lst, fn))
-        return (done | accept, best), None
+    one = jnp.asarray(1.0, fnorm0.dtype)
+    best0, ok0 = trial(one)
+    state0 = (one, jnp.asarray(1, jnp.int32), ok0, best0)
 
-    lams = jnp.asarray([0.5 ** i for i in range(cfg.ls_max_steps)], fnorm0.dtype)
-    x1, F1, lst1, fn1 = trial(lams[0])
-    ok0 = jnp.isfinite(fn1) & (fn1 <= (1.0 - cfg.ls_alpha) * fnorm0)
-    (done, best), _ = jax.lax.scan(body, (ok0, (x1, F1, lst1, fn1)), lams[1:])
+    def cond(s):
+        lam, tries, ok, _ = s
+        return (~ok) & (tries < cfg.ls_max_steps)
+
+    def body(s):
+        lam, tries, _, _ = s
+        lam = lam * 0.5
+        best, ok = trial(lam)
+        return (lam, tries + 1, ok, best)
+
+    _, _, ok, best = jax.lax.while_loop(cond, body, state0)
     xn, Fn, lstn, fnn = best
-    return xn, Fn, lstn, fnn, done
+    return xn, Fn, lstn, fnn, ok
 
 
 def newton_solve(
