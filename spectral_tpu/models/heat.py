@@ -38,6 +38,11 @@ class HeatModel:
     theta: float = 0.5
     ksp: KSPConfig = KSPConfig(type="cg", rtol=1e-10, max_it=100)
 
+    def __post_init__(self):
+        # build the PC eagerly: a cached_property first touched inside a jit
+        # trace would cache tracer constants (see grid.py note)
+        _ = self._pc
+
     def laplacian(self, u: jax.Array) -> jax.Array:
         """Spectral Laplacian with homogeneous rows at the boundary (the
         solution's boundary values are held by the Dirichlet data)."""

@@ -62,3 +62,15 @@ def test_steady_state_with_forcing():
     z = jnp.zeros(g.dims)
     u = m.rollout(z, f, z, 40)
     np.testing.assert_allclose(np.asarray(u), np.asarray(u_inf), atol=1e-6)
+
+
+def test_retrace_safe():
+    """The PC is built eagerly: re-jitting (different rollout lengths) must
+    not leak cached tracer constants."""
+    g, u0, lam = _setup(n=10)
+    z = jnp.zeros(g.dims)
+    m = HeatModel(g, dt=0.05)
+    u1 = m.rollout(u0, z, z, 3)
+    u2 = m.rollout(u0, z, z, 5)  # second trace, same model instance
+    assert np.isfinite(np.asarray(u1)).all()
+    assert np.isfinite(np.asarray(u2)).all()
