@@ -9,6 +9,12 @@ import numpy as np
 from spectral_tpu.utils.options import Options
 
 
+def _default_snes_rtol() -> float:
+    import jax
+
+    return 1e-8 if jax.config.read("jax_enable_x64") else 1e-5
+
+
 def _print_unused(opts: Options) -> None:
     left = opts.unused()
     if left:
@@ -103,8 +109,12 @@ def elliptic_main(opts: Options) -> int:
     rnorm = float(np.nanmax(np.abs(rel)))
     print(f"{'Norm of exact residual':<25}: abs = {norm:8e}   rel = {rnorm:8e}")
 
+    import jax
+    f64 = jax.config.read("jax_enable_x64")
     ksp = opts.ksp_config("", KSPConfig(type="fgmres", rtol=1e-5, max_it=500))
-    newton = opts.newton_config(NewtonConfig(rtol=1e-8, max_it=50))
+    # f32 cannot reach the f64 default tolerance; scale it to the dtype floor
+    newton = opts.newton_config(NewtonConfig(rtol=1e-8 if f64 else 1e-5,
+                                             max_it=50))
     pc = opts.pc_type("", "fastdiag")
     res = model.solve(b, dirichlet, ksp=ksp, newton=newton, pc_type=pc)
 
@@ -163,7 +173,8 @@ def stokes_main(opts: Options) -> int:
                                                     max_it=10000, restart=30)),
         schur_ksp=opts.ksp_config("schur_", KSPConfig(type="gmres", rtol=1e-5,
                                                       max_it=10000, restart=30)),
-        newton=opts.newton_config(NewtonConfig(rtol=1e-8, max_it=50)),
+        newton=opts.newton_config(NewtonConfig(rtol=_default_snes_rtol(),
+                                               max_it=50)),
     )
     print(f"Stokes problem  dim = [{','.join(map(str, dims))}]")
     print(f"  hardness = {cfg.hardness:f}    exponent = {cfg.exponent:8f}"

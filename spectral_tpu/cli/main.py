@@ -27,12 +27,10 @@ def _setup_precision(opts: Options) -> None:
         jax.config.update("jax_platforms", platform)
     if not opts.has("f32"):
         jax.config.update("jax_enable_x64", True)
-    try:
+    if opts.has("compile_cache"):
         # FFTW-wisdom analog: persistent XLA compile cache (cheb.c:32)
         from spectral_tpu.utils.profiling import enable_compile_cache
         enable_compile_cache()
-    except Exception:
-        pass
 
 
 def main(argv: list[str] | None = None) -> int:
