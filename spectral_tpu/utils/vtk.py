@@ -67,9 +67,13 @@ def write_stokes_vtk(problem, state, filename: str = "stokes.vtk") -> None:
         f.write("\nTENSORS strain double\n")
         Sfull = np.zeros((nodes, 3, 3))
         Sfull[:, :d, :d] = S.reshape(nodes, d, d)
-        blocks = []
-        for i in range(nodes):
-            rows = "\n".join(" ".join(f"{v:20e}" for v in Sfull[i, j]) + " "
-                             for j in range(3))
-            blocks.append(rows + "\n")
-        f.write("\n".join(blocks))
+        try:
+            from spectral_tpu.utils import native
+            f.write(native.format_tensors(Sfull))
+        except Exception:
+            blocks = []
+            for i in range(nodes):
+                rows = "\n".join(" ".join(f"{v:20e}" for v in Sfull[i, j]) + " "
+                                 for j in range(3))
+                blocks.append(rows + "\n")
+            f.write("\n".join(blocks))
