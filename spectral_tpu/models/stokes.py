@@ -75,12 +75,28 @@ class StokesConfig:
 class StokesProblem:
     """Holds the static domain structure and the jittable operators."""
 
-    def __init__(self, grid: Grid, config: StokesConfig = StokesConfig()):
+    def __init__(self, grid: Grid, config: StokesConfig = StokesConfig(),
+                 mesh=None, sharded_axis: int = 0, mesh_axis: str = "x"):
+        """``mesh`` switches every derivative to the explicit pencil-SPMD
+        path (parallel.pencil): grid axis ``sharded_axis`` is sharded over
+        mesh axis ``mesh_axis``; derivatives along it all_to_all-exchange
+        over ICI, other axes are communication-free."""
         self.grid = grid
         self.config = config
         self.d = grid.ndim
+        self.mesh = mesh
+        self.sharded_axis = sharded_axis
+        self.mesh_axis = mesh_axis
         self._setup_domain()
         self._setup_exact_and_force()
+
+    def _dif(self, v, axis):
+        if self.mesh is None:
+            return chebdiff(v, axis)
+        from spectral_tpu.parallel.pencil import chebdiff_pencil
+        return chebdiff_pencil(v, axis, self.mesh,
+                               sharded_axis=self.sharded_axis,
+                               mesh_axis=self.mesh_axis, method="matmul")
 
     # ------------------------------------------------------------------
     # Domain setup: masks instead of IS/scatters (StokesSetupDomain analog)
@@ -193,7 +209,7 @@ class StokesProblem:
     # ------------------------------------------------------------------
     def _grad_tensor(self, vL):
         """G[..., j, k] = d v_k / d x_j via batched DCT derivative."""
-        return jnp.stack([chebdiff(vL, axis=j) for j in range(self.d)], axis=-2)
+        return jnp.stack([self._dif(vL, j) for j in range(self.d)], axis=-2)
 
     def _strain(self, vL):
         G = self._grad_tensor(vL)
@@ -203,7 +219,7 @@ class StokesProblem:
         """y_k = sum_j d flux[..., j, k] / d x_j."""
         y = jnp.zeros(flux.shape[:-2] + (self.d,), flux.dtype)
         for j in range(self.d):
-            y = y + chebdiff(flux[..., j, :], axis=j)
+            y = y + self._dif(flux[..., j, :], j)
         return y
 
     def divergence(self, vG, with_dirichlet):
@@ -211,14 +227,14 @@ class StokesProblem:
         vL = self.local_velocity(vG, with_dirichlet)
         div = jnp.zeros(self.grid.dims, vL.dtype)
         for i in range(self.d):
-            div = div + chebdiff(vL[..., i], axis=i)
+            div = div + self._dif(vL[..., i], i)
         return self.mask_p(div)
 
     def pressure_gradient(self, pG):
         """VP block (stokes.C:598-619): reduce pressure order, take the
         gradient, zero mixed/Neumann rows, mask to global velocity."""
         pL = pressure_reduce_order(self.mask_p(pG), self.grid.nodes_1d)
-        gp = jnp.stack([chebdiff(pL, axis=i) for i in range(self.d)], axis=-1)
+        gp = jnp.stack([self._dif(pL, i) for i in range(self.d)], axis=-1)
         gp = jnp.where(self.nm_mask[..., None], 0.0, gp)
         return self.mask_v(gp)
 

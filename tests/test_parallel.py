@@ -167,3 +167,28 @@ def test_explicit_pencil_poisson_solve():
     res_ref = m_ref.solve(b, ksp=ksp)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_ref.x), atol=1e-9)
     assert int(res.iters) == int(res_ref.iters)
+
+
+def test_explicit_pencil_stokes_residual():
+    """Flagship with mesh=...: every derivative runs the explicit pencil-SPMD
+    path; residual and Jacobian action match the single-device model."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spectral_tpu.models.stokes import StokesConfig, StokesProblem
+
+    mesh = _mesh4()
+    p_ref = StokesProblem(Grid((16, 12)), StokesConfig(exact=2))
+    p_sh = StokesProblem(Grid((16, 12)), StokesConfig(exact=2), mesh=mesh)
+    x = p_ref.exact_state()
+    F_ref, lin_ref = jax.jit(p_ref.make_residual(p_ref.params_at(1)))(x)
+    shard_v = NamedSharding(mesh, P("x", None, None))
+    shard_p = NamedSharding(mesh, P("x", None))
+    xs = {"v": jax.device_put(x["v"], shard_v),
+          "p": jax.device_put(x["p"], shard_p)}
+    with mesh:
+        F, lin = jax.jit(p_sh.make_residual(p_sh.params_at(1)))(xs)
+        Jw = jax.jit(lambda xx, ll: p_sh.jacobian_action(xx, ll, xx))(xs, lin)
+    Jw_ref = p_ref.jacobian_action(x, lin_ref, x)
+    np.testing.assert_allclose(np.asarray(F["v"]), np.asarray(F_ref["v"]), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(F["p"]), np.asarray(F_ref["p"]), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(Jw["v"]), np.asarray(Jw_ref["v"]), atol=1e-10)
