@@ -243,3 +243,24 @@ def test_probed_pcvel():
     res = p.solve()
     assert res.reason > 0
     assert p.error_vs_exact(res.x) < 1e-5
+
+
+def test_boundary_functions_3d():
+    """Boundary registries generalize to 3-D: census and machinery for
+    -boundary 1 (Neumann surface) and -boundary 3 (lid profile)."""
+    from spectral_tpu.solvers.krylov import KSPConfig
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    p1 = StokesProblem(Grid((8, 8, 8)), StokesConfig(exact=2, boundary=1))
+    assert p1.num_mixed > 0  # interior of the top face is Neumann
+    F, _ = p1.make_residual(p1.params_at(1))(p1.exact_state())
+    assert float(jnp.max(jnp.abs(F["v"]))) < 1e-3  # FD traction + coarse grid
+
+    cfg = StokesConfig(exact=0, boundary=3, cont0=1,
+                       outer_ksp=KSPConfig(type="fgmres", rtol=1e-6,
+                                           max_it=120, restart=60),
+                       newton=NewtonConfig(rtol=1e-6, max_it=5))
+    p3 = StokesProblem(Grid((8, 8, 8)), cfg)
+    res = p3.solve()
+    assert res.reason > 0
+    assert float(jnp.max(jnp.abs(res.x["v"]))) > 0.01
