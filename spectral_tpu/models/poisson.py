@@ -44,6 +44,7 @@ class PoissonModel:
     mesh: object = None   # jax.sharding.Mesh for the explicit pencil path
     sharded_axis: int = 0
     mesh_axis: str = "x"
+    axis_map: object = None  # {grid_axis: mesh_axis} for P x Q meshes
 
     def operator(self, u: jax.Array) -> jax.Array:
         """y = -sum_j D_j(D_j u); boundary rows y_b = u_b (poisson.c:215-245).
@@ -53,11 +54,11 @@ class PoissonModel:
         instead of 12.
         """
         if self.mesh is not None:
-            from spectral_tpu.parallel.pencil import chebdiff_pencil
+            from spectral_tpu.parallel.pencil import make_dif
 
-            dif = lambda v, ax: chebdiff_pencil(
-                v, ax, self.mesh, sharded_axis=self.sharded_axis,
-                mesh_axis=self.mesh_axis, method="matmul")
+            dif = make_dif(self.mesh, self.axis_map,
+                           sharded_axis=self.sharded_axis,
+                           mesh_axis=self.mesh_axis)
             y = jnp.zeros_like(u)
             for ax in range(self.grid.ndim):
                 y = y - dif(dif(u, ax), ax)

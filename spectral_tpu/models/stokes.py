@@ -76,7 +76,8 @@ class StokesProblem:
     """Holds the static domain structure and the jittable operators."""
 
     def __init__(self, grid: Grid, config: StokesConfig = StokesConfig(),
-                 mesh=None, sharded_axis: int = 0, mesh_axis: str = "x"):
+                 mesh=None, sharded_axis: int = 0, mesh_axis: str = "x",
+                 axis_map: dict | None = None):
         """``mesh`` switches every derivative to the explicit pencil-SPMD
         path (parallel.pencil): grid axis ``sharded_axis`` is sharded over
         mesh axis ``mesh_axis``; derivatives along it all_to_all-exchange
@@ -87,16 +88,17 @@ class StokesProblem:
         self.mesh = mesh
         self.sharded_axis = sharded_axis
         self.mesh_axis = mesh_axis
+        self.axis_map = axis_map
         self._setup_domain()
         self._setup_exact_and_force()
 
     def _dif(self, v, axis):
         if self.mesh is None:
             return chebdiff(v, axis)
-        from spectral_tpu.parallel.pencil import chebdiff_pencil
-        return chebdiff_pencil(v, axis, self.mesh,
-                               sharded_axis=self.sharded_axis,
-                               mesh_axis=self.mesh_axis, method="matmul")
+        from spectral_tpu.parallel.pencil import make_dif
+        return make_dif(self.mesh, self.axis_map,
+                        sharded_axis=self.sharded_axis,
+                        mesh_axis=self.mesh_axis)(v, axis)
 
     # ------------------------------------------------------------------
     # Domain setup: masks instead of IS/scatters (StokesSetupDomain analog)

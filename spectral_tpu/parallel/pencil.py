@@ -102,3 +102,21 @@ def chebdiff_pencil2(u: jax.Array, axis: int, mesh: Mesh,
                                   concat_axis=partner, tiled=True)
 
     return exchanged(u)
+
+
+def make_dif(mesh: Mesh | None, axis_map: dict[int, str] | None = None,
+             *, sharded_axis: int = 0, mesh_axis: str = "x",
+             method: str = "matmul"):
+    """Derivative dispatcher for model operators.
+
+    Returns dif(v, axis): plain chebdiff without a mesh; the single-axis
+    pencil path with a mesh and no axis_map; the multi-axis (P x Q) pencil
+    path with an axis_map.
+    """
+    if mesh is None:
+        return lambda v, ax: chebdiff(v, ax)
+    if axis_map is None:
+        return lambda v, ax: chebdiff_pencil(
+            v, ax, mesh, sharded_axis=sharded_axis, mesh_axis=mesh_axis,
+            method=method)
+    return lambda v, ax: chebdiff_pencil2(v, ax, mesh, axis_map, method=method)

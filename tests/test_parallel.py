@@ -192,3 +192,27 @@ def test_explicit_pencil_stokes_residual():
     np.testing.assert_allclose(np.asarray(F["v"]), np.asarray(F_ref["v"]), atol=1e-11)
     np.testing.assert_allclose(np.asarray(F["p"]), np.asarray(F_ref["p"]), atol=1e-11)
     np.testing.assert_allclose(np.asarray(Jw["v"]), np.asarray(Jw_ref["v"]), atol=1e-10)
+
+
+def test_poisson_two_axis_pencil_solve():
+    """P x Q pencil inside the solve: 2x2 mesh over both grid axes of a 3-D
+    problem; the unsharded axis 2 is the exchange partner."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spectral_tpu.models.poisson import PoissonModel
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    mesh = make_mesh({"x": 2, "y": 2})
+    dims = (8, 8, 8)
+    m_ref = PoissonModel(Grid(dims))
+    m_sh = PoissonModel(Grid(dims), mesh=mesh, axis_map={0: "x", 1: "y"})
+    u, f = m_ref.exact_solution()
+    b = m_ref.rhs(u, f)
+    b_sh = jax.device_put(b, NamedSharding(mesh, P("x", "y", None)))
+    ksp = KSPConfig(type="gmres", rtol=1e-10, max_it=100)
+    M = m_ref.build_pc("fastdiag")
+    with mesh:
+        res = jax.jit(lambda bb: ksp.solve(m_sh.operator, bb, M=M))(b_sh)
+    res_ref = m_ref.solve(b, ksp=ksp)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_ref.x), atol=1e-9)
+    assert int(res.iters) == int(res_ref.iters)
