@@ -42,10 +42,25 @@ def _pow(u: jax.Array, e: float) -> jax.Array:
 
 @dataclasses.dataclass(frozen=True)
 class EllipticModel:
+    """With ``mesh`` set, derivatives run the explicit pencil-SPMD path
+    (parallel.pencil.make_dif); otherwise GSPMD handles sharded inputs."""
+
     grid: Grid
     gamma: float = 0.0
     exponent: float = 2.0
     method: str = "auto"
+    mesh: object = None
+    sharded_axis: int = 0
+    mesh_axis: str = "x"
+    axis_map: object = None
+
+    def _dif(self, v, axis):
+        if self.mesh is None:
+            return chebdiff(v, axis, self.method)
+        from spectral_tpu.parallel.pencil import make_dif
+        return make_dif(self.mesh, self.axis_map,
+                        sharded_axis=self.sharded_axis,
+                        mesh_axis=self.mesh_axis)(v, axis)
 
     # -- coefficients ---------------------------------------------------------
     def eta(self, u):
@@ -68,11 +83,11 @@ class EllipticModel:
 
         def residual(uG):
             u = g.set_boundary(uG, dirichlet)
-            gradu = [chebdiff(u, ax, self.method) for ax in range(g.ndim)]
+            gradu = [self._dif(u, ax) for ax in range(g.ndim)]
             eta, deta = self.eta(u)
             F = jnp.zeros_like(u)
             for ax in range(g.ndim):
-                F = F - chebdiff(eta * gradu[ax], ax, self.method)
+                F = F - self._dif(eta * gradu[ax], ax)
             F = g.zero_boundary(F) - b
             return F, (eta, deta, gradu)
 
@@ -168,8 +183,8 @@ class EllipticModel:
         w = g.zero_boundary(wG)
         y = jnp.zeros_like(w)
         for ax in range(g.ndim):
-            flux = eta * chebdiff(w, ax, self.method) + deta * w * gradu0[ax]
-            y = y - chebdiff(flux, ax, self.method)
+            flux = eta * self._dif(w, ax) + deta * w * gradu0[ax]
+            y = y - self._dif(flux, ax)
         return g.zero_boundary(y)
 
     # -- preconditioners ------------------------------------------------------

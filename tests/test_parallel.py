@@ -216,3 +216,25 @@ def test_poisson_two_axis_pencil_solve():
     res_ref = m_ref.solve(b, ksp=ksp)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(res_ref.x), atol=1e-9)
     assert int(res.iters) == int(res_ref.iters)
+
+
+def test_elliptic_pencil_newton_step():
+    """Elliptic model with mesh=...: residual + Jacobian action under the
+    explicit pencil path match single-device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spectral_tpu.models.elliptic import EllipticModel
+
+    mesh = _mesh4()
+    m_ref = EllipticModel(Grid((16, 12)), gamma=1.0)
+    m_sh = EllipticModel(Grid((16, 12)), gamma=1.0, mesh=mesh)
+    u, b, d = m_ref.setup_problem(exact=0)
+    F_ref, lin_ref = jax.jit(m_ref.make_residual(b, d))(u)
+    sh = grid_sharding(mesh, 2, {0: "x"})
+    u_sh = jax.device_put(u, sh)
+    with mesh:
+        F, lin = jax.jit(m_sh.make_residual(b, d))(u_sh)
+        Jw = jax.jit(lambda xx, ll: m_sh.jacobian_action(xx, ll, xx))(u_sh, lin)
+    Jw_ref = m_ref.jacobian_action(u, lin_ref, u)
+    np.testing.assert_allclose(np.asarray(F), np.asarray(F_ref), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(Jw), np.asarray(Jw_ref), atol=1e-9)
