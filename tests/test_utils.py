@@ -54,3 +54,13 @@ def test_orbax_backend_roundtrip(tmp_path):
     ckpt.save_state_orbax(str(tmp_path), 3, x)
     y = ckpt.load_state_orbax(str(tmp_path), 3, like=x)
     np.testing.assert_allclose(np.asarray(y["v"]), np.asarray(x["v"]))
+
+
+def test_check_finite():
+    from spectral_tpu.utils.debug import check_finite
+
+    check_finite({"a": jnp.ones(3)}, "ok")
+    import pytest
+
+    with pytest.raises(FloatingPointError):
+        check_finite({"a": jnp.asarray([1.0, float("nan")])}, "bad")
