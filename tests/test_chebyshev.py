@@ -128,3 +128,15 @@ def test_coefficient_roundtrip_and_eval():
     pts = np.array([0.33, -0.71, 0.0])
     vals = cheb_eval(a, jnp.asarray(pts), 0)
     np.testing.assert_allclose(np.asarray(vals), np.exp(pts), atol=1e-12)
+
+
+def test_gradient_helper():
+    from spectral_tpu.ops.chebyshev import gradient
+
+    dims = (10, 9)
+    xs = [cheb.cgl_nodes_np(m) for m in dims]
+    X = np.meshgrid(*xs, indexing="ij")
+    u = jnp.asarray(np.exp(X[0]) * X[1])
+    gx, gy = gradient(u, 2)
+    np.testing.assert_allclose(np.asarray(gx), np.exp(X[0]) * X[1], atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gy), np.exp(X[0]), atol=1e-7)
