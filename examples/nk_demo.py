@@ -5,7 +5,8 @@ matrices for the Jacobian (tridiagonal, here an exact jvp) and the
 preconditioner (diagonal only, nk.c:264-268), a user line search, and
 residual-history capture (-rhistory, nk.c:129-170).
 
-Run: python examples/nk_demo.py [-n 64] [-snes_mf] [-user_precond] [-rhistory]
+Run: python examples/nk_demo.py [-n 64] [-snes_mf] [-user_precond]
+     [-user_linesearch] [-rhistory]
 """
 
 from __future__ import annotations
@@ -48,11 +49,22 @@ def main(argv=None) -> int:
         pc_setup = lambda x, lin: lin
         pc_apply = lambda diag, r: r / diag
 
+    line_search = "bt"
+    if opts.has("user_linesearch"):
+        # User line-search hook (FormLineSearch, nk.c:185-200): the
+        # reference's version is "full step, always accept" with its own
+        # norm bookkeeping; same contract here, returned as data.
+        def line_search(residual_fn, x, dx, fnorm):
+            xn = x - dx
+            Fn, lst = residual_fn(xn)
+            fnn = jnp.sqrt(jnp.vdot(Fn, Fn).real)
+            return xn, Fn, lst, fnn, jnp.isfinite(fnn)
+
     res = newton_solve(
         residual, jnp.full(n, 0.5), jacobian_action=jac,
         pc_setup=pc_setup, pc_apply=pc_apply,
         ksp=KSPConfig(type="gmres", rtol=1e-10, max_it=500),
-        config=NewtonConfig(rtol=1e-10, max_it=20),
+        config=NewtonConfig(rtol=1e-10, max_it=20, line_search=line_search),
     )
     print(f"Newton iterations = {res.iters} ({res.reason_str()})")
     err = float(jnp.max(jnp.abs(res.x - jnp.asarray(xg) ** 3)))

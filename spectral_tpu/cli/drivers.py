@@ -162,7 +162,7 @@ def stokes_main(opts: Options) -> int:
         cont=opts.get_int("cont", 1),
         scaleM=opts.get_real("scaleM", 1.0),
         scaleN=opts.get_real("scaleN", 1.0),
-        pcvel={0: "fastdiag", 1: "q1fem", 2: "probed", 3: "fastdiag"}.get(
+        pcvel={0: "fastdiag", 1: "q1fem", 2: "probed", 3: "nodal"}.get(
             opts.get_int("pcvel", 0), "fastdiag"),
         saddle=opts.get_int("pc_saddle_type", 0),
         outer_ksp=opts.ksp_config("", KSPConfig(type="fgmres", rtol=1e-5,

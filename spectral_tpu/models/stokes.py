@@ -63,7 +63,7 @@ class StokesConfig:
     cont: int = 1
     scaleM: float = 1.0
     scaleN: float = 1.0
-    pcvel: str = "fastdiag"       # -pcvel analog: fastdiag | mg | jacobi
+    pcvel: str = "fastdiag"   # -pcvel analog: fastdiag|mg|nodal|jacobi|q1fem|probed
     saddle: int = 0               # -pc_saddle_type: 0 LU, 1 upper, 2 diag, 3 lower
     outer_ksp: KSPConfig = KSPConfig(type="fgmres", rtol=1e-10, max_it=200, restart=50)
     vel_ksp: KSPConfig = KSPConfig(type="gmres", rtol=1e-5, max_it=4, restart=4)
@@ -333,6 +333,22 @@ class StokesProblem:
 
         return Multigrid.build(self.grid, builder=builder)
 
+    @cached_property
+    def _vel_mg_nodal(self):
+        # -pcvel 3 analog (StokesPCSetUp3, stokes.C:1569-1641): the nodal
+        # eta-weighted Jacobian stencil (jax.jacfwd replaces CppAD), solved
+        # here with one multigrid V-cycle per level-rediscretized stencil.
+        from spectral_tpu.models.stokes_pc import nodal_jacfwd_stencil
+        from spectral_tpu.ops.multigrid import Multigrid
+
+        def builder(grid, coeffs):
+            eta = coeffs.get("eta")
+            if eta is None:
+                eta = jnp.ones(grid.dims)
+            return nodal_jacfwd_stencil(grid, eta)
+
+        return Multigrid.build(self.grid, builder=builder)
+
     def make_vel_pc(self) -> Callable:
         """Strong approximate inverse of the FD velocity surrogate
         (MatVVPC solved with hypre in the reference, README:36-40).
@@ -349,6 +365,10 @@ class StokesProblem:
                     lambda vstate, r: self.mask_v(fd.apply(r)))
         if self.config.pcvel == "mg":
             mg = self._vel_mg
+            return (lambda lin_state: mg.setup({"eta": lin_state[0]}),
+                    lambda vstate, r: self.mask_v(mg.vcycle(vstate, r)))
+        if self.config.pcvel == "nodal":
+            mg = self._vel_mg_nodal
             return (lambda lin_state: mg.setup({"eta": lin_state[0]}),
                     lambda vstate, r: self.mask_v(mg.vcycle(vstate, r)))
         if self.config.pcvel == "jacobi":

@@ -48,6 +48,13 @@ def _identity(x):
     return x
 
 
+def _hist_len(history_len: int, max_it: int) -> int:
+    """Residual-history buffer size: grow the default so every iteration up
+    to max_it gets its own slot (no silent overwrite of the last entry for
+    long solves), bounded to keep the while-loop carry small."""
+    return int(min(max(history_len, max_it + 1), 65536))
+
+
 def _norm(v):
     return jnp.sqrt(jnp.vdot(v, v).real).astype(v.dtype)
 
@@ -233,6 +240,7 @@ def _gmres_like(A, b, x0, *, M, rtol, atol, dtol, max_it, restart,
                 null_project, history_len, flexible) -> SolveResult:
     Af, bf, x0f, Mf, Pf, unravel = _flatten_system(A, b, x0, M, null_project)
     restart = min(restart, max_it) or 1
+    history_len = _hist_len(history_len, max_it)
     xf, it, reason, rnorm, hist = _gmres_flat(
         Af, Mf, Pf, bf, x0f, restart=restart, rtol=rtol, atol=atol, dtol=dtol,
         max_it=max_it, flexible=flexible, history_len=history_len)
@@ -283,6 +291,7 @@ def cg(A: Operator, b, x0=None, *, M: Optional[Operator] = None,
        null_project=None, history_len=HISTORY_LEN) -> SolveResult:
     """Preconditioned conjugate gradients (for SPD operators)."""
     Af, bf, x0f, Mf, Pf, unravel = _flatten_system(A, b, x0, M, null_project)
+    history_len = _hist_len(history_len, max_it)
     dtype = bf.dtype
     r0 = Pf(bf - Af(x0f))
     z0 = Mf(r0)
@@ -347,6 +356,7 @@ def bicgstab(A: Operator, b, x0=None, *, M: Optional[Operator] = None,
     """BiCGStab with left preconditioning (PETSc KSPBCGS semantics):
     short recurrences for nonsymmetric systems, two matvecs per iteration."""
     Af, bf, x0f, Mf, Pf, unravel = _flatten_system(A, b, x0, M, null_project)
+    history_len = _hist_len(history_len, max_it)
     dtype = bf.dtype
     op = lambda v: Mf(Pf(Af(v)))
     r0 = Mf(Pf(bf - Af(x0f)))
@@ -401,6 +411,7 @@ def richardson(A: Operator, b, x0=None, *, M: Optional[Operator] = None,
                null_project=None, history_len=HISTORY_LEN) -> SolveResult:
     """Richardson iteration x += scale * M(b - A x) (PETSc KSPRICHARDSON)."""
     Af, bf, x0f, Mf, Pf, unravel = _flatten_system(A, b, x0, M, null_project)
+    history_len = _hist_len(history_len, max_it)
     dtype = bf.dtype
     r0 = Pf(bf - Af(x0f))
     beta0 = _norm(r0)
@@ -410,14 +421,14 @@ def richardson(A: Operator, b, x0=None, *, M: Optional[Operator] = None,
                         int(ConvergedReason.ITERATING)).astype(jnp.int32)
 
     def cond(s):
-        return s[3] == int(ConvergedReason.ITERATING)
+        return s[4] == int(ConvergedReason.ITERATING)
 
     def body(s):
-        x, it, rnorm, reason, hist = s
-        r = Pf(bf - Af(x))
+        # Carry the residual: exactly one operator application per iteration.
+        x, r, it, rnorm, reason, hist = s
         x = x + scale * Mf(r)
-        rnew = Pf(bf - Af(x))
-        rnorm = _norm(rnew)
+        r = Pf(bf - Af(x))
+        rnorm = _norm(r)
         it = it + 1
         hist = hist.at[jnp.minimum(it, history_len - 1)].set(rnorm)
         tol = jnp.maximum(rtol * rnorm0, atol)
@@ -428,11 +439,11 @@ def richardson(A: Operator, b, x0=None, *, M: Optional[Operator] = None,
                                 int(ConvergedReason.CONVERGED_RTOL)),
                       jnp.where(it >= max_it, int(ConvergedReason.DIVERGED_ITS),
                                 int(ConvergedReason.ITERATING))))
-        return (x, it, rnorm, reason.astype(jnp.int32), hist)
+        return (x, r, it, rnorm, reason.astype(jnp.int32), hist)
 
-    s = jax.lax.while_loop(cond, body,
-                           (x0f, jnp.asarray(0, jnp.int32), beta0, reason0, hist))
-    return SolveResult(unravel(s[0]), s[1], s[3], s[2], s[4])
+    s = jax.lax.while_loop(
+        cond, body, (x0f, r0, jnp.asarray(0, jnp.int32), beta0, reason0, hist))
+    return SolveResult(unravel(s[0]), s[2], s[4], s[3], s[5])
 
 
 def preonly(A: Operator, b, x0=None, *, M: Optional[Operator] = None,

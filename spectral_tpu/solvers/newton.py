@@ -64,7 +64,10 @@ class NewtonConfig:
     atol: float = 1e-50
     stol: float = 1e-8
     max_it: int = 50
-    line_search: str = "bt"   # "bt" | "basic"
+    # "bt" | "basic" | a user hook (nk.c:117 SNESSetLineSearch analog):
+    # callable (residual_fn, x, dx, fnorm) -> (x, F, lin_state, fnorm, ok),
+    # traced inside the jitted newton_step, so it must be jittable.
+    line_search: Any = "bt"
     ls_alpha: float = 1e-4    # sufficient-decrease parameter
     ls_max_steps: int = 12
     monitor: bool = False
@@ -144,7 +147,9 @@ def newton_solve(
         lres = ksp.solve(A, F, M=M, null_project=null_project)
         dx = lres.x
         dxnorm = _norm(dx)
-        if config.line_search == "basic":
+        if callable(config.line_search):
+            xn, Fn, lstn, fnn, ok = config.line_search(residual_fn, x, dx, fnorm)
+        elif config.line_search == "basic":
             xn = _axpy(-1.0, dx, x)
             Fn, lstn = residual_fn(xn)
             fnn = _norm(Fn)

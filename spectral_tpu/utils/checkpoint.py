@@ -32,8 +32,9 @@ def save_state(directory: str, step: int, x: Any, meta: dict | None = None) -> s
 def latest_step(directory: str) -> Optional[int]:
     if not os.path.isdir(directory):
         return None
-    steps = [int(f[5:9]) for f in os.listdir(directory)
-             if f.startswith("step_") and f.endswith(".npz")]
+    steps = [int(f[len("step_"):-len(".npz")]) for f in os.listdir(directory)
+             if f.startswith("step_") and f.endswith(".npz")
+             and f[len("step_"):-len(".npz")].isdigit()]
     return max(steps) if steps else None
 
 

@@ -96,11 +96,19 @@ def format_tensors(arr: np.ndarray) -> str:
     return buf.raw[:n].decode()
 
 
+# Blob wire format (shared by csrc/io.cpp st_write_blob/st_read_blob and the
+# Python fallback below): <u64 magic 'SPECTLTR'> <u64 count> <count f64 LE>.
+_BLOB_MAGIC = 0x53504543544C5452
+
+
 def write_blob(path: str, arr: np.ndarray) -> None:
     lib = _load()
     a = np.ascontiguousarray(arr, dtype=np.float64).reshape(-1)
     if lib is None:
-        a.tofile(path)
+        import struct
+        with open(path, "wb") as f:
+            f.write(struct.pack("<QQ", _BLOB_MAGIC, a.size))
+            a.astype("<f8", copy=False).tofile(f)
         return
     rc = lib.st_write_blob(path.encode(),
                            a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
@@ -113,7 +121,14 @@ def read_blob(path: str, n: int) -> np.ndarray:
     lib = _load()
     out = np.empty(n, dtype=np.float64)
     if lib is None:
-        return np.fromfile(path, dtype=np.float64, count=n)
+        import struct
+        with open(path, "rb") as f:
+            magic, count = struct.unpack("<QQ", f.read(16))
+            if magic != _BLOB_MAGIC:
+                raise IOError(f"bad blob magic in {path}: {magic:#x}")
+            if count != n:
+                raise IOError(f"blob {path} holds {count} values, need {n}")
+            return np.fromfile(f, dtype="<f8", count=n)
     rc = lib.st_read_blob(path.encode(),
                           out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n)
     if rc != 0:

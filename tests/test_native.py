@@ -51,3 +51,35 @@ def test_vtk_writer_end_to_end(tmp_path):
                 "SCALARS eta", "SCALARS deta", "TENSORS strain"):
         assert key in text, key
     assert len(text.splitlines()) > 100
+
+
+def _fallback_write(path, a):
+    """Python fallback body of write_blob (lib is None branch)."""
+    import struct
+    a = np.ascontiguousarray(a, dtype=np.float64).reshape(-1)
+    with open(path, "wb") as f:
+        f.write(struct.pack("<QQ", native._BLOB_MAGIC, a.size))
+        a.astype("<f8", copy=False).tofile(f)
+
+
+def _fallback_read(path, n):
+    import struct
+    with open(path, "rb") as f:
+        magic, count = struct.unpack("<QQ", f.read(16))
+        assert magic == native._BLOB_MAGIC and count == n
+        return np.fromfile(f, dtype="<f8", count=n)
+
+
+def test_blob_format_native_fallback_compat(tmp_path):
+    """Both writers emit the same on-disk format (ADVICE round 1, medium):
+    a blob written natively must read via the fallback and vice versa."""
+    if not native.available():
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(2)
+    a = rng.standard_normal(257)
+    p1 = str(tmp_path / "native.blob")
+    native.write_blob(p1, a)          # native path
+    np.testing.assert_array_equal(_fallback_read(p1, 257), a)
+    p2 = str(tmp_path / "fallback.blob")
+    _fallback_write(p2, a)            # fallback path
+    np.testing.assert_array_equal(native.read_blob(p2, 257), a)

@@ -100,3 +100,29 @@ def test_max_it_reported():
     )
     assert res.reason == ConvergedReason.DIVERGED_ITS
     assert res.iters == 2
+
+
+def test_user_line_search_hook():
+    """nk.c:117/185-200 analog: a user callable drives the globalization."""
+    import jax.numpy as jnp
+
+    calls = []
+
+    def half_step(residual_fn, x, dx, fnorm):
+        calls.append(1)  # traced once per compile, not per iteration
+        xn = x - 0.5 * dx
+        Fn, lst = residual_fn(xn)
+        fnn = jnp.sqrt(jnp.vdot(Fn, Fn).real)
+        return xn, Fn, lst, fnn, jnp.isfinite(fnn)
+
+    residual, xg = _nk_problem(16)
+    res = newton_solve(
+        residual, jnp.full(16, 0.5),
+        ksp=KSPConfig(type="gmres", rtol=1e-12, max_it=200),
+        config=NewtonConfig(rtol=1e-10, max_it=40, line_search=half_step),
+    )
+    assert calls, "user hook was never traced"
+    assert res.reason > 0
+    # damped steps converge linearly; more iterations than full Newton
+    assert res.iters > 5
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(xg) ** 3, atol=1e-6)

@@ -264,3 +264,16 @@ def test_boundary_functions_3d():
     res = p3.solve()
     assert res.reason > 0
     assert float(jnp.max(jnp.abs(res.x["v"]))) > 0.01
+
+
+def test_nodal_pcvel_eta_aware():
+    """-pcvel 3 analog (StokesPCSetUp3, stokes.C:1569-1641): the nodal
+    jacfwd eta-weighted Jacobian stencil drives the velocity PC; like 'mg'
+    it should beat the eta-blind fastdiag PC on hard power-law problems."""
+    base = dict(exact=2, rheology=1, cont=2, regularization=1e-3, exponent=3.0)
+    p_fd = StokesProblem(Grid((10, 10)), StokesConfig(**base, pcvel="fastdiag"))
+    p_nd = StokesProblem(Grid((10, 10)), StokesConfig(**base, pcvel="nodal"))
+    r_fd = p_fd.solve_continuation()[-1]
+    r_nd = p_nd.solve_continuation()[-1]
+    assert r_fd.reason > 0 and r_nd.reason > 0
+    assert max(r_nd.ksp_iters) < max(r_fd.ksp_iters)

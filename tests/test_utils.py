@@ -64,3 +64,15 @@ def test_check_finite():
 
     with pytest.raises(FloatingPointError):
         check_finite({"a": jnp.asarray([1.0, float("nan")])}, "bad")
+
+
+def test_latest_step_five_digits(tmp_path):
+    """latest_step must parse the full step number (ADVICE round 1):
+    step 10000 widens past the 04d padding and must still win."""
+    import numpy as np
+    from spectral_tpu.utils import checkpoint as ckpt
+
+    d = str(tmp_path)
+    for step in (3, 9999, 10000):
+        ckpt.save_state(d, step, {"x": np.zeros(2)})
+    assert ckpt.latest_step(d) == 10000
