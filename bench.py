@@ -1,13 +1,18 @@
 """Benchmark driver: prints ONE JSON line.
 
-Primary metric (BASELINE.json): Chebyshev derivative matvec throughput in
-GDOF/s judged against 70% of the device's HBM roofline (a derivative touches
-8 bytes/dof in f32: read u, write y; the differentiation matrix is
-VMEM-resident).  Also reports the 3-D Poisson 64^3 solve to rtol 1e-10
-(f32 Krylov + fused Pallas Laplacian + f64 iterative refinement).
+Primary metric (BASELINE.json): Chebyshev derivative throughput in GDOF/s on
+the production path (``ops.chebyshev.chebdiff``, the solvers' hot op), judged
+against 70% of the achievable roofline.  A derivative touches 8 bytes/dof in
+f32 (read u, write y; the differentiation matrix is VMEM-resident), so the
+roofline is measured IN-PROCESS as a same-shape scaled-copy loop with the
+identical 8-bytes-per-element access pattern — the tunneled bench device's
+throughput swings ~2-10x run-to-run, so only a same-run same-pattern
+comparison is meaningful.  The spec roofline is also reported.
 
-The tunneled bench device shows large run-to-run variance; timings take the
-best of several repetitions.
+Also reports: 3-D Poisson 64^3 to rtol 1e-10 (f32 Krylov + fused Pallas
+Laplacian + f64 refinement), nonlinear elliptic 32^3 to rtol 1e-10, and the
+reference's two headline Stokes 20^3 configs (README:43 linear, README:52
+power-law continuation).
 """
 
 from __future__ import annotations
@@ -37,64 +42,58 @@ def _device_bw_gbps() -> float:
     return 819.0
 
 
-def bench_cheb_matvec(n=64, batch=256, inner=8, reps=5, dtype=jnp.float32):
-    """Throughput of chebdiff along the last axis of a (batch, n, n, n) field.
-
-    ``inner`` applications chain inside one jitted scan (amortizing dispatch);
-    the 1/n^2 stabilizer is folded into the matrix so the step is a pure
-    matmul; best-of-``reps`` to ride out device-state variance.
-    """
-    from spectral_tpu.ops.chebyshev import diffmat_np
-
-    D = jnp.asarray(diffmat_np(n).T / (n * n), dtype)
-    u = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n, n, n)),
-                    dtype)
-
+def _scan_bench(step, u, inner, reps):
+    """Best-of-reps time per application of ``step`` chained ``inner`` times
+    inside one jitted scan (amortizing dispatch); a scalar checksum forces
+    materialization (the tunneled runtime's block_until_ready can return
+    early for some graph shapes)."""
     @jax.jit
     def many(u):
-        def step(u, _):
-            y = jax.lax.dot_general(u, D, (((3,), (0,)), ((), ())),
-                                    precision=jax.lax.Precision.HIGHEST,
-                                    preferred_element_type=dtype)
-            return y, ()
-        out = jax.lax.scan(step, u, None, length=inner)[0]
-        # scalar checksum: forces materialization (the tunneled runtime's
-        # block_until_ready can return early on some graph shapes)
+        out = jax.lax.scan(lambda c, _: (step(c), ()), u, None, length=inner)[0]
         return jnp.sum(out)
 
-    many(u).block_until_ready()  # compile
+    float(many(u))  # compile + warm
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        many(u).block_until_ready()
+        # device->host transfer of the checksum: the only reliable completion
+        # barrier on the tunneled runtime (block_until_ready returns early
+        # for some graph shapes there)
+        float(many(u))
         best = min(best, (time.perf_counter() - t0) / inner)
-    gdofs = u.size / best / 1e9
-    return gdofs, best
+    return best
+
+
+def bench_cheb_matvec(n=64, batch=256, inner=8, reps=5, dtype=jnp.float32):
+    """Production-path derivative throughput + same-pattern roofline.
+
+    The step is ``chebdiff(u, axis=-1)`` (exactly what the operators call)
+    with the 1/n^2 stabilizer as an output scale — XLA fuses it into the
+    matmul epilogue, so the step still touches 8 bytes/dof.
+    """
+    from spectral_tpu.ops.chebyshev import chebdiff
+
+    u = jnp.asarray(np.random.default_rng(0).standard_normal((batch, n, n, n)),
+                    dtype)
+    s = 1.0 / (n * n)
+
+    dt = _scan_bench(lambda z: chebdiff(z, axis=-1, method="matmul") * s,
+                     u, inner, reps)
+    gdofs = u.size / dt / 1e9
+
+    # roofline: same array, same 8-bytes-per-element pattern, same run
+    dt_copy = _scan_bench(lambda z: z * 0.999, u, inner, reps)
+    copy_gelts = u.size / dt_copy / 1e9
+    return gdofs, dt, copy_gelts
 
 
 def measure_stream_bw(mb=128, inner=16, reps=5, dtype=jnp.float32):
-    """Achievable HBM bandwidth right now (GB/s): z += x streaming update
-    (2 reads + 1 write per element).  The tunneled bench device throttles by
-    ~10x between runs; this measured roofline makes the efficiency metric
-    meaningful regardless of the device's momentary state."""
+    """Stream-triad bandwidth (GB/s): z = z*a + x (2 reads + 1 write)."""
     n = mb * 2**20 // 4
     x = jnp.ones((n,), dtype) * 1e-9
-
-    @jax.jit
-    def many(z):
-        def step(z, _):
-            return z * 0.999 + x, ()
-        out = jax.lax.scan(step, z, None, length=inner)[0]
-        return out, jnp.sum(out)  # checksum forces materialization
-
-    z, _ = many(jnp.zeros((n,), dtype))
-    jax.block_until_ready(z)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(many(z))
-        best = min(best, (time.perf_counter() - t0) / inner)
-    return 3.0 * 4.0 * n / best / 1e9
+    dt = _scan_bench(lambda z: z * 0.999 + x, jnp.zeros((n,), dtype),
+                     inner, reps)
+    return 3.0 * 4.0 * n / dt / 1e9
 
 
 def bench_poisson64(rtol=1e-10):
@@ -143,8 +142,6 @@ def bench_elliptic32(rtol=1e-10):
     """Nonlinear elliptic 32^3 (eta = 1 + u^2) to rtol 1e-10 by f32 Newton +
     f64 defect correction — the reference's accuracy regime with all device
     arithmetic in f32."""
-    import numpy as np
-
     from spectral_tpu.grid import Grid
     from spectral_tpu.models.elliptic import EllipticModel
 
@@ -158,16 +155,62 @@ def bench_elliptic32(rtol=1e-10):
     return dt, info["newton32"].iters, total_ksp, info["rel_residual"], err
 
 
+def bench_stokes20_linear():
+    """Reference README:43 headline: -dim 20,20,20 -exact 2 -cont0 1,
+    FGMRES + Schur block PC, rtol 1e-10 via f32 solve + f64 refinement."""
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.stokes import StokesConfig, StokesProblem
+
+    p = StokesProblem(Grid((20, 20, 20)), StokesConfig(exact=2, cont0=1))
+    t0 = time.perf_counter()
+    x, info = p.solve_refined(rtol=1e-10)
+    dt = time.perf_counter() - t0
+    res = info["continuation"][-1]
+    outer = max(res.ksp_iters) if res.ksp_iters else -1
+    err = float(p.error_vs_exact({k: jnp.asarray(v) for k, v in x.items()}))
+    return dt, outer, info["refine_inner_iters"], info["rel_residual"], err
+
+
+def bench_stokes20_powerlaw():
+    """Reference README:52 headline: -exact 2 -cont 4 -rheology 1 -eps 1e-4
+    -exponent 3, dim 20^3, eta-aware MG velocity PC.
+
+    Mixed-precision regime: the f32 continuation runs at f32-sane tolerances
+    (Newton 2e-4 — tighter rtols just stall on the f32 residual floor at this
+    eps), then f64 defect correction drives the true residual to 1e-10.
+    Reports wall-clock, the hardest continuation step's outer iteration
+    count, and the refined relative residual."""
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.stokes import StokesConfig, StokesProblem
+    from spectral_tpu.solvers.krylov import KSPConfig
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    cfg = StokesConfig(exact=2, rheology=1, cont=4, regularization=1e-4,
+                       exponent=3.0, pcvel="mg",
+                       outer_ksp=KSPConfig(type="fgmres", rtol=1e-5,
+                                           max_it=120, restart=60),
+                       newton=NewtonConfig(rtol=2e-4, max_it=30))
+    p = StokesProblem(Grid((20, 20, 20)), cfg)
+    t0 = time.perf_counter()
+    x, info = p.solve_refined(rtol=1e-10)
+    dt = time.perf_counter() - t0
+    results = info["continuation"]
+    hardest = max(max(r.ksp_iters) if r.ksp_iters else 0 for r in results)
+    ok = info["rel_residual"] <= 1e-10
+    return dt, ok, hardest, info["rel_residual"], info["refine_inner_iters"]
+
+
 def main():
-    gdofs, dt = bench_cheb_matvec()
+    t_start = time.perf_counter()
+    gdofs, dt, copy_gelts = bench_cheb_matvec()
     bw_spec = _device_bw_gbps()
     try:
-        bw_meas = measure_stream_bw()
+        bw_triad = measure_stream_bw()
     except Exception:
-        bw_meas = bw_spec
-    # the roofline is the achievable bandwidth: min(spec, measured-now)
-    bw = min(bw_spec, bw_meas)
-    roofline_gdofs = bw / 8.0  # 8 bytes per dof in f32
+        bw_triad = bw_spec
+    # Roofline in GDOF/s: the same-pattern measured copy rate, capped by spec.
+    spec_gdofs = bw_spec / 8.0
+    roofline_gdofs = min(spec_gdofs, copy_gelts)
     target = 0.70 * roofline_gdofs
 
     extra = {}
@@ -192,6 +235,30 @@ def main():
         })
     except Exception as e:
         extra["elliptic32_error"] = str(e)[:200]
+    try:
+        st, souter, srefine, srel, serr = bench_stokes20_linear()
+        extra.update({
+            "stokes20_linear_time_s": round(st, 3),
+            "stokes20_linear_outer_iters": int(souter),
+            "stokes20_linear_refine_iters": int(srefine),
+            "stokes20_linear_rel_residual": srel,
+            "stokes20_linear_max_err": serr,
+        })
+    except Exception as e:
+        extra["stokes20_linear_error"] = str(e)[:200]
+    try:
+        if time.perf_counter() - t_start > 450:  # keep the JSON line printable
+            raise RuntimeError("skipped: bench time budget exhausted")
+        pt, ok, hardest, prel, pref = bench_stokes20_powerlaw()
+        extra.update({
+            "stokes20_powerlaw_time_s": round(pt, 3),
+            "stokes20_powerlaw_converged": bool(ok),
+            "stokes20_powerlaw_hardest_outer_iters": int(hardest),
+            "stokes20_powerlaw_rel_residual": prel,
+            "stokes20_powerlaw_refine_iters": int(pref),
+        })
+    except Exception as e:
+        extra["stokes20_powerlaw_error"] = str(e)[:200]
 
     out = {
         "metric": "cheb_matvec_gdofs",
@@ -200,7 +267,8 @@ def main():
         "vs_baseline": round(gdofs / target, 4),
         "device": jax.devices()[0].device_kind,
         "hbm_bw_spec_gbps": round(bw_spec, 1),
-        "hbm_bw_measured_gbps": round(bw_meas, 1),
+        "hbm_bw_triad_gbps": round(bw_triad, 1),
+        "copy_samepattern_gelts": round(copy_gelts, 2),
         "hbm_roofline_gdofs": round(roofline_gdofs, 1),
         "target_70pct": round(target, 1),
         "matvec_ms": round(dt * 1e3, 4),
