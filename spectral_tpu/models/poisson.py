@@ -87,6 +87,19 @@ class PoissonModel:
             mg = Multigrid.build(self.grid)
             state = mg.setup({})
             return lambda r: mg.vcycle(state, r)
+        if pc_type == "lu":
+            # Dense LU of the assembled FD surrogate — literally the
+            # reference's ``-pc_type lu`` (README:12-14); small grids only.
+            # fastdiag solves the SAME separable stencil exactly, so the two
+            # must give identical Krylov counts (asserted in
+            # tests/test_parity_fixtures.py).
+            if self.grid.size > 5000:
+                raise ValueError("dense -pc_type lu is for small grids")
+            A = jnp.asarray(self.fd_stencil.as_dense_np())
+            lu = jax.scipy.linalg.lu_factor(A)
+            dims = self.grid.dims
+            return lambda r: jax.scipy.linalg.lu_solve(
+                lu, r.reshape(-1)).reshape(dims)
         if pc_type == "none":
             return None
         raise ValueError(f"unknown pc_type {pc_type!r}")
