@@ -377,6 +377,31 @@ class StokesProblem:
                         self.grid, lin_state[0]).diag()[..., None],
                     lambda diag, r: self.mask_v(r / diag))
         if self.config.pcvel == "q1fem":
+            # -pcvel 1 analog, full parity (StokesPCSetUp1, stokes.C:1244-1456):
+            # the strain-coupled, eta/eta'-aware Q1 element matrix assembled
+            # into a 3^d-point coupled stencil, solved approximately by
+            # eta-scaled Richardson with the exact separable-Q1 fast
+            # diagonalization as the base solve.
+            from spectral_tpu.ops.fem import Q1FastDiag, assemble_q1_strain
+            fd = Q1FastDiag.build(self.grid)
+
+            def setup(lin_state):
+                eta, deta, S = lin_state
+                A = assemble_q1_strain(self.grid, eta, deta, S, self.vel_mask)
+                return (A, eta)
+
+            def apply(state, r):
+                A, eta = state
+                inv_eta = 1.0 / eta[..., None]
+                z = self.mask_v(fd.apply(r * inv_eta))
+                for _ in range(2):
+                    z = z + self.mask_v(fd.apply((r - A.apply(z)) * inv_eta))
+                return self.mask_v(z)
+
+            return setup, apply
+        if self.config.pcvel == "q1sep":
+            # separable Q1 Laplacian, solved EXACTLY by generalized fast
+            # diagonalization — the strong component-decoupled variant.
             from spectral_tpu.ops.fem import Q1FastDiag
             fd = Q1FastDiag.build(self.grid)
             return (lambda lin_state: None,

@@ -44,3 +44,65 @@ def test_q1_pc_on_poisson():
     assert int(res.iters) < 30
     err = float(jnp.max(jnp.abs(res.x - u)))
     assert err < 1e-8
+
+
+def _random_linearization(g, d, seed=0):
+    rng = np.random.default_rng(seed)
+    eta = 1.0 + rng.random(g.dims)
+    deta = 0.3 * rng.standard_normal(g.dims)
+    Sr = rng.standard_normal(g.dims + (d, d))
+    S = 0.5 * (Sr + np.swapaxes(Sr, -1, -2))
+    vm = np.ones(g.dims + (d,), bool)
+    for ax in range(d):
+        sl = [slice(None)] * d
+        sl[ax] = 0
+        vm[tuple(sl)] = False
+        sl[ax] = -1
+        vm[tuple(sl)] = False
+    return eta, deta, S, vm
+
+
+def test_q1_strain_assembly_matches_oracle_2d():
+    """StokesPCSetUp1 parity (stokes.C:1244-1456): the vectorized
+    3^d-stencil assembly equals the dense nested-loop oracle exactly."""
+    from spectral_tpu.ops.fem import assemble_q1_strain, q1_strain_dense_np
+
+    g = Grid((6, 5))
+    eta, deta, S, vm = _random_linearization(g, 2)
+    st = assemble_q1_strain(g, jnp.asarray(eta), jnp.asarray(deta),
+                            jnp.asarray(S), jnp.asarray(vm))
+    Ao = q1_strain_dense_np(g, eta, deta, S, vm)
+    np.testing.assert_allclose(st.as_dense_np(), Ao, atol=1e-13)
+    # apply() agrees with the dense materialization
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(g.dims + (2,)) * vm
+    y = np.asarray(st.apply(jnp.asarray(x)))
+    np.testing.assert_allclose(
+        y, (st.as_dense_np() @ x.reshape(-1)).reshape(x.shape), atol=1e-13)
+
+
+def test_q1_strain_assembly_matches_oracle_3d():
+    """Arbitrary-d generalization (the reference SETERRQs for d != 2,
+    stokes.C:1297)."""
+    from spectral_tpu.ops.fem import assemble_q1_strain, q1_strain_dense_np
+
+    g = Grid((4, 5, 4))
+    eta, deta, S, vm = _random_linearization(g, 3, seed=1)
+    st = assemble_q1_strain(g, jnp.asarray(eta), jnp.asarray(deta),
+                            jnp.asarray(S), jnp.asarray(vm))
+    np.testing.assert_allclose(st.as_dense_np(),
+                               q1_strain_dense_np(g, eta, deta, S, vm),
+                               atol=1e-13)
+
+
+def test_q1_strain_zeroN_filter():
+    """-zeroN/-zeroV symmetric pinning (stokes.C:1420-1432)."""
+    from spectral_tpu.ops.fem import assemble_q1_strain, q1_strain_dense_np
+
+    g = Grid((6, 5))
+    eta, deta, S, vm = _random_linearization(g, 2)
+    st = assemble_q1_strain(g, jnp.asarray(eta), jnp.asarray(deta),
+                            jnp.asarray(S), jnp.asarray(vm),
+                            zeroN=3, zeroV=2.5)
+    Ao = q1_strain_dense_np(g, eta, deta, S, vm, zeroN=3, zeroV=2.5)
+    np.testing.assert_allclose(st.as_dense_np(), Ao, atol=1e-13)
