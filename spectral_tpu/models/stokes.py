@@ -349,6 +349,45 @@ class StokesProblem:
 
         return Multigrid.build(self.grid, builder=builder)
 
+    def _mixed_fd_stencil(self, eta):
+        """FD velocity surrogate INCLUDING the one-sided traction rows,
+        scaled exactly like the residual's mixed rows
+        (scaleM*(scaleN*traction + alpha*v), stokes.C:1183-1200)."""
+        from spectral_tpu.models.stokes_pc import velocity_fd_stencil
+        cfg = self.config
+        oh = jnp.where(self.nm_mask[..., None], 1.0, 0.0) * jnp.abs(self.normal) \
+            / jnp.maximum(jnp.max(jnp.abs(self.normal), -1, keepdims=True), 1e-14)
+        nm_oh = (oh >= 1.0).astype(eta.dtype)
+        return velocity_fd_stencil(
+            self.grid, eta, scaleN=cfg.scaleM * cfg.scaleN,
+            nm_mask=self.nm_mask, nm_onehot=nm_oh, normal=self.normal,
+            alpha=cfg.scaleM * self.alpha)
+
+    @cached_property
+    def _nm_axes(self) -> tuple:
+        """Axes that are a principal normal of some mixed/Neumann node."""
+        nm = np.asarray(self.nm_mask)
+        oh = np.where(nm[..., None], np.abs(np.asarray(self.normal)), 0.0)
+        mx = oh.max(axis=-1, keepdims=True)
+        return tuple(ax for ax in range(self.d)
+                     if bool(((oh[..., ax] >= mx[..., 0]) & (oh[..., ax] > 0)).any()))
+
+    def _mixed_line_correct(self, S, z, r, omega: float = 0.5,
+                            sweeps: int = 1):
+        """Damped boundary-normal line relaxation on the mixed-row FD
+        surrogate: the one-sided traction rows are inverted exactly along
+        their normal (round-2 cure for the reference's 'convergence is
+        terrible' mixed regime, README:64-68); the interior solve z seeds
+        the sweep.  Damping omega=0.5 because the component-decoupled
+        2-point surrogate only approximates the true (spectral,
+        component-coupled) traction rows — a full inversion overshoots and
+        stalls the outer FGMRES (measured: 189 vs >400 iterations at 16^2
+        -boundary 2)."""
+        from spectral_tpu.ops.tridiag import line_smooth
+        zs = line_smooth(S, z, r, axes=self._nm_axes or tuple(range(self.d)),
+                         sweeps=sweeps, mask=self.vel_mask)
+        return self.mask_v(z + omega * (zs - z))
+
     def make_vel_pc(self) -> Callable:
         """Strong approximate inverse of the FD velocity surrogate
         (MatVVPC solved with hypre in the reference, README:36-40).
@@ -361,10 +400,25 @@ class StokesProblem:
         """
         if self.config.pcvel == "fastdiag":
             fd = self._vel_fastdiag
+            if self.num_mixed:
+                return (lambda lin_state: self._mixed_fd_stencil(lin_state[0]),
+                        lambda S, r: self._mixed_line_correct(
+                            S, self.mask_v(fd.apply(r)), r))
             return (lambda lin_state: None,
                     lambda vstate, r: self.mask_v(fd.apply(r)))
         if self.config.pcvel == "mg":
             mg = self._vel_mg
+            if self.num_mixed:
+                def setup(lin_state):
+                    return (mg.setup({"eta": lin_state[0]}),
+                            self._mixed_fd_stencil(lin_state[0]))
+
+                def apply(vstate, r):
+                    mg_state, S = vstate
+                    return self._mixed_line_correct(
+                        S, self.mask_v(mg.vcycle(mg_state, r)), r)
+
+                return setup, apply
             return (lambda lin_state: mg.setup({"eta": lin_state[0]}),
                     lambda vstate, r: self.mask_v(mg.vcycle(vstate, r)))
         if self.config.pcvel == "nodal":
@@ -518,7 +572,19 @@ class StokesProblem:
         """One SNES solve at fixed rheology parameters."""
         cfg = self.config
         params = params or self.params_at(cfg.cont)
-        residual = self.make_residual(params, monitor_eta=monitor)
+        residual_raw = self.make_residual(params, monitor_eta=monitor)
+
+        def residual(x):
+            # MatNullSpaceRemove analog on the residual (stokes.C:1006-1025,
+            # KSPSetNullSpace removes the constant-pressure mode from every
+            # RHS): with mixed/Neumann boundaries the discrete boundary data
+            # can violate global mass balance (sum of the continuity rows
+            # != 0), an incompatibility living exactly in the null space —
+            # Newton must measure the projected residual or it stalls on a
+            # component no velocity field can remove (README:64-68 regime).
+            F, lin_state = residual_raw(x)
+            return {"v": F["v"], "p": self.project_p(F["p"])}, lin_state
+
         pc_setup, pc_apply = self.make_pc()
         x0 = x0 if x0 is not None else self.zero_state()
         newton = dataclasses.replace(cfg.newton, monitor=monitor)

@@ -67,3 +67,34 @@ def test_mg_component_broadcast():
     z0 = mg.vcycle(state, r[..., :1])
     np.testing.assert_allclose(np.asarray(z[..., 0]), np.asarray(z0[..., 0]),
                                atol=1e-12)
+
+
+def test_thomas_line_solve():
+    """Batched tridiagonal line solve (ops/tridiag.py): exact per-line
+    inverse of the single-axis stencil part, any axis, trailing components."""
+    import numpy as np
+    import jax.numpy as jnp
+    from spectral_tpu.ops.tridiag import thomas
+
+    rng = np.random.default_rng(0)
+    n0, n1 = 7, 9
+    for axis in (0, 1):
+        n = (n0, n1)[axis]
+        lo = rng.standard_normal((n0, n1)) * 0.3
+        up = rng.standard_normal((n0, n1)) * 0.3
+        ce = 2.0 + rng.random((n0, n1))
+        sl = [slice(None)] * 2
+        sl[axis] = 0
+        lo[tuple(sl)] = 0
+        sl[axis] = n - 1
+        up[tuple(sl)] = 0
+        rhs = rng.standard_normal((n0, n1, 2))
+        x = np.asarray(thomas(jnp.asarray(lo), jnp.asarray(ce),
+                              jnp.asarray(up), jnp.asarray(rhs), axis))
+        xs = np.moveaxis(x, axis, 0)
+        rs = np.moveaxis(rhs, axis, 0)
+        los, ces, ups = (np.moveaxis(a, axis, 0) for a in (lo, ce, up))
+        res = ces[..., None] * xs.copy()
+        res[1:] += los[1:, ..., None] * xs[:-1]
+        res[:-1] += ups[:-1, ..., None] * xs[1:]
+        np.testing.assert_allclose(res, rs, atol=1e-12)

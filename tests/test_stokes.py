@@ -293,3 +293,47 @@ def test_q1fem_coupled_beats_decoupled():
     hard_cp = max(max(r.ksp_iters) for r in r_cp)
     hard_dc = max(max(r.ksp_iters) for r in r_dc)
     assert hard_cp < hard_dc, (hard_cp, hard_dc)
+
+
+def test_neumann_boundary1_converges():
+    """Beating the reference where it is broken (README:64-68 'Neumann
+    destroys conditioning'): with the boundary-normal line correction in
+    the velocity PC, -boundary 1 at 16^2 converges in one Newton step.
+    Recorded: 125 outer iterations at rtol 1e-11."""
+    from spectral_tpu.solvers.krylov import KSPConfig
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    cfg = StokesConfig(exact=2, boundary=1, cont0=1,
+                       outer_ksp=KSPConfig(type="fgmres", rtol=1e-11,
+                                           max_it=800, restart=200),
+                       newton=NewtonConfig(rtol=1e-11, max_it=10))
+    p = StokesProblem(Grid((16, 16)), cfg)
+    res = p.solve()
+    assert res.reason > 0
+    assert res.iters == 1
+    assert res.ksp_iters[0] <= 200, res.ksp_iters
+    # FD traction of the exact stress (eps 1e-7) x boundary conditioning
+    # bounds the achievable error; recorded 4.9e-06
+    assert p.error_vs_exact(res.x) < 1e-4
+
+
+def test_mixed_boundary2_converges():
+    """Beating the reference where it is broken (README:64-68 'convergence
+    is terrible' for mixed BCs): the sliding-bed config at 16^2 converges.
+    Two round-2 ingredients: (1) damped boundary-normal line relaxation on
+    the traction rows inside the velocity PC; (2) the Newton norm measures
+    the null-projected residual (MatNullSpaceRemove analog) — the mixed
+    boundary data violates global mass balance by a constant continuity
+    mode no velocity can remove.  Recorded: 1 Newton step, 194 outer its."""
+    from spectral_tpu.solvers.krylov import KSPConfig
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    cfg = StokesConfig(exact=2, boundary=2, cont0=1,
+                       outer_ksp=KSPConfig(type="fgmres", rtol=1e-8,
+                                           max_it=400, restart=100),
+                       newton=NewtonConfig(rtol=1e-8, max_it=10))
+    p = StokesProblem(Grid((16, 16)), cfg)
+    res = p.solve()
+    assert res.reason > 0
+    assert res.iters == 1
+    assert res.ksp_iters[0] <= 260, res.ksp_iters
