@@ -185,6 +185,10 @@ def bench_stokes20_powerlaw():
     from spectral_tpu.solvers.krylov import KSPConfig
     from spectral_tpu.solvers.newton import NewtonConfig
 
+    # NB: pcvel_smoother="line" + vel max_it 6 cuts the hardest step to 14
+    # outer iterations, but the scan-serial Thomas sweeps cost ~3x wall on
+    # the TPU; the bench optimizes wall-clock, the iteration-count win is
+    # recorded in tests/test_parity_fixtures.py.
     cfg = StokesConfig(exact=2, rheology=1, cont=4, regularization=1e-4,
                        exponent=3.0, pcvel="mg",
                        outer_ksp=KSPConfig(type="fgmres", rtol=1e-5,

@@ -164,6 +164,7 @@ def stokes_main(opts: Options) -> int:
         scaleN=opts.get_real("scaleN", 1.0),
         pcvel={0: "fastdiag", 1: "q1fem", 2: "probed", 3: "nodal"}.get(
             opts.get_int("pcvel", 0), "fastdiag"),
+        pcvel_smoother=opts.get_string("pcvel_smoother", "chebyshev"),
         saddle=opts.get_int("pc_saddle_type", 0),
         outer_ksp=opts.ksp_config("", KSPConfig(type="fgmres", rtol=1e-5,
                                                 max_it=500, restart=50)),

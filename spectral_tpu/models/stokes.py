@@ -64,6 +64,7 @@ class StokesConfig:
     scaleM: float = 1.0
     scaleN: float = 1.0
     pcvel: str = "fastdiag"   # -pcvel analog: fastdiag|mg|nodal|jacobi|q1fem|probed
+    pcvel_smoother: str = "chebyshev"   # mg/nodal smoother: chebyshev|jacobi|line
     saddle: int = 0               # -pc_saddle_type: 0 LU, 1 upper, 2 diag, 3 lower
     outer_ksp: KSPConfig = KSPConfig(type="fgmres", rtol=1e-10, max_it=200, restart=50)
     vel_ksp: KSPConfig = KSPConfig(type="gmres", rtol=1e-5, max_it=4, restart=4)
@@ -331,7 +332,8 @@ class StokesProblem:
                 eta = jnp.ones(grid.dims)
             return velocity_fd_stencil(grid, eta)
 
-        return Multigrid.build(self.grid, builder=builder)
+        return Multigrid.build(self.grid, builder=builder,
+                               smoother=self.config.pcvel_smoother)
 
     @cached_property
     def _vel_mg_nodal(self):

@@ -75,13 +75,18 @@ class Multigrid:
     pre_smooth: int = 2
     post_smooth: int = 2
     omega: float = 0.8
-    smoother: str = "chebyshev"  # "chebyshev" | "jacobi"
+    smoother: str = "chebyshev"  # "chebyshev" | "jacobi" | "line"
 
     @staticmethod
     def build(grid: Grid, builder: Callable = default_stencil_builder,
               coarsest: int = 4, max_levels: int = 10,
               pre_smooth: int = 2, post_smooth: int = 2,
               omega: float = 0.8, smoother: str = "chebyshev") -> "Multigrid":
+        """smoother="line": alternating-direction batched tridiagonal line
+        relaxation (ops/tridiag.py) — mesh-independent smoothing rates on
+        the high-aspect CGL corner cells (spacing ~1/n^2 normal x ~1/n
+        tangential) where point-Jacobi/Chebyshev stall (round-1 roadmap #4,
+        the hypre-strong-smoother analog)."""
         grids = [grid]
         while len(grids) < max_levels:
             dims = grids[-1].dims
@@ -138,7 +143,7 @@ class Multigrid:
             S = self.builder(g, coeffs)
             diag = S.diag()
             lam_max = None
-            if self.smoother == "chebyshev" and lvl < len(self.grids) - 1:
+            if self.smoother == "chebyshev" and lvl < len(self.grids) - 1:  # noqa: E501  (line smoother needs no eig bound)
                 lam_max = self._power_lambda_max(lvl, S, diag)
             levels.append((S, diag, lam_max))
             if lvl < len(self.grids) - 1:
@@ -169,6 +174,10 @@ class Multigrid:
 
     # -- cycle ----------------------------------------------------------------
     def _smooth(self, S: StencilOp, diag: jax.Array, lam_max, x, b, iters: int):
+        if self.smoother == "line":
+            from spectral_tpu.ops.tridiag import line_smooth
+            return line_smooth(S, x, b, axes=tuple(range(S.grid_ndim)),
+                               sweeps=iters)
         d = diag if x.ndim == diag.ndim else diag.reshape(diag.shape + (1,) * (x.ndim - diag.ndim))
         if self.smoother == "jacobi" or lam_max is None:
             for _ in range(iters):

@@ -98,3 +98,28 @@ def test_thomas_line_solve():
         res[1:] += los[1:, ..., None] * xs[:-1]
         res[:-1] += ups[:-1, ..., None] * xs[1:]
         np.testing.assert_allclose(res, rs, atol=1e-12)
+
+
+def test_line_smoothed_vcycle_preconditions():
+    """smoother='line' (alternating-direction tridiagonal relaxation,
+    round-1 roadmap #4): the V-cycle stays a strong PC — GMRES on the 2-D
+    Poisson FD surrogate converges in a handful of iterations, no worse
+    than the Chebyshev-smoothed cycle."""
+    import jax.numpy as jnp
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.poisson import PoissonModel
+    from spectral_tpu.ops.multigrid import Multigrid
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    m = PoissonModel(Grid((24, 24)))
+    u, f = m.exact_solution()
+    b = m.rhs(u, f)
+    ksp = KSPConfig(type="gmres", rtol=1e-10, max_it=60)
+    its = {}
+    for sm in ("chebyshev", "line"):
+        mg = Multigrid.build(m.grid, smoother=sm)
+        state = mg.setup({})
+        res = ksp.solve(m.operator, b, M=lambda r: mg.vcycle(state, r))
+        assert int(res.reason) > 0
+        its[sm] = int(res.iters)
+    assert its["line"] <= its["chebyshev"] + 2, its
