@@ -374,7 +374,15 @@ class StokesProblem:
         return tuple(ax for ax in range(self.d)
                      if bool(((oh[..., ax] >= mx[..., 0]) & (oh[..., ax] > 0)).any()))
 
-    def _mixed_line_correct(self, S, z, r, omega: float = 0.5,
+    def _mixed_line_state(self, eta):
+        """(stencil, per-axis dense line solvers) for the mixed-row
+        correction — built once per PC setup, applied many times."""
+        from spectral_tpu.ops.tridiag import build_line_solvers
+        S = self._mixed_fd_stencil(eta)
+        axes = self._nm_axes or tuple(range(self.d))
+        return S, build_line_solvers(S, axes, mask=self.vel_mask)
+
+    def _mixed_line_correct(self, state, z, r, omega: float = 0.5,
                             sweeps: int = 1):
         """Damped boundary-normal line relaxation on the mixed-row FD
         surrogate: the one-sided traction rows are inverted exactly along
@@ -386,8 +394,9 @@ class StokesProblem:
         stalls the outer FGMRES (measured: 189 vs >400 iterations at 16^2
         -boundary 2)."""
         from spectral_tpu.ops.tridiag import line_smooth
+        S, solvers = state
         zs = line_smooth(S, z, r, axes=self._nm_axes or tuple(range(self.d)),
-                         sweeps=sweeps, mask=self.vel_mask)
+                         sweeps=sweeps, mask=self.vel_mask, solvers=solvers)
         return self.mask_v(z + omega * (zs - z))
 
     def make_vel_pc(self) -> Callable:
@@ -403,9 +412,9 @@ class StokesProblem:
         if self.config.pcvel == "fastdiag":
             fd = self._vel_fastdiag
             if self.num_mixed:
-                return (lambda lin_state: self._mixed_fd_stencil(lin_state[0]),
-                        lambda S, r: self._mixed_line_correct(
-                            S, self.mask_v(fd.apply(r)), r))
+                return (lambda lin_state: self._mixed_line_state(lin_state[0]),
+                        lambda st, r: self._mixed_line_correct(
+                            st, self.mask_v(fd.apply(r)), r))
             return (lambda lin_state: None,
                     lambda vstate, r: self.mask_v(fd.apply(r)))
         if self.config.pcvel == "mg":
@@ -413,12 +422,12 @@ class StokesProblem:
             if self.num_mixed:
                 def setup(lin_state):
                     return (mg.setup({"eta": lin_state[0]}),
-                            self._mixed_fd_stencil(lin_state[0]))
+                            self._mixed_line_state(lin_state[0]))
 
                 def apply(vstate, r):
-                    mg_state, S = vstate
+                    mg_state, st = vstate
                     return self._mixed_line_correct(
-                        S, self.mask_v(mg.vcycle(mg_state, r)), r)
+                        st, self.mask_v(mg.vcycle(mg_state, r)), r)
 
                 return setup, apply
             return (lambda lin_state: mg.setup({"eta": lin_state[0]}),

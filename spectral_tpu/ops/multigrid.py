@@ -143,9 +143,13 @@ class Multigrid:
             S = self.builder(g, coeffs)
             diag = S.diag()
             lam_max = None
-            if self.smoother == "chebyshev" and lvl < len(self.grids) - 1:  # noqa: E501  (line smoother needs no eig bound)
+            if self.smoother == "chebyshev" and lvl < len(self.grids) - 1:
                 lam_max = self._power_lambda_max(lvl, S, diag)
-            levels.append((S, diag, lam_max))
+            lsolv = None
+            if self.smoother == "line":
+                from spectral_tpu.ops.tridiag import build_line_solvers
+                lsolv = build_line_solvers(S, tuple(range(g.ndim)))
+            levels.append((S, diag, lam_max, lsolv))
             if lvl < len(self.grids) - 1:
                 coeffs = jax.tree_util.tree_map(
                     lambda f: self._restrict_field(lvl, f), coeffs)
@@ -173,11 +177,12 @@ class Multigrid:
         return 1.1 * num / jnp.maximum(den, 1e-30)
 
     # -- cycle ----------------------------------------------------------------
-    def _smooth(self, S: StencilOp, diag: jax.Array, lam_max, x, b, iters: int):
+    def _smooth(self, S: StencilOp, diag: jax.Array, lam_max, x, b,
+                iters: int, lsolv=None):
         if self.smoother == "line":
             from spectral_tpu.ops.tridiag import line_smooth
             return line_smooth(S, x, b, axes=tuple(range(S.grid_ndim)),
-                               sweeps=iters)
+                               sweeps=iters, solvers=lsolv)
         d = diag if x.ndim == diag.ndim else diag.reshape(diag.shape + (1,) * (x.ndim - diag.ndim))
         if self.smoother == "jacobi" or lam_max is None:
             for _ in range(iters):
@@ -202,19 +207,20 @@ class Multigrid:
         return x
 
     def _cycle(self, state, lvl: int, b: jax.Array) -> jax.Array:
-        S, diag, lam_max = state["levels"][lvl]
+        S, diag, lam_max, lsolv = state["levels"][lvl]
         if lvl == len(self.grids) - 1:
             size = math.prod(self.grids[lvl].dims)
             comp = b.shape[len(self.grids[lvl].dims):]
             z = jax.scipy.linalg.lu_solve(state["coarse_lu"],
                                           b.reshape(size, -1))
             return z.reshape(b.shape)
-        x = self._smooth(S, diag, lam_max, jnp.zeros_like(b), b, self.pre_smooth)
+        x = self._smooth(S, diag, lam_max, jnp.zeros_like(b), b,
+                         self.pre_smooth, lsolv)
         r = b - S.apply(x)
         rc = self._mask(lvl + 1, self._restrict_residual(lvl, r))
         ec = self._cycle(state, lvl + 1, rc)
         x = x + self._mask(lvl, self._prolong(lvl, ec))
-        return self._smooth(S, diag, lam_max, x, b, self.post_smooth)
+        return self._smooth(S, diag, lam_max, x, b, self.post_smooth, lsolv)
 
     def vcycle(self, state, b: jax.Array) -> jax.Array:
         """One V-cycle as a preconditioner apply (boundary passes through)."""

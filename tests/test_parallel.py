@@ -262,3 +262,28 @@ def test_full_sharded_stokes_solve_iteration_invariant():
     assert r_sh.ksp_iters == r_ref.ksp_iters
     np.testing.assert_allclose(np.asarray(r_sh.x["v"]), np.asarray(r_ref.x["v"]),
                                atol=1e-12)
+
+
+def test_stokes_two_axis_pencil_solve():
+    """Stokes on an explicit P x Q pencil mesh (axis_map {0:'x',1:'y'}):
+    the full saddle solve matches the single-device solve (round-1 roadmap
+    #3: two-axis meshes in the models)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from spectral_tpu.models.stokes import StokesConfig, StokesProblem
+
+    devs = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("x", "y"))
+    dims = (12, 12, 8)
+    cfg = StokesConfig(exact=2, cont0=1)
+    p_ref = StokesProblem(Grid(dims), cfg)
+    r_ref = p_ref.solve()
+    with mesh:
+        p_sh = StokesProblem(Grid(dims), cfg, mesh=mesh,
+                             axis_map={0: "x", 1: "y"})
+        r_sh = p_sh.solve()
+    assert r_ref.reason > 0 and r_sh.reason > 0
+    assert r_sh.ksp_iters == r_ref.ksp_iters  # iteration-invariant
+    np.testing.assert_allclose(np.asarray(r_sh.x["v"]),
+                               np.asarray(r_ref.x["v"]), atol=1e-9)
