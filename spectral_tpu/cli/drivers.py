@@ -51,6 +51,17 @@ def cheb_main(opts: Options) -> int:
     return 0
 
 
+def _domain_intervals(opts, ndim):
+    """-domain a0,b0,a1,b1,... : per-axis physical intervals (the coordinate
+    transform the reference leaves as FIXME, stokes.C:587-738)."""
+    vals = opts.get_real_array("domain", ())
+    if not vals:
+        return None
+    if len(vals) != 2 * ndim:
+        raise SystemExit(f"-domain needs {2 * ndim} values (a,b per axis)")
+    return tuple((vals[2 * i], vals[2 * i + 1]) for i in range(ndim))
+
+
 def poisson_main(opts: Options) -> int:
     """Linear Poisson solve (poisson.c:33-175)."""
     import jax.numpy as jnp
@@ -63,7 +74,8 @@ def poisson_main(opts: Options) -> int:
     n = opts.get_int("n", 7)
     p = opts.get_int("p", 1)
     dims = (m, n) if p == 1 else (m, n, p)
-    model = PoissonModel(Grid(dims))
+    model = PoissonModel(
+        Grid(dims, intervals=_domain_intervals(opts, len(dims))))
     u, f = model.exact_solution()
     b = model.rhs(u, f)
     ksp = opts.ksp_config("", KSPConfig(type="gmres", rtol=1e-7, max_it=500))
@@ -95,7 +107,9 @@ def elliptic_main(opts: Options) -> int:
     print(f"Elliptic problem  dims = [{','.join(map(str, dims))}]"
           f"    gamma = {gamma:f}    exponent = {exponent:8f}")
 
-    model = EllipticModel(Grid(dims), gamma=gamma, exponent=exponent)
+    model = EllipticModel(
+        Grid(dims, intervals=_domain_intervals(opts, len(dims))),
+        gamma=gamma, exponent=exponent)
     g = model.grid
     print(g.census())
     u, b, dirichlet = model.setup_problem(exact=exact, cos_scale=cos_scale)
@@ -181,7 +195,8 @@ def stokes_main(opts: Options) -> int:
     print(f"  hardness = {cfg.hardness:f}    exponent = {cfg.exponent:8f}"
           f"    regularization = {cfg.regularization:8f}    gamma0 = {cfg.gamma0:8f}")
 
-    p = StokesProblem(Grid(dims), cfg)
+    p = StokesProblem(
+        Grid(dims, intervals=_domain_intervals(opts, len(dims))), cfg)
     print(p.census())
 
     # exact residual check (stokes.C:191-205)
@@ -240,7 +255,7 @@ def heat_main(opts: Options) -> int:
     dt = opts.get_real("dt", 0.01)
     nsteps = opts.get_int("nsteps", 20)
     theta = opts.get_real("theta", 0.5)
-    g = Grid(dims)
+    g = Grid(dims, intervals=_domain_intervals(opts, len(dims)))
     m = HeatModel(g, dt=dt, theta=theta)
     u0 = g.zero_boundary(jnp.prod(jnp.cos(0.5 * jnp.pi * g.coords), axis=-1))
     z = jnp.zeros(g.dims)

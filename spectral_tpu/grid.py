@@ -34,13 +34,31 @@ from spectral_tpu.ops.chebyshev import cgl_nodes_np
 
 @dataclasses.dataclass(frozen=True)
 class Grid:
-    """A d-dimensional tensor-product CGL grid (arbitrary d, cf. README:19-24)."""
+    """A d-dimensional tensor-product CGL grid (arbitrary d, cf. README:19-24).
+
+    ``intervals`` maps each axis affinely from the reference [-1, 1] onto
+    [a, b] — the coordinate transform the reference leaves unimplemented
+    ("FIXME: coordinate transform", stokes.C:587/611/640/669/702/738).
+    Node orientation is preserved: index 0 sits at b (the +normal face).
+    Physical node positions flow into every nodes_1d consumer (FD stencils,
+    fast diagonalization, Q1 FEM, extrapolation) automatically; spectral
+    derivatives pick up the chain-rule factor via ``deriv_scale``.
+    """
 
     dims: tuple[int, ...]
+    intervals: tuple[tuple[float, float], ...] | None = None
 
     def __post_init__(self):
         if any(n < 3 for n in self.dims):
             raise ValueError(f"every axis needs >= 3 nodes, got {self.dims}")
+        if self.intervals is not None:
+            if len(self.intervals) != len(self.dims):
+                raise ValueError("need one (a, b) interval per axis")
+            if any(b <= a for a, b in self.intervals):
+                raise ValueError("intervals must satisfy a < b")
+            object.__setattr__(self, "intervals",
+                               tuple((float(a), float(b))
+                                     for a, b in self.intervals))
 
     @property
     def ndim(self) -> int:
@@ -52,7 +70,25 @@ class Grid:
 
     @cached_property
     def nodes_1d(self) -> tuple[np.ndarray, ...]:
-        return tuple(cgl_nodes_np(n) for n in self.dims)
+        ref = [cgl_nodes_np(n) for n in self.dims]
+        if self.intervals is None:
+            return tuple(ref)
+        out = []
+        for (a, b), z in zip(self.intervals, ref):
+            c, h = 0.5 * (a + b), 0.5 * (b - a)
+            out.append(c + h * z)
+        return tuple(out)
+
+    @cached_property
+    def deriv_scale_np(self) -> np.ndarray:
+        """Per-axis chain-rule factor d(xi)/d(x) = 2/(b - a) for spectral
+        derivatives computed in the reference coordinate (1.0 unmapped)."""
+        if self.intervals is None:
+            return np.ones(len(self.dims))
+        return np.asarray([2.0 / (b - a) for a, b in self.intervals])
+
+    def deriv_scale(self, axis: int) -> float:
+        return float(self.deriv_scale_np[axis])
 
     @cached_property
     def coords_np(self) -> np.ndarray:

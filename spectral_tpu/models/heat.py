@@ -47,8 +47,9 @@ class HeatModel:
         """Spectral Laplacian with homogeneous rows at the boundary (the
         solution's boundary values are held by the Dirichlet data)."""
         y = jnp.zeros_like(u)
+        s2 = self.grid.deriv_scale_np ** 2
         for ax in range(self.grid.ndim):
-            y = y + chebdiff(chebdiff(u, ax), ax)
+            y = y + s2[ax] * chebdiff(chebdiff(u, ax), ax)
         return self.grid.zero_boundary(y)
 
     def implicit_operator(self, u: jax.Array) -> jax.Array:

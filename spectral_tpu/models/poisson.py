@@ -53,6 +53,7 @@ class PoissonModel:
         kernel (ops.pallas_cheb.laplacian3d_pallas): one HBM round trip
         instead of 12.
         """
+        s2 = self.grid.deriv_scale_np ** 2  # chain rule for mapped domains
         if self.mesh is not None:
             from spectral_tpu.parallel.pencil import make_dif
 
@@ -61,14 +62,16 @@ class PoissonModel:
                            mesh_axis=self.mesh_axis)
             y = jnp.zeros_like(u)
             for ax in range(self.grid.ndim):
-                y = y - dif(dif(u, ax), ax)
+                y = y - s2[ax] * dif(dif(u, ax), ax)
             return jnp.where(self.grid.boundary_mask, u, y)
         if self.method == "pallas" and self.grid.ndim == 3:
             from spectral_tpu.ops.pallas_cheb import laplacian3d_pallas
-            return laplacian3d_pallas(u, bmask=self.grid.boundary_mask)
+            return laplacian3d_pallas(u, bmask=self.grid.boundary_mask,
+                                      scales=tuple(s2))
         y = jnp.zeros_like(u)
         for ax in range(self.grid.ndim):
-            y = y - chebdiff(chebdiff(u, ax, self.method), ax, self.method)
+            y = y - s2[ax] * chebdiff(chebdiff(u, ax, self.method),
+                                      ax, self.method)
         return jnp.where(self.grid.boundary_mask, u, y)
 
     @cached_property

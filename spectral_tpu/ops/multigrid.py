@@ -95,7 +95,7 @@ class Multigrid:
             new_dims = tuple(max(3, (n + 1) // 2) for n in dims)
             if new_dims == dims:
                 break
-            grids.append(Grid(new_dims))
+            grids.append(Grid(new_dims, intervals=grid.intervals))
         Ps, Rcs = [], []
         for lvl in range(len(grids) - 1):
             fine, coarse = grids[lvl], grids[lvl + 1]

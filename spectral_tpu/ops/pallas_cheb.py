@@ -79,7 +79,8 @@ def chebdiff_last_pallas(u: jax.Array, block_rows: int = 1024,
 
 
 def laplacian3d_pallas(u: jax.Array, bmask: jax.Array | None = None,
-                       interpret: bool = False) -> jax.Array:
+                       interpret: bool = False,
+                       scales: tuple | None = None) -> jax.Array:
     """y = -sum_j D_j(D_j u) on a 3-D grid, fused into ONE kernel.
 
     The whole field stays VMEM-resident (n <= ~96 in f32): one HBM read of u
@@ -94,9 +95,11 @@ def laplacian3d_pallas(u: jax.Array, bmask: jax.Array | None = None,
     dtype = u.dtype
     if nx * ny * nz * u.dtype.itemsize > 4 * 2**20:
         raise ValueError("grid too large for the VMEM-resident kernel")
-    D2xT = jnp.asarray((diffmat_np(nx) @ diffmat_np(nx)).T, dtype)
-    D2yT = jnp.asarray((diffmat_np(ny) @ diffmat_np(ny)).T, dtype)
-    D2zT = jnp.asarray((diffmat_np(nz) @ diffmat_np(nz)).T, dtype)
+    sx, sy, sz = scales if scales is not None else (1.0, 1.0, 1.0)
+    # mapped-domain chain-rule factors fold into the resident matrices
+    D2xT = jnp.asarray(sx * (diffmat_np(nx) @ diffmat_np(nx)).T, dtype)
+    D2yT = jnp.asarray(sy * (diffmat_np(ny) @ diffmat_np(ny)).T, dtype)
+    D2zT = jnp.asarray(sz * (diffmat_np(nz) @ diffmat_np(nz)).T, dtype)
 
     def dg(a, b, ca, cb):
         return jax.lax.dot_general(

@@ -90,6 +90,12 @@ class Options:
             return tuple(default)
         return tuple(int(t) for t in v.replace(" ", "").split(",") if t)
 
+    def get_real_array(self, key: str, default=()) -> tuple[float, ...]:
+        v = self._get(key)
+        if v is None:
+            return tuple(default)
+        return tuple(float(t) for t in v.replace(" ", "").split(",") if t)
+
     def unused(self) -> list[str]:
         """-options_left analog: keys never consumed."""
         return sorted(set(self._db) - self._used)

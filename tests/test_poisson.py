@@ -63,3 +63,32 @@ def test_poisson_5d():
     res, err = _solve((6, 6, 6, 6, 6), rtol=1e-8)
     assert int(res.reason) > 0
     assert err < 1e-2  # coarse grid; mainly checks the arbitrary-d path runs
+
+
+def test_mapped_domain_poisson():
+    """Coordinate transforms — NEW capability; the reference leaves them
+    unimplemented ("FIXME: coordinate transform", stokes.C:587-738).
+    Affine per-axis maps: physical nodes flow into the FD surrogate and
+    fastdiag automatically, spectral derivatives pick up the chain rule."""
+    import jax.numpy as jnp
+
+    g = Grid((20, 24), intervals=((0.0, 2.0), (-1.0, 3.0)))
+    assert float(g.nodes_1d[0][0]) == 2.0 and float(g.nodes_1d[0][-1]) == 0.0
+    m = PoissonModel(g)
+    u, f = m.exact_solution()
+    res = m.solve(m.rhs(u, f), ksp=KSPConfig(type="gmres", rtol=1e-11,
+                                             max_it=100))
+    assert int(res.reason) > 0
+    assert float(jnp.max(jnp.abs(res.x - u))) < 1e-10
+
+
+def test_mapped_domain_poisson_mg_3d():
+    import jax.numpy as jnp
+
+    g = Grid((16, 16, 16), intervals=((0, 1), (0, 2), (0, 1)))
+    m = PoissonModel(g)
+    u, f = m.exact_solution()
+    res = m.solve(m.rhs(u, f), ksp=KSPConfig(type="gmres", rtol=1e-10,
+                                             max_it=100), pc_type="mg")
+    assert int(res.reason) > 0
+    assert float(jnp.max(jnp.abs(res.x - u))) < 1e-9

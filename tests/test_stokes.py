@@ -337,3 +337,13 @@ def test_mixed_boundary2_converges():
     assert res.reason > 0
     assert res.iters == 1
     assert res.ksp_iters[0] <= 260, res.ksp_iters
+
+
+def test_mapped_domain_stokes():
+    """Stokes on a non-unit box (the reference's FIXME'd coordinate
+    transform): exact solution recovered with spectral accuracy."""
+    p = StokesProblem(Grid((12, 12), intervals=((0, 2), (0, 1))),
+                      StokesConfig(exact=2, cont0=1))
+    res = p.solve()
+    assert res.reason > 0
+    assert p.error_vs_exact(res.x) < 1e-6
