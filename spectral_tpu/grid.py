@@ -47,10 +47,13 @@ class Grid:
 
     dims: tuple[int, ...]
     intervals: tuple[tuple[float, float], ...] | None = None
+    maps: tuple | None = None   # per-axis ops.mapping.AxisMap (general maps)
 
     def __post_init__(self):
         if any(n < 3 for n in self.dims):
             raise ValueError(f"every axis needs >= 3 nodes, got {self.dims}")
+        if self.intervals is not None and self.maps is not None:
+            raise ValueError("pass intervals OR maps, not both")
         if self.intervals is not None:
             if len(self.intervals) != len(self.dims):
                 raise ValueError("need one (a, b) interval per axis")
@@ -59,6 +62,11 @@ class Grid:
             object.__setattr__(self, "intervals",
                                tuple((float(a), float(b))
                                      for a, b in self.intervals))
+        if self.maps is not None:
+            if len(self.maps) != len(self.dims):
+                raise ValueError("need one AxisMap per axis")
+            if any(m.n != n for m, n in zip(self.maps, self.dims)):
+                raise ValueError("AxisMap lengths must match dims")
 
     @property
     def ndim(self) -> int:
@@ -70,6 +78,8 @@ class Grid:
 
     @cached_property
     def nodes_1d(self) -> tuple[np.ndarray, ...]:
+        if self.maps is not None:
+            return tuple(np.asarray(m.x) for m in self.maps)
         ref = [cgl_nodes_np(n) for n in self.dims]
         if self.intervals is None:
             return tuple(ref)
@@ -81,14 +91,50 @@ class Grid:
 
     @cached_property
     def deriv_scale_np(self) -> np.ndarray:
-        """Per-axis chain-rule factor d(xi)/d(x) = 2/(b - a) for spectral
-        derivatives computed in the reference coordinate (1.0 unmapped)."""
+        """Per-axis CONSTANT chain-rule factor d(xi)/d(x) = 2/(b - a) for
+        spectral derivatives computed in the reference coordinate (1.0
+        unmapped).  General per-node weights live in ``dif_weight_np``."""
         if self.intervals is None:
             return np.ones(len(self.dims))
         return np.asarray([2.0 / (b - a) for a, b in self.intervals])
 
     def deriv_scale(self, axis: int) -> float:
+        if self.maps is not None:
+            raise ValueError("general maps have per-node weights; "
+                             "use apply_dif_weight")
         return float(self.deriv_scale_np[axis])
+
+    def dif_weight_np(self, axis: int):
+        """Chain-rule weight for a spectral first derivative along ``axis``:
+        None (identity), a float (affine interval), or a (n,) array
+        (general map)."""
+        if self.maps is not None:
+            return np.asarray(self.maps[axis].w)
+        if self.intervals is None:
+            return None
+        return float(self.deriv_scale_np[axis])
+
+    def apply_dif_weight(self, v: jax.Array, axis: int) -> jax.Array:
+        """v * d(xi)/d(x) along ``axis`` (broadcast over all other axes,
+        including trailing component axes); identity on unmapped grids."""
+        w = self.dif_weight_np(axis)
+        if w is None:
+            return v
+        if np.ndim(w) == 0:
+            return v * w
+        shape = [1] * v.ndim
+        shape[axis] = len(w)
+        return v * jnp.asarray(w, v.dtype).reshape(shape)
+
+    def apply_dif_weight_np(self, v: np.ndarray, axis: int) -> np.ndarray:
+        w = self.dif_weight_np(axis)
+        if w is None:
+            return v
+        if np.ndim(w) == 0:
+            return v * w
+        shape = [1] * v.ndim
+        shape[axis] = len(w)
+        return v * np.asarray(w).reshape(shape)
 
     @cached_property
     def coords_np(self) -> np.ndarray:

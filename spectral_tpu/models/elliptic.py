@@ -55,15 +55,14 @@ class EllipticModel:
     axis_map: object = None
 
     def _dif(self, v, axis):
-        s = self.grid.deriv_scale(axis)  # mapped-domain chain rule
         if self.mesh is None:
-            return chebdiff(v, axis, self.method) * s if s != 1.0 else \
-                chebdiff(v, axis, self.method)
-        from spectral_tpu.parallel.pencil import make_dif
-        d = make_dif(self.mesh, self.axis_map,
-                     sharded_axis=self.sharded_axis,
-                     mesh_axis=self.mesh_axis)(v, axis)
-        return d * s if s != 1.0 else d
+            d = chebdiff(v, axis, self.method)
+        else:
+            from spectral_tpu.parallel.pencil import make_dif
+            d = make_dif(self.mesh, self.axis_map,
+                         sharded_axis=self.sharded_axis,
+                         mesh_axis=self.mesh_axis)(v, axis)
+        return self.grid.apply_dif_weight(d, axis)  # mapped-domain chain rule
 
     # -- coefficients ---------------------------------------------------------
     def eta(self, u):
@@ -112,9 +111,9 @@ class EllipticModel:
                                       if float(self.exponent).is_integer()
                                       else np.power(u, self.exponent))
             F = np.zeros_like(u)
-            s2 = g.deriv_scale_np ** 2
             for ax in range(g.ndim):
-                F -= s2[ax] * chebdiff_np(eta * chebdiff_np(u, ax), ax)
+                du = g.apply_dif_weight_np(chebdiff_np(u, ax), ax)
+                F -= g.apply_dif_weight_np(chebdiff_np(eta * du, ax), ax)
             return np.where(bm, 0.0, F) - b_np
 
         return residual

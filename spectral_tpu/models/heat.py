@@ -47,10 +47,11 @@ class HeatModel:
         """Spectral Laplacian with homogeneous rows at the boundary (the
         solution's boundary values are held by the Dirichlet data)."""
         y = jnp.zeros_like(u)
-        s2 = self.grid.deriv_scale_np ** 2
-        for ax in range(self.grid.ndim):
-            y = y + s2[ax] * chebdiff(chebdiff(u, ax), ax)
-        return self.grid.zero_boundary(y)
+        g = self.grid
+        for ax in range(g.ndim):
+            du = g.apply_dif_weight(chebdiff(u, ax), ax)
+            y = y + g.apply_dif_weight(chebdiff(du, ax), ax)
+        return g.zero_boundary(y)
 
     def implicit_operator(self, u: jax.Array) -> jax.Array:
         """A = 1/dt - theta * Laplace on the interior (identity boundary)."""

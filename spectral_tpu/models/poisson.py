@@ -53,7 +53,8 @@ class PoissonModel:
         kernel (ops.pallas_cheb.laplacian3d_pallas): one HBM round trip
         instead of 12.
         """
-        s2 = self.grid.deriv_scale_np ** 2  # chain rule for mapped domains
+        g = self.grid
+        wgt = g.apply_dif_weight  # mapped-domain chain rule (identity if unmapped)
         if self.mesh is not None:
             from spectral_tpu.parallel.pencil import make_dif
 
@@ -61,18 +62,19 @@ class PoissonModel:
                            sharded_axis=self.sharded_axis,
                            mesh_axis=self.mesh_axis)
             y = jnp.zeros_like(u)
-            for ax in range(self.grid.ndim):
-                y = y - s2[ax] * dif(dif(u, ax), ax)
-            return jnp.where(self.grid.boundary_mask, u, y)
-        if self.method == "pallas" and self.grid.ndim == 3:
+            for ax in range(g.ndim):
+                y = y - wgt(dif(wgt(dif(u, ax), ax), ax), ax)
+            return jnp.where(g.boundary_mask, u, y)
+        if self.method == "pallas" and g.ndim == 3 and g.maps is None:
             from spectral_tpu.ops.pallas_cheb import laplacian3d_pallas
-            return laplacian3d_pallas(u, bmask=self.grid.boundary_mask,
+            s2 = g.deriv_scale_np ** 2
+            return laplacian3d_pallas(u, bmask=g.boundary_mask,
                                       scales=tuple(s2))
         y = jnp.zeros_like(u)
-        for ax in range(self.grid.ndim):
-            y = y - s2[ax] * chebdiff(chebdiff(u, ax, self.method),
-                                      ax, self.method)
-        return jnp.where(self.grid.boundary_mask, u, y)
+        for ax in range(g.ndim):
+            y = y - wgt(chebdiff(wgt(chebdiff(u, ax, self.method), ax),
+                                 ax, self.method), ax)
+        return jnp.where(g.boundary_mask, u, y)
 
     @cached_property
     def fd_stencil(self):

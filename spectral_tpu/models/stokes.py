@@ -94,14 +94,14 @@ class StokesProblem:
         self._setup_exact_and_force()
 
     def _dif(self, v, axis):
-        s = self.grid.deriv_scale(axis)  # mapped-domain chain rule
         if self.mesh is None:
-            return chebdiff(v, axis) * s if s != 1.0 else chebdiff(v, axis)
-        from spectral_tpu.parallel.pencil import make_dif
-        d = make_dif(self.mesh, self.axis_map,
-                     sharded_axis=self.sharded_axis,
-                     mesh_axis=self.mesh_axis)(v, axis)
-        return d * s if s != 1.0 else d
+            d = chebdiff(v, axis)
+        else:
+            from spectral_tpu.parallel.pencil import make_dif
+            d = make_dif(self.mesh, self.axis_map,
+                         sharded_axis=self.sharded_axis,
+                         mesh_axis=self.mesh_axis)(v, axis)
+        return self.grid.apply_dif_weight(d, axis)  # mapped-domain chain rule
 
     # ------------------------------------------------------------------
     # Domain setup: masks instead of IS/scatters (StokesSetupDomain analog)
@@ -693,29 +693,29 @@ class StokesProblem:
         def residual(x):
             vL = recover(np.where(vel_mask, x["v"], 0.0))
             vL = np.where(dmask[..., None], bc_vel, vL)
-            sd = g.deriv_scale_np
-            G = np.stack([sd[j] * chebdiff_np(vL, j) for j in range(d)],
-                         axis=-2)
+            G = np.stack([g.apply_dif_weight_np(chebdiff_np(vL, j), j)
+                          for j in range(d)], axis=-2)
             S = 0.5 * (G + np.swapaxes(G, -1, -2))
             gamma = 0.5 * np.sum(S * S, axis=(-1, -2))
             eta, deta = rheology_np(gamma)
             flux = eta[..., None, None] * S
             yv = np.zeros_like(vL)
             for j in range(d):
-                yv -= sd[j] * chebdiff_np(flux[..., j, :], j)
+                yv -= g.apply_dif_weight_np(
+                    chebdiff_np(flux[..., j, :], j), j)
             if self.num_mixed:
                 traction = np.einsum("...jk,...k->...j", flux, normal)
                 rows = cfg.scaleM * (cfg.scaleN * traction
                                      + alpha[..., None] * vL)
                 yv = np.where(nm[..., None], rows, yv)
             pL = reduce_order(np.where(p_mask, x["p"], 0.0))
-            gp = np.stack([sd[i] * chebdiff_np(pL, i) for i in range(d)],
-                          axis=-1)
+            gp = np.stack([g.apply_dif_weight_np(chebdiff_np(pL, i), i)
+                           for i in range(d)], axis=-1)
             gp = np.where(nm[..., None], 0.0, gp)
             Fv = np.where(vel_mask, yv + gp, 0.0) - self.force_np["v"]
             div = np.zeros(g.dims)
             for i in range(d):
-                div += sd[i] * chebdiff_np(vL[..., i], i)
+                div += g.apply_dif_weight_np(chebdiff_np(vL[..., i], i), i)
             Fp = np.where(p_mask, div, 0.0) - self.force_np["p"]
             return {"v": Fv, "p": Fp}
 

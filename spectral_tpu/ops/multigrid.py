@@ -87,6 +87,10 @@ class Multigrid:
         the high-aspect CGL corner cells (spacing ~1/n^2 normal x ~1/n
         tangential) where point-Jacobi/Chebyshev stall (round-1 roadmap #4,
         the hypre-strong-smoother analog)."""
+        if grid.maps is not None:
+            raise NotImplementedError(
+                "multigrid on generally-mapped grids: rediscretize with "
+                "coarse AxisMaps (use intervals, or fastdiag/jacobi PCs)")
         grids = [grid]
         while len(grids) < max_levels:
             dims = grids[-1].dims

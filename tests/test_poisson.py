@@ -92,3 +92,46 @@ def test_mapped_domain_poisson_mg_3d():
                                              max_it=100), pc_type="mg")
     assert int(res.reason) > 0
     assert float(jnp.max(jnp.abs(res.x - u))) < 1e-9
+
+
+def test_stretched_map_spectral_convergence():
+    """General 1-D maps (ops/mapping.py): tanh clustering keeps spectral
+    accuracy — derivative error drops 0.8e-3 -> 1.8e-11 from n=40 to n=80."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spectral_tpu.ops.chebyshev import chebdiff
+    from spectral_tpu.ops.mapping import AxisMap
+
+    errs = {}
+    for n in (40, 80):
+        am = AxisMap.tanh_cluster(-1.0, 1.0, n, beta=2.5)
+        g = Grid((n, 3), maps=(am, AxisMap.affine(-1, 1, 3)))
+        x = np.asarray(g.nodes_1d[0])
+        v = jnp.asarray(np.sin(3 * x))[:, None] * jnp.ones((1, 3))
+        dv = g.apply_dif_weight(chebdiff(v, 0), 0)
+        errs[n] = float(jnp.max(jnp.abs(
+            dv - jnp.asarray(3 * np.cos(3 * x))[:, None])))
+    assert errs[80] < 1e-9 and errs[80] < 1e-6 * errs[40], errs
+    # from_nodes recovers the analytic weights spectrally
+    am = AxisMap.tanh_cluster(-1.0, 1.0, 40, beta=2.5)
+    am2 = AxisMap.from_nodes(am.x)
+    assert float(np.max(np.abs(np.asarray(am2.w) - np.asarray(am.w)))) < 1e-4
+
+
+def test_stretched_map_poisson_solve():
+    """Poisson on a kte/tanh-stretched box: fastdiag (built from the
+    physical nodes) still preconditions; solution spectrally accurate."""
+    import jax.numpy as jnp
+
+    from spectral_tpu.ops.mapping import AxisMap
+
+    maps = (AxisMap.tanh_cluster(0.0, 2.0, 32, beta=1.5),
+            AxisMap.kte(0.0, 1.0, 24, alpha=0.9))
+    m = PoissonModel(Grid((32, 24), maps=maps))
+    u, f = m.exact_solution()
+    res = m.solve(m.rhs(u, f), ksp=KSPConfig(type="gmres", rtol=1e-11,
+                                             max_it=300))
+    assert int(res.reason) > 0
+    # recorded 1.1e-7: residual->error amplification of the stretched grid
+    assert float(jnp.max(jnp.abs(res.x - u))) < 1e-6
