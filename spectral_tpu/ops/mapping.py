@@ -17,7 +17,21 @@ import dataclasses
 
 import numpy as np
 
-from spectral_tpu.ops.chebyshev import cgl_nodes_np, chebdiff_np
+from spectral_tpu.ops.chebyshev import _dct1_np, cgl_nodes_np, chebdiff_np
+
+
+def _interp_cgl_np(values: np.ndarray, x_eval: np.ndarray) -> np.ndarray:
+    """Spectral (Chebyshev) interpolation of CGL-sampled values at arbitrary
+    points in [-1, 1] — float64, host-side."""
+    v = np.asarray(values, dtype=np.float64)
+    n = len(v)
+    N = n - 1
+    W = _dct1_np(v, 0)
+    c = np.ones(n)
+    c[0] = c[-1] = 2.0
+    a = W / (N * c)
+    T = np.cos(np.outer(np.arccos(np.clip(x_eval, -1.0, 1.0)), np.arange(n)))
+    return T @ a
 
 
 @dataclasses.dataclass(frozen=True)
@@ -61,6 +75,16 @@ class AxisMap:
         dxdxi = h * alpha / (np.arcsin(alpha) * np.sqrt(1.0 - (alpha * z) ** 2))
         return AxisMap(tuple(float(v) for v in x),
                        tuple(float(v) for v in 1.0 / dxdxi))
+
+    def restrict(self, n_c: int) -> "AxisMap":
+        """The same map sampled on a coarser CGL grid (multigrid levels):
+        interpolate x(xi) spectrally at the coarse nodes, re-derive the
+        weights from the coarse coordinate."""
+        x_c = _interp_cgl_np(np.asarray(self.x), cgl_nodes_np(n_c))
+        # pin the endpoints exactly (interpolation is exact there anyway
+        # up to roundoff; the boundary masks key off exact positions)
+        x_c[0], x_c[-1] = self.x[0], self.x[-1]
+        return AxisMap.from_nodes(x_c)
 
     @staticmethod
     def from_nodes(x_nodes) -> "AxisMap":

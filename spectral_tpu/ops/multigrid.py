@@ -87,10 +87,6 @@ class Multigrid:
         the high-aspect CGL corner cells (spacing ~1/n^2 normal x ~1/n
         tangential) where point-Jacobi/Chebyshev stall (round-1 roadmap #4,
         the hypre-strong-smoother analog)."""
-        if grid.maps is not None:
-            raise NotImplementedError(
-                "multigrid on generally-mapped grids: rediscretize with "
-                "coarse AxisMaps (use intervals, or fastdiag/jacobi PCs)")
         grids = [grid]
         while len(grids) < max_levels:
             dims = grids[-1].dims
@@ -99,7 +95,13 @@ class Multigrid:
             new_dims = tuple(max(3, (n + 1) // 2) for n in dims)
             if new_dims == dims:
                 break
-            grids.append(Grid(new_dims, intervals=grid.intervals))
+            maps_c = None
+            if grid.maps is not None:
+                # rediscretize the coordinate map itself on each level
+                maps_c = tuple(m.restrict(n)
+                               for m, n in zip(grid.maps, new_dims))
+            grids.append(Grid(new_dims, intervals=grid.intervals,
+                              maps=maps_c))
         Ps, Rcs = [], []
         for lvl in range(len(grids) - 1):
             fine, coarse = grids[lvl], grids[lvl + 1]

@@ -135,3 +135,22 @@ def test_stretched_map_poisson_solve():
     assert int(res.reason) > 0
     # recorded 1.1e-7: residual->error amplification of the stretched grid
     assert float(jnp.max(jnp.abs(res.x - u))) < 1e-6
+
+
+def test_stretched_map_multigrid_pc():
+    """Multigrid on generally-mapped grids: each level rediscretizes the
+    coordinate map itself (AxisMap.restrict — spectral interpolation of
+    x(xi) at the coarse nodes + re-derived weights)."""
+    import jax.numpy as jnp
+
+    from spectral_tpu.ops.mapping import AxisMap
+
+    maps = (AxisMap.tanh_cluster(0.0, 2.0, 32, beta=1.5),
+            AxisMap.kte(0.0, 1.0, 24, alpha=0.9))
+    m = PoissonModel(Grid((32, 24), maps=maps))
+    u, f = m.exact_solution()
+    res = m.solve(m.rhs(u, f), ksp=KSPConfig(type="gmres", rtol=1e-10,
+                                             max_it=300), pc_type="mg")
+    assert int(res.reason) > 0
+    assert int(res.iters) <= 40   # recorded 28
+    assert float(jnp.max(jnp.abs(res.x - u))) < 1e-6
