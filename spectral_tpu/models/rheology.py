@@ -14,9 +14,13 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class PowerLawParams:
-    """-hardness / -exponent / -eps / -gamma0 (stokes.C:413-416)."""
+    """-hardness / -exponent / -eps / -gamma0 (stokes.C:413-416).
+
+    Registered as a pytree so parameter FAMILIES can be stacked and vmapped
+    (StokesProblem.solve_family) — fields may be floats or traced scalars."""
 
     hardness: float = 1.0
     exponent: float = 1.0
@@ -36,10 +40,10 @@ def rheology_power(gamma: jax.Array, params: PowerLawParams):
     p = (1.0 - n) / (2.0 * n)
     base = params.regularization + gamma / params.gamma0
     eta = params.hardness * base**p
-    if abs(n) > 1e-5:
-        deta = params.hardness * p / params.gamma0 * base ** (p - 1.0)
+    if isinstance(n, (int, float)) and abs(n) <= 1e-5:
+        deta = jnp.zeros_like(gamma)   # degenerate-exponent guard
     else:
-        deta = jnp.zeros_like(gamma)
+        deta = params.hardness * p / params.gamma0 * base ** (p - 1.0)
     return eta, deta
 
 

@@ -607,6 +607,37 @@ class StokesProblem:
                             ksp=cfg.outer_ksp, config=newton,
                             null_project=self.null_project)
 
+    def solve_family(self, params_list, x0=None, monitor: bool = False):
+        """Solve a PARAMETER FAMILY of Stokes problems concurrently
+        (round-2, no reference analog — the reference runs one config per
+        process).  One vmapped Newton step drives all members: B nested
+        saddle-point solves batch through the MXU together, which on small
+        grids amortizes the per-dispatch latency floor.
+
+        Args:
+          params_list: sequence of PowerLawParams (the family).
+          x0: one state (broadcast) or a stacked batch.
+        Returns NewtonFamilyResult (leading axis = family member).
+        """
+        from spectral_tpu.solvers.newton import newton_solve_family
+
+        thetas = jax.tree_util.tree_map(
+            lambda *a: jnp.asarray(a), *params_list)
+
+        def residual_fn(x, theta):
+            F, lin_state = self.make_residual(theta)(x)
+            return ({"v": F["v"], "p": self.project_p(F["p"])}, lin_state)
+
+        pc_setup, pc_apply = self.make_pc()
+        cfg = self.config
+        newton = dataclasses.replace(cfg.newton, monitor=monitor)
+        return newton_solve_family(
+            residual_fn, x0 if x0 is not None else self.zero_state(), thetas,
+            jacobian_action=self.jacobian_action,
+            pc_setup=pc_setup, pc_apply=pc_apply,
+            ksp=cfg.outer_ksp, config=newton,
+            null_project=self.null_project)
+
     def solve_continuation(self, monitor: bool = False,
                            checkpoint_dir: str | None = None) -> list[NewtonResult]:
         """The continuation loop (stokes.C:217-235): ramp exponent and

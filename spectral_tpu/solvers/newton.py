@@ -204,3 +204,119 @@ def newton_solve(
     return NewtonResult(x=x, iters=newton_its, reason=reason, fnorm=float(fnorm),
                         fnorm_history=hist, ksp_iters=ksp_iters,
                         lin_state=lin_state, ksp_history_last=ksp_history_last)
+
+
+@dataclasses.dataclass
+class NewtonFamilyResult:
+    """Batched Newton outcome: leading axis of x = family member."""
+
+    x: Any
+    iters: np.ndarray          # (B,) iterations each member took
+    reason: np.ndarray         # (B,) ConvergedReason codes
+    fnorm: np.ndarray          # (B,)
+    fnorm_history: np.ndarray  # (steps+1, B)
+
+    def reason_str(self, b: int) -> str:
+        return ConvergedReason.describe(int(self.reason[b]))
+
+
+def newton_solve_family(
+    residual_fn: Callable[[Any, Any], tuple[Any, Any]],
+    x0: Any,
+    thetas: Any,
+    *,
+    jacobian_action: Callable[[Any, Any, Any], Any],
+    pc_setup: Optional[Callable[[Any, Any], Any]] = None,
+    pc_apply: Optional[Callable[[Any, Any], Any]] = None,
+    ksp: KSPConfig = KSPConfig(type="gmres", rtol=1e-5),
+    config: NewtonConfig = NewtonConfig(),
+    null_project: Optional[Callable] = None,
+) -> NewtonFamilyResult:
+    """Solve F(x; theta_b) = 0 for a whole parameter family CONCURRENTLY.
+
+    The reference runs one configuration per process; the TPU-idiomatic form
+    of a parameter study is ONE vmapped Newton step over the stacked family:
+    B saddle-point solves share every dispatch and pipeline together,
+    amortizing the per-step latency floor of small grids.
+
+    Args:
+      residual_fn: (x, theta) -> (F, lin_state); pure, jittable, traceable
+        in theta.  thetas is a stacked pytree with leading axis B (e.g.
+        PowerLawParams of (B,) arrays).
+      x0: initial guess for ONE member (broadcast to the family) or a
+        stacked batch with leading axis B.
+      jacobian_action/pc_setup/pc_apply: as in newton_solve — they consume
+        lin_state, which already carries all theta influence.
+
+    Members that reach a terminal reason are FROZEN (masked updates) while
+    the rest keep iterating; the loop ends when every member is terminal.
+    """
+    B = int(jax.tree_util.tree_leaves(thetas)[0].shape[0])
+    x0_leaves = jax.tree_util.tree_leaves(x0)
+    if not all(l.ndim > 0 and l.shape[0] == B for l in x0_leaves):
+        x0 = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape), x0)
+
+    def newton_step(x, F, lin_state, fnorm, theta, active):
+        pc_state = pc_setup(x, lin_state) if pc_setup is not None else None
+        M = (lambda r: pc_apply(pc_state, r)) if pc_apply is not None else None
+        A = lambda w: jacobian_action(x, lin_state, w)
+        lres = ksp.solve(A, F, M=M, null_project=null_project)
+        res_t = lambda z: residual_fn(z, theta)
+        if callable(config.line_search):
+            out = config.line_search(res_t, x, dx := lres.x, fnorm)
+        elif config.line_search == "basic":
+            xn = _axpy(-1.0, lres.x, x)
+            Fn, lstn = res_t(xn)
+            fnn = _norm(Fn)
+            out = (xn, Fn, lstn, fnn, jnp.isfinite(fnn))
+        else:
+            out = _line_search_bt(res_t, x, lres.x, fnorm, config)
+        # freeze terminal members: keep ALL carried quantities consistent
+        frozen = (x, F, lin_state, fnorm, jnp.asarray(True))
+        return jax.tree_util.tree_map(
+            lambda new, old: jnp.where(active, new, old), out, frozen)
+
+    step_v = jax.jit(jax.vmap(newton_step))
+    residual_v = jax.jit(jax.vmap(residual_fn))
+    norm_v = jax.jit(jax.vmap(lambda F: _norm(F)))
+
+    x = x0
+    F, lin_state = residual_v(x, thetas)
+    fnorm = norm_v(F)
+    fnorm0 = np.maximum(np.asarray(fnorm), 1e-300)
+    hist = [np.asarray(fnorm)]
+    reason = np.full(B, int(ConvergedReason.ITERATING), dtype=np.int64)
+    iters = np.zeros(B, dtype=np.int64)
+
+    for it in range(config.max_it + 1):
+        fn = np.asarray(fnorm)
+        live = reason == int(ConvergedReason.ITERATING)
+        reason[live & (fn <= config.atol)] = \
+            int(ConvergedReason.CONVERGED_ATOL)
+        live = reason == int(ConvergedReason.ITERATING)
+        reason[live & (fn <= config.rtol * fnorm0)] = \
+            int(ConvergedReason.CONVERGED_RTOL)
+        live = reason == int(ConvergedReason.ITERATING)
+        reason[live & ~np.isfinite(fn)] = \
+            int(ConvergedReason.DIVERGED_NANORINF)
+        live = reason == int(ConvergedReason.ITERATING)
+        if it == config.max_it:
+            reason[live] = int(ConvergedReason.DIVERGED_ITS)
+            live[:] = False
+        if not live.any():
+            break
+        if config.monitor:
+            print(f"{it:3d} SNES family fnorms "
+                  + " ".join(f"{v:.3e}" for v in fn))
+        x, F, lin_state, fnorm, ok = step_v(x, F, lin_state, fnorm,
+                                            thetas, jnp.asarray(live))
+        iters[live] = it + 1
+        hist.append(np.asarray(fnorm))
+        if callable(config.line_search) or config.line_search != "basic":
+            bad = live & ~np.asarray(ok)
+            reason[bad] = int(ConvergedReason.DIVERGED_LINE_SEARCH)
+
+    return NewtonFamilyResult(x=x, iters=iters, reason=reason,
+                              fnorm=np.asarray(fnorm),
+                              fnorm_history=np.stack(hist))
