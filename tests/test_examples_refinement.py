@@ -78,3 +78,9 @@ def test_elliptic_defect_correction_newton():
     assert err < 1e-9
     # the f32 stage did the heavy lifting; refinement needs only a few passes
     assert len(info["refine_history"]) <= 8
+
+
+def test_family_sweep_demo():
+    import examples.family_sweep_demo as d
+
+    assert d.main(["-n", "10", "-B", "3"]) == 0
