@@ -474,11 +474,33 @@ class StokesProblem:
             return (lambda lin_state: None,
                     lambda vstate, r: self.mask_v(fd.apply(r)))
         if self.config.pcvel == "probed":
-            # -pcvel 2 analog (StokesPCSetUp2, stokes.C:1459-1512): subsample
-            # the spectral VV matvec onto a stencil pattern by colored probing
-            # (component-diagonal here), then smooth with it.  The reference
-            # documents this as a poor preconditioner (README:60-61); kept
-            # for parity and validation.
+            # -pcvel 2 analog (StokesPCSetUp2, stokes.C:1459-1524), full
+            # upstream pattern: probe the spectral VV matvec onto the
+            # d*(4d+1)-entry coupled sparsity (all component pairs, +-1/+-2
+            # neighbors per axis) with exact jitted matvecs under stride-5
+            # lattice coloring.  Like the reference's MatFDColoring, the
+            # probe ALIASES the dense spectral rows onto the pattern — the
+            # construction is faithful, and the reference documents the PC
+            # as poor (README:60-61); kept for parity and validation.
+            from spectral_tpu.models.stokes_pc import colored_probe_stencil_full
+
+            def setup(lin_state):
+                return colored_probe_stencil_full(
+                    lambda w: self.vv_action(lin_state, w),
+                    self.grid, self.vel_mask)
+
+            def apply(S, r):
+                diag = S.diag()
+                diag = jnp.where(diag == 0, 1.0, diag)
+                z = jnp.zeros_like(r)
+                for _ in range(4):  # damped Jacobi on the probed matrix
+                    z = z + 0.7 * (r - S.apply(z)) / diag
+                return self.mask_v(z)
+
+            return setup, apply
+        if self.config.pcvel == "probed1":
+            # round-1 variant: 1-wide component-diagonal probing (cheaper
+            # setup: 3^d colors vs d*5^d probes)
             from spectral_tpu.models.stokes_pc import colored_probe_stencil
 
             def setup(lin_state):

@@ -209,3 +209,58 @@ def colored_probe_stencil(matvec: Callable, grid: Grid) -> StencilOp:
         uppers.append(up)
     center = jnp.where(interior, center, 1.0)
     return StencilOp(center, tuple(lowers), tuple(uppers))
+
+
+def colored_probe_stencil_full(matvec: Callable, grid: Grid,
+                               vel_mask: jax.Array) -> "object":
+    """StokesPCSetUp2 with the UPSTREAM sparsity pattern (stokes.C:1477-1497):
+    per velocity row, couplings to ALL d components at the node itself and
+    at the +-1 and +-2 neighbors along every axis — d*(4d+1) entries/row —
+    extracted from the matrix-free VV operator by exact jitted probing.
+
+    Coloring: a stride-5 lattice per axis (5^d colors x d component probes;
+    the MatGetColoring/MatFDColoringApply analog, stokes.C:1503-1507).  Two
+    same-color probe nodes differ by >= 5 along some axis while all pattern
+    offsets are single-axis with |s| <= 2, so every response entry is
+    attributable.  Rows/columns at non-free dofs are dropped (ixL < 0
+    convention).  Returns the 4d+1-offset coupled-stencil container
+    (ops.fem.Q1StrainStencil).
+    """
+    import itertools
+
+    from spectral_tpu.ops.fem import Q1StrainStencil
+
+    d = grid.ndim
+    dims = grid.dims
+    offsets = [(0,) * d]
+    for ax in range(d):
+        for s in (-1, 1, -2, 2):
+            off = [0] * d
+            off[ax] = s
+            offsets.append(tuple(off))
+
+    idx = np.indices(dims)
+    maskf = vel_mask.astype(jnp.float64)
+    coef = {off: jnp.zeros(dims + (d, d)) for off in offsets}
+    for cvec in itertools.product(range(5), repeat=d):
+        lattice = np.all(np.stack([idx[ax] % 5 == cvec[ax]
+                                   for ax in range(d)]), axis=0)
+        lat = jnp.asarray(lattice)
+        for b in range(d):
+            v = jnp.zeros(dims + (d,)).at[..., b].set(
+                jnp.where(lat, 1.0, 0.0))
+            y = matvec(v * maskf)          # drop non-free columns
+            for off in offsets:
+                # rows n whose probed column is n + off
+                sel = lat
+                for ax, o in enumerate(off):
+                    if o:
+                        sel = shift(sel, ax, o)
+                C = coef[off]
+                coef[off] = C.at[..., :, b].set(
+                    jnp.where(sel[..., None], y, C[..., :, b]))
+    # drop non-free rows
+    for off in offsets:
+        coef[off] = coef[off] * maskf[..., :, None]
+    return Q1StrainStencil(offsets=tuple(offsets),
+                           coef=tuple(coef[o] for o in offsets))

@@ -214,13 +214,13 @@ class Q1StrainStencil:
             ok = True
             for ax, o in enumerate(off):
                 n = dims[ax]
-                if o == 1:
-                    dst[ax] = slice(0, n - 1)
-                    src[ax] = slice(1, n)
-                elif o == -1:
-                    dst[ax] = slice(1, n)
-                    src[ax] = slice(0, n - 1)
-                if dims[ax] < 2 and o != 0:
+                if o > 0:
+                    dst[ax] = slice(0, n - o)
+                    src[ax] = slice(o, n)
+                elif o < 0:
+                    dst[ax] = slice(-o, n)
+                    src[ax] = slice(0, n + o)
+                if n <= abs(o):
                     ok = False
             if not ok:
                 continue

@@ -92,3 +92,55 @@ def test_mixed_row_one_sided():
               for ax in range(2))
     assert np.all(np.abs(c[nm]) > 0)
     assert np.all(nnz[nm] == 1)
+
+
+def test_colored_probe_full_pattern_matches_aliased_oracle():
+    """-pcvel 2 full upstream pattern (stokes.C:1477-1497): d*(4d+1)
+    couplings per row, extracted under stride-5 lattice coloring.  Like the
+    reference's MatFDColoring on the declared +-2 pattern, probing ALIASES
+    the dense spectral rows: each extracted entry is the sum of the true
+    matrix row over the probe color class.  The bookkeeping must reproduce
+    that aliased sum exactly."""
+    import itertools
+
+    from spectral_tpu.models.stokes import StokesConfig, StokesProblem
+    from spectral_tpu.models.stokes_pc import colored_probe_stencil_full
+
+    cfg = StokesConfig(exact=2, rheology=1, exponent=2.0, regularization=1e-1)
+    p = StokesProblem(Grid((8, 7)), cfg)
+    residual = p.make_residual(p.params_at(1))
+    rng = np.random.default_rng(0)
+    x = {"v": p.mask_v(jnp.asarray(rng.standard_normal(p.exact_v.shape)) * 0.1),
+         "p": p.zero_state()["p"]}
+    F, lin = residual(x)
+    mv = lambda w: p.vv_action(lin, w)
+    S = colored_probe_stencil_full(mv, p.grid, p.vel_mask)
+    assert len(S.offsets) == 4 * 2 + 1  # 0, +-1/+-2 per axis
+
+    dims, d = p.grid.dims, p.d
+    size = int(np.prod(dims))
+    A = np.zeros((size * d, size * d))
+    vm = np.asarray(p.vel_mask).reshape(-1)
+    for j in range(size * d):
+        e = np.zeros(size * d)
+        e[j] = vm[j]
+        y = np.asarray(mv(jnp.asarray(e.reshape(dims + (d,)))))
+        A[:, j] = y.reshape(-1) * vm
+    idx = np.indices(dims)
+    flat = np.arange(size).reshape(dims)
+    for off, C in zip(S.offsets, S.coef):
+        Cn = np.asarray(C)
+        for n in itertools.product(*[range(k) for k in dims]):
+            m0 = tuple(n[ax] + off[ax] for ax in range(d))
+            if any(not (0 <= m0[ax] < dims[ax]) for ax in range(d)):
+                continue
+            cls = tuple(m0[ax] % 5 for ax in range(d))
+            members = np.all(np.stack([idx[ax] % 5 == cls[ax]
+                                       for ax in range(d)]), axis=0)
+            mm = flat[members]
+            for a in range(d):
+                if not vm[flat[n] * d + a]:
+                    continue
+                for b in range(d):
+                    expect = A[flat[n] * d + a, mm * d + b].sum()
+                    assert abs(Cn[n + (a, b)] - expect) < 1e-12
