@@ -95,7 +95,6 @@ def test_stokes_powerlaw_fixture():
     assert max(results[-1].ksp_iters) <= 20, results[-1].ksp_iters
 
 
-@pytest.mark.slow
 def test_stokes_20cubed_linear_fixture():
     """The reference README:43 headline config at full size:
     -dim 20,20,20 -exact 2 -cont0 1 FGMRES + Schur block LU.
