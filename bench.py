@@ -167,7 +167,13 @@ def bench_stokes20_linear():
     dt = time.perf_counter() - t0
     res = info["continuation"][-1]
     outer = max(res.ksp_iters) if res.ksp_iters else -1
-    err = float(p.error_vs_exact({k: jnp.asarray(v) for k, v in x.items()}))
+    # error in f64 numpy: jnp.asarray would truncate the refined solution
+    # to f32 (CLAUDE.md pitfall) and floor the metric at ~1e-7
+    pm = np.asarray(p.p_mask)
+    dp = np.where(pm, x["p"] - p.exact_p_np, 0.0)
+    dp -= np.where(pm, dp.sum() / pm.sum(), 0.0)
+    err = max(float(np.max(np.abs(x["v"] - p.exact_v_np))),
+              float(np.max(np.abs(dp))))
     return dt, outer, info["refine_inner_iters"], info["rel_residual"], err
 
 

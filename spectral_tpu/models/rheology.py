@@ -37,13 +37,23 @@ def rheology_power(gamma: jax.Array, params: PowerLawParams):
     """eta = hardness * (eps + gamma/gamma0)^((1-n)/(2n)), analytic eta'
     (stokes.C:1929-1944)."""
     n = params.exponent
-    p = (1.0 - n) / (2.0 * n)
     base = params.regularization + gamma / params.gamma0
-    eta = params.hardness * base**p
-    if isinstance(n, (int, float)) and abs(n) <= 1e-5:
-        deta = jnp.zeros_like(gamma)   # degenerate-exponent guard
-    else:
+    if isinstance(n, (int, float)):
+        if abs(n) <= 1e-5:             # degenerate-exponent guard
+            return (params.hardness * base ** ((1.0 - n) / (2.0 * n)),
+                    jnp.zeros_like(gamma))
+        p = (1.0 - n) / (2.0 * n)
+        eta = params.hardness * base**p
         deta = params.hardness * p / params.gamma0 * base ** (p - 1.0)
+        return eta, deta
+    # traced exponent (parameter families): safe-where so a degenerate
+    # member yields deta = 0 instead of inf/NaN poisoning the whole batch
+    ok = jnp.abs(n) > 1e-5
+    n_safe = jnp.where(ok, n, 1.0)
+    p = (1.0 - n_safe) / (2.0 * n_safe)
+    eta = params.hardness * base**p
+    deta = jnp.where(ok, params.hardness * p / params.gamma0
+                     * base ** (p - 1.0), 0.0)
     return eta, deta
 
 

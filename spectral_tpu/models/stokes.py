@@ -351,7 +351,8 @@ class StokesProblem:
                 eta = jnp.ones(grid.dims)
             return nodal_jacfwd_stencil(grid, eta)
 
-        return Multigrid.build(self.grid, builder=builder)
+        return Multigrid.build(self.grid, builder=builder,
+                               smoother=self.config.pcvel_smoother)
 
     def _mixed_fd_stencil(self, eta):
         """FD velocity surrogate INCLUDING the one-sided traction rows,
@@ -629,7 +630,8 @@ class StokesProblem:
                             ksp=cfg.outer_ksp, config=newton,
                             null_project=self.null_project)
 
-    def solve_family(self, params_list, x0=None, monitor: bool = False):
+    def solve_family(self, params_list, x0=None, monitor: bool = False,
+                     x0_batched: bool = False):
         """Solve a PARAMETER FAMILY of Stokes problems concurrently
         (round-2, no reference analog — the reference runs one config per
         process).  One vmapped Newton step drives all members: B nested
@@ -658,7 +660,7 @@ class StokesProblem:
             jacobian_action=self.jacobian_action,
             pc_setup=pc_setup, pc_apply=pc_apply,
             ksp=cfg.outer_ksp, config=newton,
-            null_project=self.null_project)
+            null_project=self.null_project, x0_batched=x0_batched)
 
     def solve_continuation(self, monitor: bool = False,
                            checkpoint_dir: str | None = None) -> list[NewtonResult]:

@@ -231,6 +231,7 @@ def newton_solve_family(
     ksp: KSPConfig = KSPConfig(type="gmres", rtol=1e-5),
     config: NewtonConfig = NewtonConfig(),
     null_project: Optional[Callable] = None,
+    x0_batched: bool = False,
 ) -> NewtonFamilyResult:
     """Solve F(x; theta_b) = 0 for a whole parameter family CONCURRENTLY.
 
@@ -243,8 +244,10 @@ def newton_solve_family(
       residual_fn: (x, theta) -> (F, lin_state); pure, jittable, traceable
         in theta.  thetas is a stacked pytree with leading axis B (e.g.
         PowerLawParams of (B,) arrays).
-      x0: initial guess for ONE member (broadcast to the family) or a
-        stacked batch with leading axis B.
+      x0: initial guess for ONE member (broadcast to the family), or —
+        with x0_batched=True — a stacked batch with leading axis B (an
+        explicit flag: a shape heuristic would misread grids whose leading
+        extent happens to equal B).
       jacobian_action/pc_setup/pc_apply: as in newton_solve — they consume
         lin_state, which already carries all theta influence.
 
@@ -252,8 +255,7 @@ def newton_solve_family(
     the rest keep iterating; the loop ends when every member is terminal.
     """
     B = int(jax.tree_util.tree_leaves(thetas)[0].shape[0])
-    x0_leaves = jax.tree_util.tree_leaves(x0)
-    if not all(l.ndim > 0 and l.shape[0] == B for l in x0_leaves):
+    if not x0_batched:
         x0 = jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a, (B,) + a.shape), x0)
 
@@ -264,7 +266,7 @@ def newton_solve_family(
         lres = ksp.solve(A, F, M=M, null_project=null_project)
         res_t = lambda z: residual_fn(z, theta)
         if callable(config.line_search):
-            out = config.line_search(res_t, x, dx := lres.x, fnorm)
+            out = config.line_search(res_t, x, lres.x, fnorm)
         elif config.line_search == "basic":
             xn = _axpy(-1.0, lres.x, x)
             Fn, lstn = res_t(xn)
@@ -272,8 +274,11 @@ def newton_solve_family(
             out = (xn, Fn, lstn, fnn, jnp.isfinite(fnn))
         else:
             out = _line_search_bt(res_t, x, lres.x, fnorm, config)
+        # stol data for the step-size convergence test (newton_solve parity)
+        out = out + (_norm(lres.x), _norm(out[0]))
         # freeze terminal members: keep ALL carried quantities consistent
-        frozen = (x, F, lin_state, fnorm, jnp.asarray(True))
+        frozen = (x, F, lin_state, fnorm, jnp.asarray(True),
+                  jnp.zeros_like(fnorm), jnp.zeros_like(fnorm))
         return jax.tree_util.tree_map(
             lambda new, old: jnp.where(active, new, old), out, frozen)
 
@@ -309,13 +314,18 @@ def newton_solve_family(
         if config.monitor:
             print(f"{it:3d} SNES family fnorms "
                   + " ".join(f"{v:.3e}" for v in fn))
-        x, F, lin_state, fnorm, ok = step_v(x, F, lin_state, fnorm,
-                                            thetas, jnp.asarray(live))
+        x, F, lin_state, fnorm, ok, dxn, xn = step_v(
+            x, F, lin_state, fnorm, thetas, jnp.asarray(live))
         iters[live] = it + 1
         hist.append(np.asarray(fnorm))
         if callable(config.line_search) or config.line_search != "basic":
             bad = live & ~np.asarray(ok)
             reason[bad] = int(ConvergedReason.DIVERGED_LINE_SEARCH)
+        # CONVERGED_SNORM_RELATIVE (newton_solve parity): tiny step
+        small = live & (np.asarray(dxn)
+                        <= config.stol * np.maximum(np.asarray(xn), 1e-30))
+        small &= reason == int(ConvergedReason.ITERATING)
+        reason[small] = int(ConvergedReason.CONVERGED_SNORM_RELATIVE)
 
     return NewtonFamilyResult(x=x, iters=iters, reason=reason,
                               fnorm=np.asarray(fnorm),

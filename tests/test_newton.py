@@ -126,3 +126,49 @@ def test_user_line_search_hook():
     # damped steps converge linearly; more iterations than full Newton
     assert res.iters > 5
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(xg) ** 3, atol=1e-6)
+
+
+def test_family_x0_batched_flag():
+    """x0 batching is an explicit flag (code review r2): a shape heuristic
+    would misread grids whose leading extent equals the family size."""
+    import numpy as np
+
+    from spectral_tpu.solvers.newton import newton_solve_family
+
+    B = 3  # == problem size on purpose
+
+    def residual(x, theta):
+        return x * x - theta, None
+
+    def jac(x, lin, w):
+        return 2.0 * x * w
+
+    thetas = jnp.asarray([1.0, 4.0, 9.0])
+    x0 = jnp.ones(B)  # ONE unbatched state whose shape[0] == B
+    res = newton_solve_family(residual, x0, thetas, jacobian_action=jac,
+                              config=NewtonConfig(rtol=1e-12, max_it=30),
+                              ksp=KSPConfig(type="gmres", rtol=1e-12,
+                                            max_it=50))
+    assert (res.reason > 0).all()
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.sqrt(np.asarray([[1.0], [4.0], [9.0]]))
+        * np.ones((B, B)), rtol=1e-9)
+
+
+def test_family_degenerate_exponent_isolated():
+    """A degenerate power-law exponent in a traced family must not poison
+    the batch with inf/NaN (safe-where in rheology_power)."""
+    import jax
+    import numpy as np
+
+    from spectral_tpu.models.rheology import PowerLawParams, rheology_power
+
+    thetas = PowerLawParams(
+        hardness=jnp.asarray([1.0, 1.0]),
+        exponent=jnp.asarray([1e-9, 3.0]),
+        regularization=jnp.asarray([1e-2, 1e-2]),
+        gamma0=jnp.asarray([1.0, 1.0]))
+    gamma = jnp.ones(4)
+    eta, deta = jax.vmap(lambda th: rheology_power(gamma, th))(thetas)
+    assert np.isfinite(np.asarray(deta)).all()
+    assert np.allclose(np.asarray(deta[0]), 0.0)
