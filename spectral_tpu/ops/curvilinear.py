@@ -1,0 +1,94 @@
+"""Full curvilinear coordinate transforms (non-tensor-product maps).
+
+Beyond both the reference (which leaves even affine transforms as "FIXME",
+stokes.C:587-738) and this framework's tensor-product AxisMaps: a general
+smooth invertible map x = Phi(xi) from the reference cube onto a curved
+domain, with the metric machinery precomputed SPECTRALLY on the grid.
+
+Design (TPU-first): everything is coefficient FIELDS at full grid shape —
+the Jacobian d x_i/d xi_j comes from Chebyshev-differentiating the
+coordinate fields themselves (spectrally exact for polynomially-resolved
+maps), and the transformed conservative Laplacian
+
+    Lap_x u = (1/detJ) sum_i D_xi_i ( detJ * A_ij * D_xi_j u ),
+    A = Jinv @ Jinv^T
+
+is 2d derivative passes plus fused elementwise metric multiplies.  The
+low-order surrogate for preconditioning keeps the separable part
+(coefficients detJ*A_ii at nodes) — the standard practice of dropping the
+cross terms in the PC — assembled by the same variable-coefficient stencil
+machinery and solved by multigrid.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.grid import Grid
+from spectral_tpu.ops.chebyshev import chebdiff, chebdiff_np
+
+
+@dataclasses.dataclass(frozen=True)
+class CurvilinearMap:
+    """x = Phi(xi) on the CGL grid: physical coords + metric fields.
+
+    coords: (dims..., d) physical node positions.
+    detJ:   (dims...,)    Jacobian determinant (must be one-signed).
+    Acoef:  (dims..., d, d)  detJ * Jinv @ Jinv^T (flux metric).
+    """
+
+    grid: Grid
+    coords: np.ndarray
+    detJ: np.ndarray
+    Acoef: np.ndarray
+
+    @staticmethod
+    def build(grid: Grid, phi: Callable[[np.ndarray], np.ndarray]
+              ) -> "CurvilinearMap":
+        """phi: (dims..., d) reference coords -> (dims..., d) physical.
+
+        The Jacobian is computed by spectral differentiation of the
+        coordinate fields (exact to machine precision for maps resolved on
+        the grid — no analytic derivatives required).
+        """
+        d = grid.ndim
+        ref = grid.coords_np  # reference == physical for an unmapped Grid
+        x = np.asarray(phi(ref), dtype=np.float64)
+        if x.shape != ref.shape:
+            raise ValueError("phi must map (dims..., d) -> (dims..., d)")
+        # J[..., i, j] = d x_i / d xi_j
+        J = np.stack([np.stack([chebdiff_np(x[..., i], j)
+                                for j in range(d)], axis=-1)
+                      for i in range(d)], axis=-2)
+        detJ = np.linalg.det(J)
+        if not (np.all(detJ > 0) or np.all(detJ < 0)):
+            raise ValueError("map is not invertible on the grid "
+                             "(detJ changes sign)")
+        Jinv = np.linalg.inv(J)
+        A = np.abs(detJ)[..., None, None] * (Jinv @ np.swapaxes(Jinv, -1, -2))
+        return CurvilinearMap(grid=grid, coords=x, detJ=np.abs(detJ), Acoef=A)
+
+    def laplacian(self, u: jax.Array) -> jax.Array:
+        """Physical-space Laplacian of a field sampled on the mapped grid
+        (conservative form; jittable)."""
+        d = self.grid.ndim
+        A = jnp.asarray(self.Acoef, u.dtype)
+        detJ = jnp.asarray(self.detJ, u.dtype)
+        grads = [chebdiff(u, j) for j in range(d)]
+        y = jnp.zeros_like(u)
+        for i in range(d):
+            flux = sum(A[..., i, j] * grads[j] for j in range(d))
+            y = y + chebdiff(flux, i)
+        return y / detJ
+
+    def separable_coeffs(self) -> dict:
+        """Per-axis diagonal flux coefficients detJ*A_ii (the PC surrogate
+        drops the cross terms, standard practice)."""
+        d = self.grid.ndim
+        return {f"c{ax}": jnp.asarray(self.Acoef[..., ax, ax])
+                for ax in range(d)}

@@ -204,3 +204,46 @@ def elliptic_jacobian_stencil(grid: Grid, eta: jax.Array, deta: jax.Array,
         uppers.append(up)
     center = jnp.where(interior, center, 1.0)
     return StencilOp(center, tuple(lowers), tuple(uppers))
+
+
+def anisotropic_fd_stencil(grid: Grid, caxes: Sequence[jax.Array],
+                           row_scale: jax.Array | None = None) -> StencilOp:
+    """Variable-coefficient FD stencil of -sum_i d_i(c_i(x) d_i .) with a
+    DIFFERENT coefficient field per axis (midpoint arithmetic means), plus
+    an optional interior row scaling (e.g. 1/detJ for the curvilinear
+    surrogate, ops/curvilinear.py).  Dirichlet rows identity, couplings
+    into the boundary dropped — the anisotropic generalization of
+    elliptic_jacobian_stencil's flux form."""
+    d = grid.ndim
+    dtype = caxes[0].dtype
+    interior = grid.interior_mask
+    center = jnp.zeros(grid.dims, dtype)
+    lowers, uppers = [], []
+    for ax in range(d):
+        z = grid.nodes_1d[ax]
+        n = len(z)
+        idxM = np.zeros(n)
+        idxP = np.zeros(n)
+        idx = np.zeros(n)
+        idxM[1:-1] = 1.0 / (z[1:-1] - z[:-2])
+        idxP[1:-1] = 1.0 / (z[2:] - z[1:-1])
+        idx[1:-1] = 2.0 / (z[2:] - z[:-2])
+        idxM = jnp.asarray(_bcast_axis(idxM, ax, d), dtype)
+        idxP = jnp.asarray(_bcast_axis(idxP, ax, d), dtype)
+        idx = jnp.asarray(_bcast_axis(idx, ax, d), dtype)
+        c = caxes[ax]
+        cM = 0.5 * (shift(c, ax, -1) + c)
+        cP = 0.5 * (shift(c, ax, +1) + c)
+        lo = -idx * idxM * cM
+        up = -idx * idxP * cP
+        center = center + idx * (idxP * cP + idxM * cM)
+        lo = jnp.where(interior & shift(interior, ax, -1), lo, 0.0)
+        up = jnp.where(interior & shift(interior, ax, +1), up, 0.0)
+        lowers.append(lo)
+        uppers.append(up)
+    if row_scale is not None:
+        center = center * row_scale
+        lowers = [lo * row_scale for lo in lowers]
+        uppers = [up * row_scale for up in uppers]
+    center = jnp.where(interior, center, 1.0)
+    return StencilOp(center, tuple(lowers), tuple(uppers))
