@@ -195,8 +195,22 @@ def stokes_main(opts: Options) -> int:
     print(f"  hardness = {cfg.hardness:f}    exponent = {cfg.exponent:8f}"
           f"    regularization = {cfg.regularization:8f}    gamma0 = {cfg.gamma0:8f}")
 
-    p = StokesProblem(
-        Grid(dims, intervals=_domain_intervals(opts, len(dims))), cfg)
+    map_spec = opts.get_string("map", "")
+    if map_spec:
+        # curved domain (full curvilinear metric form; the reference's
+        # "FIXME: coordinate transform", stokes.C:587-738)
+        from spectral_tpu.ops.curvilinear import named_map
+        if _domain_intervals(opts, len(dims)) is not None:
+            raise SystemExit("-map and -domain are mutually exclusive")
+        if not opts.has("pcvel"):
+            # metric-aware MG velocity PC is the right default on curved
+            # domains (fastdiag is constant-coefficient / metric-blind)
+            cfg = dataclasses.replace(cfg, pcvel="mg")
+        p = StokesProblem(Grid(dims), cfg, phi=named_map(map_spec))
+        print(f"  curvilinear domain: -map {map_spec}")
+    else:
+        p = StokesProblem(
+            Grid(dims, intervals=_domain_intervals(opts, len(dims))), cfg)
     print(p.census())
 
     # exact residual check (stokes.C:191-205)

@@ -78,11 +78,20 @@ class StokesProblem:
 
     def __init__(self, grid: Grid, config: StokesConfig = StokesConfig(),
                  mesh=None, sharded_axis: int = 0, mesh_axis: str = "x",
-                 axis_map: dict | None = None):
+                 axis_map: dict | None = None, phi: Callable | None = None):
         """``mesh`` switches every derivative to the explicit pencil-SPMD
         path (parallel.pencil): grid axis ``sharded_axis`` is sharded over
         mesh axis ``mesh_axis``; derivatives along it all_to_all-exchange
-        over ICI, other axes are communication-free."""
+        over ICI, other axes are communication-free.
+
+        ``phi`` solves the Stokes system on the CURVED domain Phi([-1,1]^d)
+        (full curvilinear metric form, ops/curvilinear.py) — a capability the
+        reference leaves as "FIXME: coordinate transform" (stokes.C:587-738):
+        gradients/strain pick up the inverse-Jacobian chain rule, divergences
+        use the conservative (Piola) cofactor form, boundary normals/tractions
+        are physical, and the velocity PC rediscretizes the separable metric
+        surrogate (recommended ``pcvel='mg'``).  Requires an unmapped Grid
+        (fold any affine scaling into phi itself)."""
         self.grid = grid
         self.config = config
         self.d = grid.ndim
@@ -90,6 +99,13 @@ class StokesProblem:
         self.sharded_axis = sharded_axis
         self.mesh_axis = mesh_axis
         self.axis_map = axis_map
+        self.cmap = None
+        if phi is not None:
+            if grid.intervals is not None or grid.maps is not None:
+                raise ValueError("curvilinear Stokes needs an unmapped Grid; "
+                                 "fold affine/axis maps into phi")
+            from spectral_tpu.ops.curvilinear import CurvilinearMap
+            self.cmap = CurvilinearMap.build(grid, phi)
         self._setup_domain()
         self._setup_exact_and_force()
 
@@ -110,11 +126,20 @@ class StokesProblem:
         g, d = self.grid, self.d
         cfg = self.config
         bmask = g.boundary_mask_np
-        coords_b = g.coords_np[bmask]           # (k, d)
+        coords_b = g.coords_np[bmask]           # (k, d) reference coords
         normals_b = g.normal_np[bmask]
         exact_fn = SE.EXACT_SOLUTIONS[cfg.exact]
         bf = SE.BOUNDARY_FUNCS[cfg.boundary]
-        types_b, values_b, alpha_b = bf(coords_b, normals_b, exact_fn)
+        if self.cmap is None:
+            normal_np = g.normal_np
+            types_b, values_b, alpha_b = bf(coords_b, normals_b, exact_fn)
+        else:
+            # classification in reference coords; values/tractions physical
+            normal_np = self.cmap.boundary_normal()
+            types_b, values_b, alpha_b = bf(
+                coords_b, normals_b, exact_fn,
+                phys_coords=self.cmap.coords[bmask],
+                phys_normals=normal_np[bmask])
 
         types = np.full(g.dims, -1, dtype=np.int32)
         types[bmask] = types_b
@@ -131,7 +156,7 @@ class StokesProblem:
         # one-hot of the most-normal component at mixed nodes (stokes.C:836-851)
         in_onehot = np.zeros(g.dims + (d,))
         if mixed_mask.any():
-            nvecs = g.normal_np[mixed_mask]
+            nvecs = normal_np[mixed_mask]
             comp = np.argmax(np.abs(nvecs), axis=-1)
             oh = np.zeros_like(nvecs)
             oh[np.arange(len(comp)), comp] = 1.0
@@ -149,7 +174,8 @@ class StokesProblem:
         self.mixed_mask = jnp.asarray(mixed_mask)
         self.alpha = jnp.asarray(alpha)
         self.bc_vel = jnp.asarray(bc_vel)
-        self.normal = g.normal
+        self.normal_np = normal_np   # physical on curved domains
+        self.normal = jnp.asarray(normal_np)
         self.in_onehot = jnp.asarray(in_onehot)
         self.num_mixed = int(nm_mask.sum())
 
@@ -163,10 +189,16 @@ class StokesProblem:
                 f"    {gv}/{g.size * d} velocity    {dv} dirichlet"
                 f"    {self.num_mixed} mixed")
 
+    @property
+    def coords_phys_np(self) -> np.ndarray:
+        """(dims..., d) physical node positions (== reference coords when
+        the domain is unmapped)."""
+        return self.grid.coords_np if self.cmap is None else self.cmap.coords
+
     def _setup_exact_and_force(self):
         g, d = self.grid, self.d
         exact_fn = SE.EXACT_SOLUTIONS[self.config.exact]
-        value, rhs = exact_fn(g.coords_np)
+        value, rhs = exact_fn(self.coords_phys_np)
         vel_mask_np = np.asarray(self.vel_mask)
         p_mask_np = np.asarray(self.p_mask)
         rhs_v = np.where(np.asarray(self.nm_mask)[..., None],
@@ -210,11 +242,21 @@ class StokesProblem:
         return v
 
     # ------------------------------------------------------------------
-    # Differential pieces
+    # Differential pieces.  Curvilinear domains (phi=...): gradients use the
+    # inverse-Jacobian chain rule d/dx_j = Jinv[l,j] d/dxi_l; divergences use
+    # the conservative (Piola) form (1/detJ) d_xi_l(cofactor[l,j] F_j), which
+    # costs the SAME d batched transforms as the Cartesian path — the metric
+    # contraction is a fused elementwise einsum before/after the DCTs.
     # ------------------------------------------------------------------
+    def _jinv(self, dtype):
+        return jnp.asarray(self.cmap.Jinv, dtype)
+
     def _grad_tensor(self, vL):
         """G[..., j, k] = d v_k / d x_j via batched DCT derivative."""
-        return jnp.stack([self._dif(vL, j) for j in range(self.d)], axis=-2)
+        G = jnp.stack([self._dif(vL, j) for j in range(self.d)], axis=-2)
+        if self.cmap is not None:
+            G = jnp.einsum("...lj,...lk->...jk", self._jinv(G.dtype), G)
+        return G
 
     def _strain(self, vL):
         G = self._grad_tensor(vL)
@@ -222,17 +264,27 @@ class StokesProblem:
 
     def _tensor_divergence(self, flux):
         """y_k = sum_j d flux[..., j, k] / d x_j."""
+        if self.cmap is not None:
+            CT = jnp.asarray(self.cmap.cofactor, flux.dtype)
+            flux = jnp.einsum("...lj,...jk->...lk", CT, flux)
         y = jnp.zeros(flux.shape[:-2] + (self.d,), flux.dtype)
         for j in range(self.d):
             y = y + self._dif(flux[..., j, :], j)
+        if self.cmap is not None:
+            y = y / jnp.asarray(self.cmap.detJ, y.dtype)[..., None]
         return y
 
     def divergence(self, vG, with_dirichlet):
         """StokesDivergence (stokes.C:569-595)."""
         vL = self.local_velocity(vG, with_dirichlet)
+        if self.cmap is not None:
+            CT = jnp.asarray(self.cmap.cofactor, vL.dtype)
+            vL = jnp.einsum("...li,...i->...l", CT, vL)
         div = jnp.zeros(self.grid.dims, vL.dtype)
         for i in range(self.d):
             div = div + self._dif(vL[..., i], i)
+        if self.cmap is not None:
+            div = div / jnp.asarray(self.cmap.detJ, div.dtype)
         return self.mask_p(div)
 
     def pressure_gradient(self, pG):
@@ -240,6 +292,8 @@ class StokesProblem:
         gradient, zero mixed/Neumann rows, mask to global velocity."""
         pL = pressure_reduce_order(self.mask_p(pG), self.grid.nodes_1d)
         gp = jnp.stack([self._dif(pL, i) for i in range(self.d)], axis=-1)
+        if self.cmap is not None:
+            gp = jnp.einsum("...li,...l->...i", self._jinv(gp.dtype), gp)
         gp = jnp.where(self.nm_mask[..., None], 0.0, gp)
         return self.mask_v(gp)
 
@@ -328,14 +382,38 @@ class StokesProblem:
         from spectral_tpu.models.stokes_pc import velocity_fd_stencil
         from spectral_tpu.ops.multigrid import Multigrid
 
-        def builder(grid, coeffs):
-            eta = coeffs.get("eta")
-            if eta is None:
-                eta = jnp.ones(grid.dims)
-            return velocity_fd_stencil(grid, eta)
+        if self.cmap is not None:
+            # curvilinear surrogate: -(1/detJ) d_l(eta detJ A_ll d_l .) with
+            # the cross terms dropped (standard PC practice); the metric
+            # diagonal fields restrict down the hierarchy with eta.
+            from spectral_tpu.ops.stencil import anisotropic_fd_stencil
+            d = self.d
+
+            def builder(grid, coeffs):
+                eta = coeffs.get("eta")
+                if eta is None:
+                    eta = jnp.ones(grid.dims)
+                caxes = [eta * coeffs[f"metric_a{ax}"] for ax in range(d)]
+                return anisotropic_fd_stencil(
+                    grid, caxes, row_scale=1.0 / coeffs["metric_detJ"])
+        else:
+            def builder(grid, coeffs):
+                eta = coeffs.get("eta")
+                if eta is None:
+                    eta = jnp.ones(grid.dims)
+                return velocity_fd_stencil(grid, eta)
 
         return Multigrid.build(self.grid, builder=builder,
                                smoother=self.config.pcvel_smoother)
+
+    def _vel_mg_coeffs(self, eta) -> dict:
+        coeffs = {"eta": eta}
+        if self.cmap is not None:
+            for ax in range(self.d):
+                coeffs[f"metric_a{ax}"] = jnp.asarray(
+                    self.cmap.Acoef[..., ax, ax], eta.dtype)
+            coeffs["metric_detJ"] = jnp.asarray(self.cmap.detJ, eta.dtype)
+        return coeffs
 
     @cached_property
     def _vel_mg_nodal(self):
@@ -424,7 +502,7 @@ class StokesProblem:
             mg = self._vel_mg
             if self.num_mixed:
                 def setup(lin_state):
-                    return (mg.setup({"eta": lin_state[0]}),
+                    return (mg.setup(self._vel_mg_coeffs(lin_state[0])),
                             self._mixed_line_state(lin_state[0]))
 
                 def apply(vstate, r):
@@ -433,7 +511,7 @@ class StokesProblem:
                         st, self.mask_v(mg.vcycle(mg_state, r)), r)
 
                 return setup, apply
-            return (lambda lin_state: mg.setup({"eta": lin_state[0]}),
+            return (lambda lin_state: mg.setup(self._vel_mg_coeffs(lin_state[0])),
                     lambda vstate, r: self.mask_v(mg.vcycle(vstate, r)))
         if self.config.pcvel == "nodal":
             mg = self._vel_mg_nodal
@@ -713,8 +791,11 @@ class StokesProblem:
         dmask = np.asarray(self.dirichlet_mask)
         nm = np.asarray(self.nm_mask)
         mixed = np.asarray(self.mixed_mask)
-        normal = g.normal_np
+        normal = self.normal_np
         onehot = np.asarray(self.in_onehot)
+        Jinv = None if self.cmap is None else self.cmap.Jinv
+        CT = None if self.cmap is None else self.cmap.cofactor
+        detJ = None if self.cmap is None else self.cmap.detJ
         alpha = np.asarray(self.alpha)
         bc_vel = np.asarray(self.bc_vel)
         E = [_reduce_matrix_np(tuple(float(v) for v in g.nodes_1d[ax]))
@@ -750,14 +831,20 @@ class StokesProblem:
             vL = np.where(dmask[..., None], bc_vel, vL)
             G = np.stack([g.apply_dif_weight_np(chebdiff_np(vL, j), j)
                           for j in range(d)], axis=-2)
+            if Jinv is not None:
+                G = np.einsum("...lj,...lk->...jk", Jinv, G)
             S = 0.5 * (G + np.swapaxes(G, -1, -2))
             gamma = 0.5 * np.sum(S * S, axis=(-1, -2))
             eta, deta = rheology_np(gamma)
             flux = eta[..., None, None] * S
+            tflux = flux if CT is None else np.einsum("...lj,...jk->...lk",
+                                                      CT, flux)
             yv = np.zeros_like(vL)
             for j in range(d):
                 yv -= g.apply_dif_weight_np(
-                    chebdiff_np(flux[..., j, :], j), j)
+                    chebdiff_np(tflux[..., j, :], j), j)
+            if detJ is not None:
+                yv = yv / detJ[..., None]
             if self.num_mixed:
                 traction = np.einsum("...jk,...k->...j", flux, normal)
                 rows = cfg.scaleM * (cfg.scaleN * traction
@@ -766,11 +853,16 @@ class StokesProblem:
             pL = reduce_order(np.where(p_mask, x["p"], 0.0))
             gp = np.stack([g.apply_dif_weight_np(chebdiff_np(pL, i), i)
                            for i in range(d)], axis=-1)
+            if Jinv is not None:
+                gp = np.einsum("...li,...l->...i", Jinv, gp)
             gp = np.where(nm[..., None], 0.0, gp)
             Fv = np.where(vel_mask, yv + gp, 0.0) - self.force_np["v"]
+            w = vL if CT is None else np.einsum("...li,...i->...l", CT, vL)
             div = np.zeros(g.dims)
             for i in range(d):
-                div += g.apply_dif_weight_np(chebdiff_np(vL[..., i], i), i)
+                div += g.apply_dif_weight_np(chebdiff_np(w[..., i], i), i)
+            if detJ is not None:
+                div = div / detJ
             Fp = np.where(p_mask, div, 0.0) - self.force_np["p"]
             return {"v": Fv, "p": Fp}
 

@@ -89,10 +89,18 @@ EXACT_SOLUTIONS: dict[int, Callable] = {0: exact0, 1: exact1, 2: exact2, 3: exac
 
 # ---------------------------------------------------------------------------
 # Boundary functions (vectorized over boundary nodes)
-#   bf(coords (k,d), normals (k,d), exact) ->
-#       (types (k,), vel_values (k,d), alpha (k,))
+#   bf(coords (k,d), normals (k,d), exact, *, phys_coords=None,
+#      phys_normals=None) -> (types (k,), vel_values (k,d), alpha (k,))
 # For NEUMANN rows vel_values carries the traction; for MIXED, the extra
 # traction (and alpha the sliding coefficient).
+#
+# Curvilinear domains (models/stokes.py phi=...): face CLASSIFICATION uses
+# ``coords``/``normals`` in REFERENCE coordinates (a face of the mapped
+# domain is the image of a reference face), while exact-solution VALUES and
+# tractions are evaluated at ``phys_coords`` with ``phys_normals`` (defaults:
+# same as coords/normals, the unmapped case).  The driven profiles of
+# boundary 3/4 are parameterized by the reference coordinate — on a mapped
+# domain that *defines* the lid/inflow data along the curved face.
 # ---------------------------------------------------------------------------
 
 def _exact_strain_traction(coords, normals, exact, eps=1e-7):
@@ -112,11 +120,12 @@ def _exact_strain_traction(coords, normals, exact, eps=1e-7):
     return np.einsum("kij,kj->ki", strain, normals)
 
 
-def boundary0(coords, normals, exact):
+def boundary0(coords, normals, exact, *, phys_coords=None, phys_normals=None):
     """Dirichlet from the exact solution everywhere (stokes.C:2038-2048)."""
     k, d = coords.shape
+    pc = coords if phys_coords is None else phys_coords
     types = np.full(k, BdyType.DIRICHLET, dtype=np.int32)
-    values = exact(coords)[0][..., :d]
+    values = exact(pc)[0][..., :d]
     return types, values, np.zeros(k)
 
 
@@ -128,23 +137,29 @@ def _surface_mask(coords):
     return (coords[:, d - 1] > 0.999) & inside
 
 
-def boundary1(coords, normals, exact):
+def boundary1(coords, normals, exact, *, phys_coords=None, phys_normals=None):
     """Neumann (exact traction) on the top surface, Dirichlet elsewhere
     (stokes.C:2051-2089).  README:64-66 flags this as ill-conditioned."""
     k, d = coords.shape
-    types, values, alpha = boundary0(coords, normals, exact)
+    pc = coords if phys_coords is None else phys_coords
+    pn = normals if phys_normals is None else phys_normals
+    types, values, alpha = boundary0(coords, normals, exact,
+                                     phys_coords=phys_coords,
+                                     phys_normals=phys_normals)
     surf = _surface_mask(coords)
     if surf.any():
         types[surf] = BdyType.NEUMANN
-        values[surf] = _exact_strain_traction(coords[surf], normals[surf], exact)
+        values[surf] = _exact_strain_traction(pc[surf], pn[surf], exact)
     return types, values, alpha
 
 
-def boundary2(coords, normals, exact):
+def boundary2(coords, normals, exact, *, phys_coords=None, phys_normals=None):
     """boundary1 + MIXED (sliding, alpha=1, zero flux) at the bed
     (stokes.C:2092-2134).  README:66-67: correctness uncertain upstream."""
     k, d = coords.shape
-    types, values, alpha = boundary1(coords, normals, exact)
+    types, values, alpha = boundary1(coords, normals, exact,
+                                     phys_coords=phys_coords,
+                                     phys_normals=phys_normals)
     bed = coords[:, d - 1] < -0.999
     types[bed] = BdyType.MIXED
     values[bed] = 0.0
@@ -152,7 +167,7 @@ def boundary2(coords, normals, exact):
     return types, values, alpha
 
 
-def boundary3(coords, normals, exact):
+def boundary3(coords, normals, exact, *, phys_coords=None, phys_normals=None):
     """Lid/channel-driven Dirichlet profile (stokes.C:2137-2163)."""
     k, d = coords.shape
     types = np.full(k, BdyType.DIRICHLET, dtype=np.int32)
@@ -166,7 +181,7 @@ def boundary3(coords, normals, exact):
     return types, values, np.zeros(k)
 
 
-def boundary4(coords, normals, exact):
+def boundary4(coords, normals, exact, *, phys_coords=None, phys_normals=None):
     """Inflow parabola + OUTFLOW + Neumann lid (stokes.C:2166-2181)."""
     k, d = coords.shape
     types = np.full(k, BdyType.DIRICHLET, dtype=np.int32)

@@ -40,12 +40,14 @@ class CurvilinearMap:
     coords: (dims..., d) physical node positions.
     detJ:   (dims...,)    Jacobian determinant (must be one-signed).
     Acoef:  (dims..., d, d)  detJ * Jinv @ Jinv^T (flux metric).
+    Jinv:   (dims..., d, d)  d xi_i / d x_j (inverse Jacobian).
     """
 
     grid: Grid
     coords: np.ndarray
     detJ: np.ndarray
     Acoef: np.ndarray
+    Jinv: np.ndarray
 
     @staticmethod
     def build(grid: Grid, phi: Callable[[np.ndarray], np.ndarray]
@@ -71,7 +73,26 @@ class CurvilinearMap:
                              "(detJ changes sign)")
         Jinv = np.linalg.inv(J)
         A = np.abs(detJ)[..., None, None] * (Jinv @ np.swapaxes(Jinv, -1, -2))
-        return CurvilinearMap(grid=grid, coords=x, detJ=np.abs(detJ), Acoef=A)
+        return CurvilinearMap(grid=grid, coords=x, detJ=np.abs(detJ), Acoef=A,
+                              Jinv=Jinv)
+
+    @property
+    def cofactor(self) -> np.ndarray:
+        """(dims..., d, d) cofactor field detJ * Jinv[l, j] — the flux
+        weights of the conservative (Piola) form: a physical divergence is
+        div_x F = (1/detJ) sum_l d_xi_l (cofactor[l, j] F_j)."""
+        return self.detJ[..., None, None] * self.Jinv
+
+    def boundary_normal(self) -> np.ndarray:
+        """(dims..., d) physical outward unit normal on the boundary, zero
+        inside: the face xi_ax = const has normal grad_x(xi_ax) = Jinv[ax, :],
+        so the reference normal transforms covariantly,
+        n_phys ~ sum_ax n_ref[ax] * Jinv[ax, :] (normalized; edges/corners
+        combine faces exactly like the reference convention, util.C:70-82)."""
+        n_ref = self.grid.normal_np
+        n = np.einsum("...aj,...a->...j", self.Jinv, n_ref)
+        norm = np.linalg.norm(n, axis=-1, keepdims=True)
+        return np.where(norm > 0, n / np.where(norm > 0, norm, 1.0), 0.0)
 
     def laplacian(self, u: jax.Array) -> jax.Array:
         """Physical-space Laplacian of a field sampled on the mapped grid
@@ -92,3 +113,55 @@ class CurvilinearMap:
         d = self.grid.ndim
         return {f"c{ax}": jnp.asarray(self.Acoef[..., ax, ax])
                 for ax in range(d)}
+
+
+def named_map(spec: str):
+    """Parametric coordinate maps addressable from the CLI (``-map`` flag):
+
+    - ``bump:a``        sinusoidal perturbation of the box, amplitude ``a``
+                        (alternating-sign components; any dimension)
+    - ``shear:a``       linear shear x0 += a * x1 (constant metric)
+    - ``annulus:r0:r1`` 2-D quarter-annulus sector, radii r0 < r1
+
+    Returns ``phi: (dims..., d) -> (dims..., d)`` for CurvilinearMap.build /
+    StokesProblem(phi=...).  Returns None for the empty spec.
+    """
+    if not spec:
+        return None
+    parts = spec.split(":")
+    name, args = parts[0], [float(v) for v in parts[1:]]
+    if name == "bump":
+        a = args[0] if args else 0.08
+
+        def phi(xi):
+            d = xi.shape[-1]
+            bump = np.ones(xi.shape[:-1])
+            for ax in range(d):
+                bump = bump * np.sin(np.pi * xi[..., ax])
+            out = [xi[..., ax] + ((-1.0) ** ax) * a * bump for ax in range(d)]
+            return np.stack(out, axis=-1)
+
+        return phi
+    if name == "shear":
+        a = args[0] if args else 0.3
+
+        def phi(xi):
+            out = [xi[..., ax].copy() for ax in range(xi.shape[-1])]
+            out[0] = out[0] + a * xi[..., 1]
+            return np.stack(out, axis=-1)
+
+        return phi
+    if name == "annulus":
+        r0, r1 = (args + [1.0, 2.0])[:2]
+        if not 0 < r0 < r1:
+            raise ValueError("annulus needs 0 < r0 < r1")
+
+        def phi(xi):
+            if xi.shape[-1] != 2:
+                raise ValueError("annulus map is 2-D")
+            r = r0 + (r1 - r0) * 0.5 * (xi[..., 0] + 1.0)
+            th = 0.25 * np.pi * 0.5 * (xi[..., 1] + 1.0)
+            return np.stack([r * np.cos(th), r * np.sin(th)], axis=-1)
+
+        return phi
+    raise ValueError(f"unknown map {name!r} (bump|shear|annulus)")

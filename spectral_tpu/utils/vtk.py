@@ -46,7 +46,8 @@ def write_stokes_vtk(problem, state, filename: str = "stokes.vtk") -> None:
     _, lin = problem.make_residual(problem.params_at(problem.config.cont))(state)
     eta, deta, S = (np.asarray(v) for v in lin)
 
-    coords = g.coords_np.reshape(nodes, d)
+    # physical node positions on curved domains (StokesProblem(phi=...))
+    coords = getattr(problem, "coords_phys_np", g.coords_np).reshape(nodes, d)
     with open(filename, "w") as f:
         f.write("# vtk DataFile Version 2.0\nStokes Output\nASCII\n"
                 "DATASET STRUCTURED_GRID\n")

@@ -90,3 +90,18 @@ def test_heat_cli(capsys):
     assert rc == 0
     err = float(out.split("decay")[1].split()[0])
     assert err < 1e-3
+
+
+def test_stokes_cli_curved_domain(capsys):
+    """-map runs the full curvilinear metric path end-to-end (annulus
+    sector; velocity PC auto-defaults to metric-aware MG)."""
+    from spectral_tpu.cli.drivers import stokes_main
+
+    rc = stokes_main(Options(
+        "-exact 1 -dim 12,12 -map annulus:1:2 -snes_rtol 1e-7".split()))
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "curvilinear domain: -map annulus:1:2" in out
+    assert "Reason for solver termination: CONVERGED" in out
+    err = float(out.split("abs = ")[1].split()[0])
+    assert err < 1e-5
