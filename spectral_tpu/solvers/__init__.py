@@ -1,7 +1,8 @@
 """Solver kernel library: Krylov methods, Newton, preconditioners."""
 
 from spectral_tpu.solvers.types import ConvergedReason, SolveResult
-from spectral_tpu.solvers.krylov import KSPConfig, ksp_solve, gmres, fgmres, cg
+from spectral_tpu.solvers.krylov import (KSPConfig, ksp_solve, gmres, fgmres,
+                                         cg, block_gmres)
 
 __all__ = [
     "ConvergedReason",
@@ -11,4 +12,5 @@ __all__ = [
     "gmres",
     "fgmres",
     "cg",
+    "block_gmres",
 ]

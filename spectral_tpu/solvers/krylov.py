@@ -271,6 +271,160 @@ def fgmres(A: Operator, b, x0=None, *, M: Optional[Operator] = None,
 
 
 # ---------------------------------------------------------------------------
+# Block GMRES: one SHARED Krylov space for a block of right-hand sides
+# ---------------------------------------------------------------------------
+
+class _BGState(NamedTuple):
+    X: jax.Array       # (B, n) current iterates
+    V: jax.Array       # ((m+1)*B, n) orthonormal basis rows
+    H: jax.Array       # ((m+1)*B, m*B) block Hessenberg
+    G: jax.Array       # ((m+1)*B, B) reduced RHS
+    k: jax.Array       # block step within cycle
+    it: jax.Array      # total block iterations
+    rnorms: jax.Array  # (B,) true residual norms (updated at cycle end)
+    rnorms0: jax.Array
+    reason: jax.Array
+    hist: jax.Array    # (history_len,) max-over-block residual norm
+
+
+def _qr_block(W):
+    """Thin QR of the (B, n) row block: returns (Q rows (B, n), R (B, B))
+    with safe normalization for (near-)rank-deficient blocks."""
+    Q, R = jnp.linalg.qr(W.T, mode="reduced")   # (n, B), (B, B)
+    return Q.T, R
+
+
+def block_gmres(A: Operator, B_rhs, X0=None, *, M: Optional[Operator] = None,
+                rtol=1e-5, atol=1e-50, dtol=1e4, max_it=10000, restart=30,
+                null_project=None, history_len=HISTORY_LEN) -> SolveResult:
+    """Restarted BLOCK GMRES with left preconditioning: B right-hand sides
+    sharing one operator AND one Krylov space (Vital 1990 / Gutknecht's
+    block methods).  Every step applies the operator to a (B, n) block —
+    batched through the MXU — and enlarges the shared space by B directions,
+    so related right-hand sides converge in FEWER total operator
+    applications than B independent solves (the remaining members ride the
+    subspace built for the others).  No analog in the reference (PETSc KSP
+    is strictly single-RHS; SURVEY.md section 2.3).
+
+    ``B_rhs``/``X0`` are pytrees with a leading block axis on every leaf;
+    ``A``/``M``/``null_project`` act on a single system.  Orthogonalization
+    is block CGS2 + intra-block thin QR; convergence of the TRUE residual is
+    checked at cycle ends (all members must pass ``rtol``/``atol``).
+    Rank-deficient blocks (e.g. duplicated RHS) are handled by safe
+    normalization, not deflation — the duplicate directions simply stop
+    contributing.  SolveResult.x has the block axis; ``iters`` counts block
+    steps (multiply by B for operator applications); ``hist`` records the
+    max-over-block norm.
+    """
+    # flatten one member to get the unraveler, then the whole block
+    one = jax.tree_util.tree_map(lambda a: a[0], B_rhs)
+    _, unravel_one = ravel_pytree(one)
+    Bmat = jax.vmap(lambda t: ravel_pytree(t)[0])(B_rhs)   # (B, n)
+    nb, n = Bmat.shape
+    dtype = Bmat.dtype
+
+    def wrap(op):
+        if op is None:
+            return None
+        return lambda vf: ravel_pytree(op(unravel_one(vf)))[0].astype(dtype)
+
+    Af = jax.vmap(wrap(A))
+    Mf = jax.vmap(wrap(M) or _identity)
+    Pf = jax.vmap(wrap(null_project) or _identity)
+    X0m = (jnp.zeros_like(Bmat) if X0 is None
+           else jax.vmap(lambda t: ravel_pytree(t)[0])(X0).astype(dtype))
+
+    m = max(1, min(restart, max_it))
+    history_len = _hist_len(history_len, max_it)
+    rows = (m + 1) * nb
+    i32 = jnp.int32
+
+    def new_cycle(st, X, Rp):
+        """Start a cycle from the preconditioned residual block Rp (B, n)."""
+        Q0, R0c = _qr_block(Rp)
+        V = jnp.zeros((rows, n), dtype).at[:nb].set(Q0)
+        G = jnp.zeros((rows, nb), dtype).at[:nb, :].set(R0c)
+        return st._replace(X=X, V=V, H=jnp.zeros((rows, m * nb), dtype),
+                           G=G, k=jnp.asarray(0, i32))
+
+    def arnoldi(s: _BGState) -> _BGState:
+        Vk = jax.lax.dynamic_slice_in_dim(s.V, s.k * nb, nb)   # (B, n)
+        W = Mf(Pf(Af(Vk)))                                      # (B, n)
+        active = (jnp.arange(rows) < (s.k + 1) * nb)[:, None].astype(dtype)
+        H1 = (s.V * active) @ W.T                               # (rows, B)
+        W = W - H1.T @ (s.V * active)
+        H2 = (s.V * active) @ W.T
+        W = W - H2.T @ (s.V * active)
+        Hcol = H1 + H2                                          # (rows, B)
+        Qn, Rn = _qr_block(W)
+        # guard rank deficiency: zero rows of Qn whose Rn diagonal ~ 0
+        keep = (jnp.abs(jnp.diagonal(Rn)) > _TINY)[:, None].astype(dtype)
+        Qn = Qn * keep
+        V = jax.lax.dynamic_update_slice_in_dim(s.V, Qn, (s.k + 1) * nb, 0)
+        Hcol = jax.lax.dynamic_update_slice_in_dim(
+            Hcol, Rn, (s.k + 1) * nb, 0)
+        H = jax.lax.dynamic_update_slice_in_dim(s.H, Hcol, s.k * nb, 1)
+        return s._replace(V=V, H=H, k=s.k + 1, it=s.it + 1)
+
+    def cycle_end(s: _BGState) -> _BGState:
+        # masked least squares min ||H y - G|| over the active k*B columns
+        cols = jnp.arange(m * nb) < s.k * nb
+        Hm = jnp.where(cols[None, :], s.H, 0.0)
+        # normal equations with diagonal regularization of inactive columns
+        HtH = Hm.T @ Hm + jnp.diag(jnp.where(cols, 0.0, 1.0).astype(dtype))
+        Y = jnp.linalg.solve(HtH, Hm.T @ s.G)                   # (m*B, B)
+        X = s.X + (Y.T @ s.V[:m * nb])
+        R = Pf(Bmat - Af(X))
+        Rp = Mf(R)
+        rnorms = jnp.sqrt(jnp.sum(Rp * Rp, axis=1))
+        it = s.it
+        hist = s.hist.at[jnp.minimum(it, history_len - 1)].set(
+            jnp.max(rnorms))
+        tol = jnp.maximum(rtol * s.rnorms0, atol)
+        all_conv = jnp.all(rnorms <= tol)
+        any_bad = ~jnp.all(jnp.isfinite(rnorms))
+        diverged = jnp.any(rnorms >= dtol * s.rnorms0)
+        reason = jnp.where(
+            any_bad, int(ConvergedReason.DIVERGED_NANORINF),
+            jnp.where(all_conv,
+                      jnp.where(jnp.all(rnorms <= atol),
+                                int(ConvergedReason.CONVERGED_ATOL),
+                                int(ConvergedReason.CONVERGED_RTOL)),
+                      jnp.where(it >= max_it, int(ConvergedReason.DIVERGED_ITS),
+                                jnp.where(diverged,
+                                          int(ConvergedReason.DIVERGED_DTOL),
+                                          int(ConvergedReason.ITERATING)))))
+        st = s._replace(rnorms=rnorms, reason=reason.astype(i32), hist=hist)
+        return new_cycle(st, X, Rp)
+
+    R0 = Pf(Bmat - Af(X0m))
+    Rp0 = Mf(R0)
+    rnorms0 = jnp.sqrt(jnp.sum(Rp0 * Rp0, axis=1))
+    hist0 = jnp.full((history_len,), -1.0, dtype).at[0].set(jnp.max(rnorms0))
+    reason0 = jnp.where(jnp.max(rnorms0) <= atol,
+                        int(ConvergedReason.CONVERGED_ATOL),
+                        int(ConvergedReason.ITERATING)).astype(i32)
+    s0 = _BGState(X=X0m, V=jnp.zeros((rows, n), dtype),
+                  H=jnp.zeros((rows, m * nb), dtype),
+                  G=jnp.zeros((rows, nb), dtype),
+                  k=jnp.asarray(0, i32), it=jnp.asarray(0, i32),
+                  rnorms=rnorms0, rnorms0=jnp.maximum(rnorms0, _TINY),
+                  reason=reason0, hist=hist0)
+    s0 = new_cycle(s0, X0m, Rp0)
+
+    def cond(s):
+        return s.reason == int(ConvergedReason.ITERATING)
+
+    def body(s):
+        return jax.lax.cond((s.k == m) | (s.it >= max_it), cycle_end,
+                            arnoldi, s)
+
+    s = jax.lax.while_loop(cond, body, s0)
+    x_tree = jax.vmap(unravel_one)(s.X)
+    return SolveResult(x_tree, s.it, s.reason, jnp.max(s.rnorms), s.hist)
+
+
+# ---------------------------------------------------------------------------
 # CG / Richardson / preonly
 # ---------------------------------------------------------------------------
 
@@ -500,6 +654,29 @@ class KSPConfig:
         if self.type in ("gmres", "fgmres"):
             kwargs.update(restart=self.restart)
         return fn(A, b, x0, **kwargs)
+
+    def solve_batched(self, A: Operator, b, x0=None, *, M=None,
+                      null_project=None) -> SolveResult:
+        """Solve a BLOCK of right-hand sides sharing ONE operator.
+
+        ``b`` (and optionally ``x0``) carry a leading batch axis on every
+        leaf; ``A``/``M``/``null_project`` act on a single unbatched state
+        and are vmapped, so every Krylov step applies the operator to all B
+        systems in one batched pass — the DCT matmuls and stencil sweeps of
+        B systems fuse through the MXU together, amortizing the per-dispatch
+        latency floor that dominates small single-system solves on TPU.
+        Each system keeps its own Hessenberg/convergence state (per-system
+        iteration counts, reasons and histories in the returned SolveResult,
+        each with a leading batch axis); under a vmapped ``lax.while_loop``
+        converged systems are masked, so the wall-clock is set by the
+        slowest member — the multi-RHS pattern the reference cannot express
+        (one PETSc solve per process).
+        """
+        if x0 is None:
+            x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
+        return jax.vmap(
+            lambda bb, xx: self.solve(A, bb, xx, M=M,
+                                      null_project=null_project))(b, x0)
 
 
 def ksp_solve(config: KSPConfig, A: Operator, b, x0=None, *, M=None,

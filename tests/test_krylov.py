@@ -191,3 +191,64 @@ def test_exact_convergence_in_one_iteration():
     assert int(res.reason) > 0
     assert int(res.iters) == 1
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(b), atol=1e-14)
+
+
+# ---------------------------------------------------------------------------
+# Multi-RHS: batched (independent spaces) and block (shared space) GMRES
+# ---------------------------------------------------------------------------
+
+def test_solve_batched_matches_individual():
+    """KSPConfig.solve_batched: one vmapped solve over a stacked RHS block
+    equals B independent solves (iterations and solutions)."""
+    A, Anp, _ = _spd_system(n=40, seed=5)
+    rng = np.random.default_rng(7)
+    Bm = jnp.asarray(rng.standard_normal((3, 40)))
+    ksp = KSPConfig(type="gmres", rtol=1e-10, max_it=300, restart=30)
+    batched = ksp.solve_batched(A, Bm)
+    assert batched.x.shape == (3, 40)
+    for i in range(3):
+        single = ksp.solve(A, Bm[i])
+        assert int(batched.iters[i]) == int(single.iters)
+        np.testing.assert_allclose(np.asarray(batched.x[i]),
+                                   np.asarray(single.x), atol=1e-9)
+        assert int(batched.reason[i]) > 0
+
+
+def test_block_gmres_shared_space():
+    """block_gmres solves all members of a related-RHS block to rtol and
+    needs no more block steps than the hardest single solve (the shared
+    space can only be richer)."""
+    from spectral_tpu.solvers import block_gmres
+
+    A, Anp, _ = _spd_system(n=50, seed=2)
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(50)
+    Bm = jnp.asarray(np.stack([base,
+                               base + 0.1 * rng.standard_normal(50),
+                               rng.standard_normal(50)]))
+    res = block_gmres(A, Bm, rtol=1e-10, restart=40, max_it=200)
+    assert int(res.reason) > 0
+    X = np.linalg.solve(Anp, np.asarray(Bm).T).T
+    np.testing.assert_allclose(np.asarray(res.x), X, atol=1e-7)
+    worst = max(int(gmres(A, Bm[i], rtol=1e-10, restart=40,
+                          max_it=200).iters) for i in range(3))
+    assert int(res.iters) <= worst + 2, (int(res.iters), worst)
+
+
+def test_block_gmres_pytree_and_pc():
+    """Pytree states, Jacobi PC, and a duplicated (rank-deficient) RHS."""
+    from spectral_tpu.solvers import block_gmres
+
+    rng = np.random.default_rng(4)
+    n = 36
+    d = np.linspace(1.0, 300.0, n)
+    Anp = np.diag(d) + 0.05 * rng.standard_normal((n, n))
+    A = lambda t: {"u": (jnp.asarray(Anp) @ t["u"].reshape(-1)).reshape(6, 6)}
+    M = lambda t: {"u": t["u"] / jnp.asarray(d).reshape(6, 6)}
+    b1 = rng.standard_normal((6, 6))
+    Bt = {"u": jnp.asarray(np.stack([b1, b1, rng.standard_normal((6, 6))]))}
+    res = block_gmres(A, Bt, M=M, rtol=1e-9, restart=30, max_it=200)
+    assert int(res.reason) > 0
+    X = np.linalg.solve(Anp, np.asarray(Bt["u"]).reshape(3, n).T).T
+    np.testing.assert_allclose(np.asarray(res.x["u"]).reshape(3, n), X,
+                               atol=1e-5)
