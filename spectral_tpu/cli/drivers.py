@@ -107,9 +107,18 @@ def elliptic_main(opts: Options) -> int:
     print(f"Elliptic problem  dims = [{','.join(map(str, dims))}]"
           f"    gamma = {gamma:f}    exponent = {exponent:8f}")
 
-    model = EllipticModel(
-        Grid(dims, intervals=_domain_intervals(opts, len(dims))),
-        gamma=gamma, exponent=exponent)
+    map_spec = opts.get_string("map", "")
+    if map_spec:
+        from spectral_tpu.ops.curvilinear import named_map
+        if _domain_intervals(opts, len(dims)) is not None:
+            raise SystemExit("-map and -domain are mutually exclusive")
+        model = EllipticModel(Grid(dims), gamma=gamma, exponent=exponent,
+                              phi=named_map(map_spec))
+        print(f"  curvilinear domain: -map {map_spec}")
+    else:
+        model = EllipticModel(
+            Grid(dims, intervals=_domain_intervals(opts, len(dims))),
+            gamma=gamma, exponent=exponent)
     g = model.grid
     print(g.census())
     u, b, dirichlet = model.setup_problem(exact=exact, cos_scale=cos_scale)
@@ -129,7 +138,7 @@ def elliptic_main(opts: Options) -> int:
     # f32 cannot reach the f64 default tolerance; scale it to the dtype floor
     newton = opts.newton_config(NewtonConfig(rtol=1e-8 if f64 else 1e-5,
                                              max_it=50))
-    pc = opts.pc_type("", "fastdiag")
+    pc = opts.pc_type("", "mg" if map_spec else "fastdiag")
     res = model.solve(b, dirichlet, ksp=ksp, newton=newton, pc_type=pc)
 
     if debug >= 2:

@@ -53,6 +53,34 @@ class EllipticModel:
     sharded_axis: int = 0
     mesh_axis: str = "x"
     axis_map: object = None
+    phi: object = None   # curved domain Phi([-1,1]^d) (ops.curvilinear)
+
+    @cached_property
+    def cmap(self):
+        """CurvilinearMap when ``phi`` is set: the nonlinear operator runs in
+        metric form, -div(eta grad u) = -(1/detJ) d_l(eta A_lm d_m u) with
+        A = detJ Jinv Jinv^T — the eta' Newton term contracts through the
+        SAME A, so the whole model stays in reference-gradient space (no
+        extra transforms vs the Cartesian path)."""
+        if self.phi is None:
+            return None
+        if self.grid.intervals is not None or self.grid.maps is not None:
+            raise ValueError("curvilinear elliptic needs an unmapped Grid; "
+                             "fold affine/axis maps into phi")
+        from spectral_tpu.ops.curvilinear import CurvilinearMap
+        return CurvilinearMap.build(self.grid, self.phi)
+
+    @property
+    def coords_phys_np(self):
+        return (self.grid.coords_np if self.cmap is None
+                else self.cmap.coords)
+
+    def _metric_flux(self, flux_ref: list) -> list:
+        """Contract a reference-gradient-space flux list with A = Acoef."""
+        A = self.cmap.Acoef
+        d = self.grid.ndim
+        return [sum(jnp.asarray(A[..., l, m], flux_ref[0].dtype) * flux_ref[m]
+                    for m in range(d)) for l in range(d)]
 
     def _dif(self, v, axis):
         if self.mesh is None:
@@ -87,9 +115,14 @@ class EllipticModel:
             u = g.set_boundary(uG, dirichlet)
             gradu = [self._dif(u, ax) for ax in range(g.ndim)]
             eta, deta = self.eta(u)
+            flux = [eta * gu for gu in gradu]
+            if self.cmap is not None:
+                flux = self._metric_flux(flux)
             F = jnp.zeros_like(u)
             for ax in range(g.ndim):
-                F = F - self._dif(eta * gradu[ax], ax)
+                F = F - self._dif(flux[ax], ax)
+            if self.cmap is not None:
+                F = F / jnp.asarray(self.cmap.detJ, F.dtype)
             F = g.zero_boundary(F) - b
             return F, (eta, deta, gradu)
 
@@ -104,16 +137,25 @@ class EllipticModel:
 
         g = self.grid
         bm = g.boundary_mask_np
+        A = None if self.cmap is None else self.cmap.Acoef
+        detJ = None if self.cmap is None else self.cmap.detJ
 
         def residual(u_np):
             u = np.where(bm, dirichlet_np, u_np)
             eta = 1.0 + self.gamma * (u ** self.exponent
                                       if float(self.exponent).is_integer()
                                       else np.power(u, self.exponent))
+            grad = [g.apply_dif_weight_np(chebdiff_np(u, ax), ax)
+                    for ax in range(g.ndim)]
+            flux = [eta * gu for gu in grad]
+            if A is not None:
+                flux = [sum(A[..., l, m] * flux[m] for m in range(g.ndim))
+                        for l in range(g.ndim)]
             F = np.zeros_like(u)
             for ax in range(g.ndim):
-                du = g.apply_dif_weight_np(chebdiff_np(u, ax), ax)
-                F -= g.apply_dif_weight_np(chebdiff_np(eta * du, ax), ax)
+                F -= g.apply_dif_weight_np(chebdiff_np(flux[ax], ax), ax)
+            if detJ is not None:
+                F = F / detJ
             return np.where(bm, 0.0, F) - b_np
 
         return residual
@@ -184,10 +226,15 @@ class EllipticModel:
         g = self.grid
         eta, deta, gradu0 = lin_state
         w = g.zero_boundary(wG)
+        flux = [eta * self._dif(w, ax) + deta * w * gradu0[ax]
+                for ax in range(g.ndim)]
+        if self.cmap is not None:
+            flux = self._metric_flux(flux)
         y = jnp.zeros_like(w)
         for ax in range(g.ndim):
-            flux = eta * self._dif(w, ax) + deta * w * gradu0[ax]
-            y = y - self._dif(flux, ax)
+            y = y - self._dif(flux[ax], ax)
+        if self.cmap is not None:
+            y = y / jnp.asarray(self.cmap.detJ, y.dtype)
         return g.zero_boundary(y)
 
     # -- preconditioners ------------------------------------------------------
@@ -204,11 +251,28 @@ class EllipticModel:
           exactly the reference's ``-pc_type lu`` (elliptic runs, README:13).
         - "jacobi": diagonal of the FD stencil.
         - "mg": geometric multigrid V-cycle on the variable-coefficient stencil.
+
+        Curved domains (phi=...): the surrogate becomes the anisotropic
+        metric stencil -(1/detJ) d_l(eta A_ll d_l .) with cross terms and the
+        eta' first-order term dropped (standard PC practice) — "mg"/"jacobi"/
+        "lu" rediscretize it; "fastdiag"/"q1fem" stay metric-blind (usable
+        for gentle maps).
         """
         g = self.grid
 
         if pc_type == "none":
             return None, None
+
+        def _stencil(lin_state):
+            eta, deta, gradu = lin_state
+            if self.cmap is None:
+                return elliptic_jacobian_stencil(g, eta, deta, gradu)
+            from spectral_tpu.ops.stencil import anisotropic_fd_stencil
+            A, detJ = self.cmap.Acoef, self.cmap.detJ
+            caxes = [eta * jnp.asarray(A[..., ax, ax], eta.dtype)
+                     for ax in range(g.ndim)]
+            return anisotropic_fd_stencil(
+                g, caxes, row_scale=1.0 / jnp.asarray(detJ, eta.dtype))
 
         if pc_type == "fastdiag":
             fd = self._fastdiag
@@ -223,8 +287,7 @@ class EllipticModel:
 
         if pc_type == "jacobi":
             def setup(x, lin_state):
-                eta, deta, gradu = lin_state
-                return elliptic_jacobian_stencil(g, eta, deta, gradu).diag()
+                return _stencil(lin_state).diag()
 
             def apply(diag, r):
                 return r / diag
@@ -237,8 +300,7 @@ class EllipticModel:
             rows, cols = _stencil_dense_indices(g)
 
             def setup(x, lin_state):
-                eta, deta, gradu = lin_state
-                S = elliptic_jacobian_stencil(g, eta, deta, gradu)
+                S = _stencil(lin_state)
                 vals = jnp.concatenate(
                     [S.center.reshape(-1)]
                     + [S.lower[ax].reshape(-1) for ax in range(g.ndim)]
@@ -268,11 +330,36 @@ class EllipticModel:
         if pc_type == "mg":
             from spectral_tpu.ops.multigrid import Multigrid
 
-            mg = Multigrid.build(g)
+            if self.cmap is None:
+                mg = Multigrid.build(g)
 
-            def setup(x, lin_state):
-                eta, deta, gradu = lin_state
-                return mg.setup({"eta": eta, "deta": deta, "gradu": list(gradu)})
+                def setup(x, lin_state):
+                    eta, deta, gradu = lin_state
+                    return mg.setup({"eta": eta, "deta": deta,
+                                     "gradu": list(gradu)})
+            else:
+                from spectral_tpu.ops.stencil import anisotropic_fd_stencil
+                d = g.ndim
+
+                def builder(grid, coeffs):
+                    eta = coeffs.get("eta")
+                    if eta is None:
+                        eta = jnp.ones(grid.dims)
+                    caxes = [eta * coeffs[f"metric_a{ax}"] for ax in range(d)]
+                    return anisotropic_fd_stencil(
+                        grid, caxes, row_scale=1.0 / coeffs["metric_detJ"])
+
+                mg = Multigrid.build(g, builder=builder)
+                A, detJ = self.cmap.Acoef, self.cmap.detJ
+
+                def setup(x, lin_state):
+                    eta = lin_state[0]
+                    coeffs = {"eta": eta, "metric_detJ":
+                              jnp.asarray(detJ, eta.dtype)}
+                    for ax in range(d):
+                        coeffs[f"metric_a{ax}"] = jnp.asarray(
+                            A[..., ax, ax], eta.dtype)
+                    return mg.setup(coeffs)
 
             def apply(state, r):
                 return mg.vcycle(state, r)
@@ -287,7 +374,10 @@ class EllipticModel:
         full grid.  f is the analytic A(u)u, nonlinearity-aware for exact=0."""
         g = self.grid
         d = g.ndim
-        x = g.coords  # (dims..., d)
+        # physical node positions: the closed forms below are pointwise
+        # physical-space identities, so they manufacture (u, f) on curved
+        # domains too (phi=...)
+        x = jnp.asarray(self.coords_phys_np)
         if exact == 0:
             s = 0.5 * cos_scale
             cosx = jnp.cos(s * jnp.pi * x)
@@ -340,7 +430,7 @@ class EllipticModel:
         bm = g.boundary_mask_np
         # evaluate the same closed forms in f64 by temporarily enabling the
         # numpy path: exact_solution uses jnp; recompute directly here
-        x = g.coords_np
+        x = self.coords_phys_np
         d = g.ndim
         if exact == 0:
             s = 0.5 * cos_scale

@@ -180,3 +180,83 @@ def test_curvilinear_stokes_host_residual_matches_jax():
         {"v": jnp.asarray(x["v"]), "p": jnp.asarray(x["p"])})
     np.testing.assert_allclose(F_np["v"], np.asarray(F_jx["v"]), atol=1e-11)
     np.testing.assert_allclose(F_np["p"], np.asarray(F_jx["p"]), atol=1e-11)
+
+
+# ---------------------------------------------------------------------------
+# Curvilinear nonlinear elliptic (EllipticModel(phi=...))
+# ---------------------------------------------------------------------------
+
+def test_curvilinear_elliptic_identity_map_matches_unmapped():
+    from spectral_tpu.models.elliptic import EllipticModel
+
+    g = Grid((10, 9))
+    flat = EllipticModel(g, gamma=1.0, exponent=2.0)
+    curved = EllipticModel(g, gamma=1.0, exponent=2.0, phi=lambda xi: xi)
+    u, b, dr = flat.setup_problem(exact=0)
+    rng = np.random.default_rng(5)
+    w = g.zero_boundary(jnp.asarray(rng.standard_normal(g.dims)))
+    Ff, lf = flat.make_residual(b, dr)(w)
+    Fc, lc = curved.make_residual(b, dr)(w)
+    np.testing.assert_allclose(np.asarray(Fc), np.asarray(Ff), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(curved.jacobian_action(w, lc, w)),
+                               np.asarray(flat.jacobian_action(w, lf, w)),
+                               atol=1e-10)
+
+
+def test_curvilinear_elliptic_jacobian_matches_jvp():
+    """Metric-form hand linearization == jax.jvp of the metric residual
+    (the framework's core Jacobian invariant, on a curved domain)."""
+    import jax
+
+    from spectral_tpu.models.elliptic import EllipticModel
+    from spectral_tpu.ops.curvilinear import named_map
+
+    g = Grid((10, 11))
+    m = EllipticModel(g, gamma=0.8, exponent=3.0, phi=named_map("bump:0.07"))
+    u, b, dr = m.setup_problem(exact=0)
+    residual = m.make_residual(b, dr)
+    rng = np.random.default_rng(1)
+    x = g.zero_boundary(jnp.asarray(rng.standard_normal(g.dims)))
+    w = g.zero_boundary(jnp.asarray(rng.standard_normal(g.dims)))
+    _, lin = residual(x)
+    hand = m.jacobian_action(x, lin, w)
+    jvp = jax.jvp(lambda t: residual(t)[0], (x,), (w,))[1]
+    np.testing.assert_allclose(np.asarray(hand), np.asarray(jvp),
+                               atol=1e-9)
+
+
+def test_curvilinear_elliptic_nonlinear_solve():
+    """Nonlinear eta(u) = 1 + u^2 on the perturbed box: spectral error
+    decay (1.9e-5 -> 3.7e-8 from n=16 to 24) and LU-class MG counts
+    (metric-stencil MG within ~10% of dense-LU of the same stencil)."""
+    from spectral_tpu.models.elliptic import EllipticModel
+    from spectral_tpu.ops.curvilinear import named_map
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    phi = named_map("bump:0.08")
+    errs, ksp = {}, {}
+    for n, pc in ((16, "mg"), (24, "mg"), (16, "lu")):
+        m = EllipticModel(Grid((n, n)), gamma=1.0, exponent=2.0, phi=phi)
+        u, b, dr = m.setup_problem(exact=0)
+        res = m.solve(b, dr,
+                      ksp=KSPConfig(type="fgmres", rtol=1e-10, max_it=400),
+                      newton=NewtonConfig(rtol=1e-10, max_it=30), pc_type=pc)
+        assert int(res.reason) > 0
+        errs[(n, pc)] = float(jnp.max(jnp.abs(res.x - u)))
+        ksp[(n, pc)] = int(np.sum(np.asarray(res.ksp_iters)))
+    assert errs[(24, "mg")] < 1e-6 and errs[(24, "mg")] < 1e-2 * errs[(16, "mg")]
+    assert ksp[(16, "mg")] <= ksp[(16, "lu")] + 10, ksp
+
+
+def test_curvilinear_elliptic_host_residual_matches_jax():
+    from spectral_tpu.models.elliptic import EllipticModel
+    from spectral_tpu.ops.curvilinear import named_map
+
+    g = Grid((10, 10))
+    m = EllipticModel(g, gamma=1.0, exponent=2.0, phi=named_map("bump:0.06"))
+    u, b, dr = m.setup_problem_np(exact=0)
+    rng = np.random.default_rng(2)
+    x = np.where(g.boundary_mask_np, 0.0, rng.standard_normal(g.dims))
+    F_np = m.make_residual_np(b, dr)(x)
+    F_jx, _ = m.make_residual(jnp.asarray(b), jnp.asarray(dr))(jnp.asarray(x))
+    np.testing.assert_allclose(F_np, np.asarray(F_jx), atol=1e-11)

@@ -105,3 +105,16 @@ def test_stokes_cli_curved_domain(capsys):
     assert "Reason for solver termination: CONVERGED" in out
     err = float(out.split("abs = ")[1].split()[0])
     assert err < 1e-5
+
+
+def test_elliptic_cli_curved_domain(capsys):
+    from spectral_tpu.cli.drivers import elliptic_main
+
+    rc = elliptic_main(Options(
+        "-dim 14,14 -exact 0 -gamma 1 -map bump:0.08 "
+        "-ksp_rtol 1e-9 -snes_rtol 1e-9".split()))
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "curvilinear domain: -map bump:0.08" in out
+    err = float(out.split("Norm of error")[1].split("abs = ")[1].split()[0])
+    assert err < 1e-4
