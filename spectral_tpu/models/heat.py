@@ -31,23 +31,44 @@ from spectral_tpu.solvers.krylov import KSPConfig
 
 @dataclasses.dataclass(frozen=True)
 class HeatModel:
-    """theta = 1: backward Euler; theta = 0.5: Crank-Nicolson."""
+    """theta = 1: backward Euler; theta = 0.5: Crank-Nicolson.
+
+    ``phi`` integrates the heat equation on the CURVED domain Phi([-1,1]^d)
+    (ops.curvilinear): the Laplacian runs in conservative metric form and
+    the implicit operator is preconditioned by one multigrid V-cycle on the
+    SHIFTED anisotropic metric stencil (1/dt + theta * stencil) — the
+    time-independent metric means the whole MG hierarchy is set up once at
+    construction.
+    """
 
     grid: Grid
     dt: float
     theta: float = 0.5
     ksp: KSPConfig = KSPConfig(type="cg", rtol=1e-10, max_it=100)
+    phi: object = None
 
     def __post_init__(self):
         # build the PC eagerly: a cached_property first touched inside a jit
         # trace would cache tracer constants (see grid.py note)
-        _ = self._pc
+        _ = self.cmap
+        _ = self._pc_apply
+
+    @cached_property
+    def cmap(self):
+        if self.phi is None:
+            return None
+        if self.grid.intervals is not None or self.grid.maps is not None:
+            raise ValueError("curvilinear heat needs an unmapped Grid")
+        from spectral_tpu.ops.curvilinear import CurvilinearMap
+        return CurvilinearMap.build(self.grid, self.phi)
 
     def laplacian(self, u: jax.Array) -> jax.Array:
         """Spectral Laplacian with homogeneous rows at the boundary (the
         solution's boundary values are held by the Dirichlet data)."""
-        y = jnp.zeros_like(u)
         g = self.grid
+        if self.cmap is not None:
+            return g.zero_boundary(self.cmap.laplacian(u))
+        y = jnp.zeros_like(u)
         for ax in range(g.ndim):
             du = g.apply_dif_weight(chebdiff(u, ax), ax)
             y = y + g.apply_dif_weight(chebdiff(du, ax), ax)
@@ -59,12 +80,40 @@ class HeatModel:
         return jnp.where(self.grid.boundary_mask, u, y)
 
     @cached_property
-    def _pc(self) -> FastDiagSolver:
-        # FD surrogate T_j approximates -(1/2) d^2/dx_j^2, so the implicit
-        # operator (1/dt + theta*(-Lap)) matches shift=1/dt, axis_scale=2*theta
-        return FastDiagSolver.build(
-            self.grid, shift=1.0 / self.dt,
-            axis_scale=np.full(self.grid.ndim, 2.0 * self.theta))
+    def _pc_apply(self):
+        if self.cmap is None:
+            # FD surrogate T_j approximates -(1/2) d^2/dx_j^2, so the
+            # implicit operator (1/dt + theta*(-Lap)) matches shift=1/dt,
+            # axis_scale=2*theta
+            fd = FastDiagSolver.build(
+                self.grid, shift=1.0 / self.dt,
+                axis_scale=np.full(self.grid.ndim, 2.0 * self.theta))
+            return fd.apply
+        # curved domain: one MG V-cycle on the shifted anisotropic metric
+        # stencil 1/dt + theta * (-(1/detJ) d_l(A_ll d_l .))
+        import dataclasses as _dc
+
+        from spectral_tpu.ops.multigrid import Multigrid
+        from spectral_tpu.ops.stencil import anisotropic_fd_stencil
+        d = self.grid.ndim
+        shift, theta = 1.0 / self.dt, self.theta
+
+        def builder(grid, coeffs):
+            caxes = [coeffs[f"metric_a{ax}"] for ax in range(d)]
+            S = anisotropic_fd_stencil(grid, caxes,
+                                       row_scale=1.0 / coeffs["metric_detJ"])
+            interior = grid.interior_mask
+            center = jnp.where(interior, theta * S.center + shift, S.center)
+            return _dc.replace(S, center=center,
+                               lower=tuple(theta * lo for lo in S.lower),
+                               upper=tuple(theta * up for up in S.upper))
+
+        mg = Multigrid.build(self.grid, builder=builder)
+        coeffs = {"metric_detJ": jnp.asarray(self.cmap.detJ)}
+        for ax in range(d):
+            coeffs[f"metric_a{ax}"] = jnp.asarray(self.cmap.Acoef[..., ax, ax])
+        state = mg.setup(coeffs)
+        return lambda r: mg.vcycle(state, r)
 
     def step(self, u: jax.Array, f: jax.Array, dirichlet: jax.Array) -> jax.Array:
         """One theta-scheme step (jittable): solve A u_next = rhs."""
@@ -74,7 +123,7 @@ class HeatModel:
             g.zero_boundary(f)
         rhs = jnp.where(g.boundary_mask, dirichlet, rhs)
         res = self.ksp.solve(self.implicit_operator, rhs,
-                             x0=uL, M=self._pc.apply)
+                             x0=uL, M=self._pc_apply)
         return res.x
 
     def rollout(self, u0: jax.Array, f: jax.Array, dirichlet: jax.Array,

@@ -74,3 +74,40 @@ def test_retrace_safe():
     u2 = m.rollout(u0, z, z, 5)  # second trace, same model instance
     assert np.isfinite(np.asarray(u1)).all()
     assert np.isfinite(np.asarray(u2)).all()
+
+
+def test_curvilinear_heat_steady_state():
+    """Curved domain (bump map): backward-Euler rollout with harmonic
+    Dirichlet data u = x^2 - y^2 converges to that harmonic function at the
+    physical nodes (metric Laplacian + shifted-metric-stencil MG PC), with
+    a spectrally decaying discretization floor (4.7e-7 at n=14 -> 1.5e-11
+    at n=20).  GMRES: the metric operator is nonsymmetric."""
+    from spectral_tpu.models.heat import HeatModel
+    from spectral_tpu.ops.curvilinear import named_map
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    errs = {}
+    for n in (14, 20):
+        g = Grid((n, n))
+        m = HeatModel(g, dt=1.0, theta=1.0, phi=named_map("bump:0.08"),
+                      ksp=KSPConfig(type="gmres", rtol=1e-11, max_it=200))
+        xp = m.cmap.coords
+        harm = jnp.asarray(xp[..., 0] ** 2 - xp[..., 1] ** 2)
+        dirichlet = jnp.where(g.boundary_mask, harm, 0.0)
+        u = jax.jit(lambda u0, dd: m.rollout(u0, jnp.zeros(g.dims), dd, 40))(
+            jnp.zeros(g.dims), dirichlet)
+        errs[n] = np.abs(np.asarray(g.zero_boundary(u - harm))).max()
+    assert errs[20] < 1e-9 and errs[20] < 1e-3 * errs[14], errs
+
+
+def test_curvilinear_heat_identity_map_matches_unmapped():
+    from spectral_tpu.models.heat import HeatModel
+
+    g = Grid((12, 12))
+    u0 = g.zero_boundary(jnp.prod(jnp.cos(0.5 * jnp.pi * g.coords), axis=-1))
+    z = jnp.zeros(g.dims)
+    flat = HeatModel(g, dt=0.02, theta=0.5)
+    curved = HeatModel(g, dt=0.02, theta=0.5, phi=lambda xi: xi)
+    uf = flat.rollout(u0, z, z, 5)
+    uc = curved.rollout(u0, z, z, 5)
+    np.testing.assert_allclose(np.asarray(uc), np.asarray(uf), atol=1e-9)
