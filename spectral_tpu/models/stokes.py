@@ -420,14 +420,28 @@ class StokesProblem:
         # -pcvel 3 analog (StokesPCSetUp3, stokes.C:1569-1641): the nodal
         # eta-weighted Jacobian stencil (jax.jacfwd replaces CppAD), solved
         # here with one multigrid V-cycle per level-rediscretized stencil.
+        # Curved domains differentiate the anisotropic metric-form nodal
+        # residual (eta * detJ*A_ll flux coefficients, 1/detJ row scale).
         from spectral_tpu.models.stokes_pc import nodal_jacfwd_stencil
         from spectral_tpu.ops.multigrid import Multigrid
 
-        def builder(grid, coeffs):
-            eta = coeffs.get("eta")
-            if eta is None:
-                eta = jnp.ones(grid.dims)
-            return nodal_jacfwd_stencil(grid, eta)
+        if self.cmap is not None:
+            d = self.d
+
+            def builder(grid, coeffs):
+                eta = coeffs.get("eta")
+                if eta is None:
+                    eta = jnp.ones(grid.dims)
+                caxes = [eta * coeffs[f"metric_a{ax}"] for ax in range(d)]
+                return nodal_jacfwd_stencil(
+                    grid, eta, caxes=caxes,
+                    row_scale=1.0 / coeffs["metric_detJ"])
+        else:
+            def builder(grid, coeffs):
+                eta = coeffs.get("eta")
+                if eta is None:
+                    eta = jnp.ones(grid.dims)
+                return nodal_jacfwd_stencil(grid, eta)
 
         return Multigrid.build(self.grid, builder=builder,
                                smoother=self.config.pcvel_smoother)
@@ -515,7 +529,7 @@ class StokesProblem:
                     lambda vstate, r: self.mask_v(mg.vcycle(vstate, r)))
         if self.config.pcvel == "nodal":
             mg = self._vel_mg_nodal
-            return (lambda lin_state: mg.setup({"eta": lin_state[0]}),
+            return (lambda lin_state: mg.setup(self._vel_mg_coeffs(lin_state[0])),
                     lambda vstate, r: self.mask_v(mg.vcycle(vstate, r)))
         if self.config.pcvel == "jacobi":
             from spectral_tpu.models.stokes_pc import velocity_fd_stencil

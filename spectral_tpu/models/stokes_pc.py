@@ -102,7 +102,8 @@ def velocity_fd_stencil(grid: Grid, eta: jax.Array, *,
     return StencilOp(center, tuple(lowers), tuple(uppers))
 
 
-def nodal_jacfwd_stencil(grid: Grid, eta: jax.Array) -> StencilOp:
+def nodal_jacfwd_stencil(grid: Grid, eta: jax.Array, *,
+                         caxes=None, row_scale=None) -> StencilOp:
     """StokesPCSetUp3 replacement: the per-node Jacobian of the local FD
     residual via ``jax.jacfwd`` — the entire CppAD taping machinery
     (stokes.C:1601-1708, QUALITY=2) collapses to automatic differentiation
@@ -113,9 +114,15 @@ def nodal_jacfwd_stencil(grid: Grid, eta: jax.Array) -> StencilOp:
     [center, (minus, plus) per axis]; its Jacobian row gives exactly the
     stencil coefficients, so the result must match velocity_fd_stencil —
     asserted in tests.
+
+    ``caxes`` (per-axis coefficient fields, e.g. eta * detJ*A_ll on a
+    curved domain) and ``row_scale`` (e.g. 1/detJ) generalize the nodal
+    residual to the anisotropic metric form — the curvilinear -pcvel 3.
     """
     d = grid.ndim
     dtype = eta.dtype
+    if caxes is None:
+        caxes = [eta] * d
 
     # static per-axis spacing fields (as in velocity_fd_stencil)
     idxM, idxP, idx = [], [], []
@@ -129,28 +136,31 @@ def nodal_jacfwd_stencil(grid: Grid, eta: jax.Array) -> StencilOp:
         idxM.append(jnp.asarray(np.broadcast_to(_bcast_axis(a, ax, d), grid.dims), dtype))
         idxP.append(jnp.asarray(np.broadcast_to(_bcast_axis(b, ax, d), grid.dims), dtype))
         idx.append(jnp.asarray(np.broadcast_to(_bcast_axis(c, ax, d), grid.dims), dtype))
-    etaM = [0.5 * (shift(eta, ax, -1) + eta) for ax in range(d)]
-    etaP = [0.5 * (shift(eta, ax, +1) + eta) for ax in range(d)]
+    etaM = [0.5 * (shift(caxes[ax], ax, -1) + caxes[ax]) for ax in range(d)]
+    etaP = [0.5 * (shift(caxes[ax], ax, +1) + caxes[ax]) for ax in range(d)]
+    rs_field = (jnp.ones(grid.dims, dtype) if row_scale is None
+                else jnp.asarray(row_scale, dtype))
 
     def nodal_residual(vel, geom):
         """vel: (2d+1,) neighborhood values [v0, vM_0, vP_0, vM_1, ...];
         geom: per-node packed coefficients."""
-        iM, iP, ix, eM, eP = geom
+        iM, iP, ix, eM, eP, rs = geom
         r = 0.0
         for ax in range(d):
             vM_ = iM[ax] * (vel[0] - vel[1 + 2 * ax])
             vP_ = iP[ax] * (vel[2 + 2 * ax] - vel[0])
             r = r - ix[ax] * (eP[ax] * vP_ - eM[ax] * vM_)
-        return r  # residual[i] -= idx*(eP*vP - eM*vM), stokes.C:1681
+        return rs * r  # residual[i] -= idx*(eP*vP - eM*vM), stokes.C:1681
 
     jac = jax.jacfwd(nodal_residual)  # (2d+1,) coefficient row per node
 
-    def per_node(iM, iP, ix, eM, eP):
-        return jac(jnp.zeros((2 * d + 1,), dtype), (iM, iP, ix, eM, eP))
+    def per_node(iM, iP, ix, eM, eP, rs):
+        return jac(jnp.zeros((2 * d + 1,), dtype), (iM, iP, ix, eM, eP, rs))
 
     flat = lambda fs: jnp.stack([f.reshape(-1) for f in fs], axis=0)
-    rows = jax.vmap(per_node, in_axes=(1, 1, 1, 1, 1))(
-        flat(idxM), flat(idxP), flat(idx), flat(etaM), flat(etaP))
+    rows = jax.vmap(per_node, in_axes=(1, 1, 1, 1, 1, 0))(
+        flat(idxM), flat(idxP), flat(idx), flat(etaM), flat(etaP),
+        rs_field.reshape(-1))
     rows = rows.reshape(grid.dims + (2 * d + 1,))
 
     interior = grid.interior_mask
