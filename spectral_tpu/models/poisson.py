@@ -45,6 +45,7 @@ class PoissonModel:
     sharded_axis: int = 0
     mesh_axis: str = "x"
     axis_map: object = None  # {grid_axis: mesh_axis} for P x Q meshes
+    pipeline_chunks: int = 1  # >1: chunked/overlapped pencil exchange
 
     def operator(self, u: jax.Array) -> jax.Array:
         """y = -sum_j D_j(D_j u); boundary rows y_b = u_b (poisson.c:215-245).
@@ -60,7 +61,8 @@ class PoissonModel:
 
             dif = make_dif(self.mesh, self.axis_map,
                            sharded_axis=self.sharded_axis,
-                           mesh_axis=self.mesh_axis)
+                           mesh_axis=self.mesh_axis,
+                           pipeline_chunks=self.pipeline_chunks)
             y = jnp.zeros_like(u)
             for ax in range(g.ndim):
                 y = y - wgt(dif(wgt(dif(u, ax), ax), ax), ax)
