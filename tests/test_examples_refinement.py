@@ -84,3 +84,12 @@ def test_family_sweep_demo():
     import examples.family_sweep_demo as d
 
     assert d.main(["-n", "10", "-B", "3"]) == 0
+
+
+def test_curved_domain_demo(tmp_path, monkeypatch):
+    import examples.curved_domain_demo as d
+
+    monkeypatch.chdir(tmp_path)
+    assert d.main(["-n", "12", "-output_vtk"]) == 0
+    vtk = (tmp_path / "stokes_annulus.vtk").read_text()
+    assert "STRUCTURED_GRID" in vtk and "VECTORS velocity" in vtk
