@@ -333,15 +333,28 @@ class StokesProblem:
             yv = -self._tensor_divergence(flux)
             yv = self._mixed_rows(yv, flux, vL)
             Fv = self.mask_v(yv) + self.pressure_gradient(xG["p"])
-            Fp = self.divergence(xG["v"], with_dirichlet=True)
+            if self.cmap is None:
+                # div v == trace of the already-computed strain: the same
+                # per-axis dot products, so this saves the d transforms of a
+                # separate divergence pass at bitwise-identical results
+                Fp = self._div_from_strain(S)
+            else:
+                Fp = self.divergence(xG["v"], with_dirichlet=True)
             F = {"v": Fv - self.force["v"], "p": Fp - self.force["p"]}
             return F, (eta, deta, S)
 
         return residual
 
-    def vv_action(self, lin_state, wv):
-        """VV block (StokesMatMultVV, stokes.C:622-676): exact Newton
-        linearization of the viscous term about the frozen state."""
+    def _div_from_strain(self, S):
+        """Velocity divergence as the strain-tensor trace (Cartesian: the
+        diagonal of G survives symmetrization bitwise, 0.5*(x+x) == x)."""
+        div = S[..., 0, 0]
+        for i in range(1, self.d):
+            div = div + S[..., i, i]
+        return self.mask_p(div)
+
+    def _vv_core(self, lin_state, wv):
+        """VV action + the strain of the perturbation (shared with PV)."""
         eta, deta, S0 = lin_state
         wL = self.recover_mixed(self.mask_v(wv))
         Sw = self._strain(wL)
@@ -350,14 +363,25 @@ class StokesProblem:
         stress = eta[..., None, None] * Sw
         yv = -self._tensor_divergence(flux)
         yv = self._mixed_rows(yv, stress, wL)
-        return self.mask_v(yv)
+        return self.mask_v(yv), Sw
+
+    def vv_action(self, lin_state, wv):
+        """VV block (StokesMatMultVV, stokes.C:622-676): exact Newton
+        linearization of the viscous term about the frozen state."""
+        return self._vv_core(lin_state, wv)[0]
 
     def jacobian_action(self, x, lin_state, w):
-        """Full block matvec (StokesMatMult, stokes.C:497-519)."""
-        return {
-            "v": self.vv_action(lin_state, w["v"]) + self.pressure_gradient(w["p"]),
-            "p": self.divergence(w["v"], with_dirichlet=False),
-        }
+        """Full block matvec (StokesMatMult, stokes.C:497-519).  The PV row
+        reuses the VV row's strain tensor (its trace IS the divergence),
+        cutting the outer matvec from 4d to 3d transform passes on
+        Cartesian grids; curved domains keep the conservative Piola
+        divergence (a different — equally spectral — discrete form)."""
+        yv, Sw = self._vv_core(lin_state, w["v"])
+        if self.cmap is None:
+            Fp = self._div_from_strain(Sw)
+        else:
+            Fp = self.divergence(w["v"], with_dirichlet=False)
+        return {"v": yv + self.pressure_gradient(w["p"]), "p": Fp}
 
     # ------------------------------------------------------------------
     # Null space (StokesRemoveConstantPressure, stokes.C:1006-1025)
