@@ -565,13 +565,16 @@ class StokesProblem:
             # the strain-coupled, eta/eta'-aware Q1 element matrix assembled
             # into a 3^d-point coupled stencil, solved approximately by
             # eta-scaled Richardson with the exact separable-Q1 fast
-            # diagonalization as the base solve.
+            # diagonalization as the base solve.  Curved domains assemble
+            # full ISOPARAMETRIC elements from the physical node positions.
             from spectral_tpu.ops.fem import Q1FastDiag, assemble_q1_strain
             fd = Q1FastDiag.build(self.grid)
+            xphys = None if self.cmap is None else self.cmap.coords
 
             def setup(lin_state):
                 eta, deta, S = lin_state
-                A = assemble_q1_strain(self.grid, eta, deta, S, self.vel_mask)
+                A = assemble_q1_strain(self.grid, eta, deta, S, self.vel_mask,
+                                       coords=xphys)
                 return (A, eta)
 
             def apply(state, r):

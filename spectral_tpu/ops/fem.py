@@ -236,7 +236,7 @@ class Q1StrainStencil:
 def assemble_q1_strain(grid: Grid, eta: jax.Array, deta: jax.Array,
                        S: jax.Array, vel_mask: jax.Array, *,
                        zeroN: int = 0, zeroV: float = 1.0,
-                       order: int = 3) -> Q1StrainStencil:
+                       order: int = 3, coords=None) -> Q1StrainStencil:
     """StokesPCSetUp1 (stokes.C:1244-1456), TPU-native and arbitrary-d.
 
     Element loop dissolved into einsums over the element grid: for every
@@ -253,6 +253,14 @@ def assemble_q1_strain(grid: Grid, eta: jax.Array, deta: jax.Array,
     convention of MatSetValues); the element mass matrix is lumped and the
     result row-scaled by 1/lump (stokes.C:1412-1418, 1449-1450); -zeroN/
     -zeroV symmetric filtering is reproduced (stokes.C:1420-1432).
+
+    ``coords`` ((dims..., d) PHYSICAL node positions) switches to full
+    ISOPARAMETRIC Q1 elements for curved domains (StokesProblem(phi=...)):
+    the geometry Jacobian J_g(q, el) = sum_t x[el+t] (x) grad_ref(hat_t)(q)
+    is evaluated per quadrature point, test-function gradients transform by
+    its inverse, and |det J_g(q)| enters every quadrature weight (including
+    the lumped mass) — the reference's diagonal-J 2-D element (stokes.C:
+    1296-1301) generalized to arbitrary smooth cells in any dimension.
     """
     d = grid.ndim
     dims = grid.dims
@@ -281,15 +289,6 @@ def assemble_q1_strain(grid: Grid, eta: jax.Array, deta: jax.Array,
                 G[i, ti, qi] = g
     for qi, q in enumerate(quads):
         W[qi] = float(np.prod([w1[q[k]] for k in range(d)]))
-    Me = np.einsum("q,tq,rq->tr", W, B, B)   # element mass (static, x |J|)
-
-    # element geometry: J_ii = 0.5*(x_{el+1} - x_el) per axis (signed)
-    Jd = [0.5 * (np.asarray(grid.nodes_1d[ax])[1:]
-                 - np.asarray(grid.nodes_1d[ax])[:-1]) for ax in range(d)]
-    inv2h = jnp.stack([jnp.asarray(_bcast_np(1.0 / Jd[ax], ax, edims), dtype)
-                       * jnp.ones(edims, dtype) for ax in range(d)])
-    Jdet = jnp.asarray(np.abs(_outer_np(Jd, edims)), dtype)
-
     sl0 = tuple(slice(0, -1) for _ in range(d))
     eta_el = eta[sl0]
     deta_el = deta[sl0]
@@ -297,15 +296,42 @@ def assemble_q1_strain(grid: Grid, eta: jax.Array, deta: jax.Array,
 
     Gj = jnp.asarray(G, dtype)
     Wj = jnp.asarray(W, dtype)
-    # real-coordinate test-function gradients at quadrature points:
-    # dtest[i, t, q, el] = G[i,t,q] / J_ii(el)
-    dtest = Gj.reshape((d, T, Q) + (1,) * d) * inv2h[:, None, None]
+    if coords is None:
+        # tensor-product cells: diagonal geometry Jacobian
+        # J_ii = 0.5*(x_{el+1} - x_el) per axis (signed), constant per cell
+        Me = np.einsum("q,tq,rq->tr", W, B, B)  # element mass (x |J|)
+        Jd = [0.5 * (np.asarray(grid.nodes_1d[ax])[1:]
+                     - np.asarray(grid.nodes_1d[ax])[:-1]) for ax in range(d)]
+        inv2h = jnp.stack([jnp.asarray(_bcast_np(1.0 / Jd[ax], ax, edims),
+                                       dtype) * jnp.ones(edims, dtype)
+                           for ax in range(d)])
+        Jdet = jnp.asarray(np.abs(_outer_np(Jd, edims)), dtype)
+        # real-coordinate test gradients: dtest[i, t, q, el] = G[i,t,q]/J_ii
+        dtest = Gj.reshape((d, T, Q) + (1,) * d) * inv2h[:, None, None]
+        Wq = Wj.reshape((Q,) + (1,) * d)         # |J| applied at the end
+        Me_el = None
+    else:
+        # isoparametric cells: J_g[q, el, i, j] = sum_t x[el+t, i] G[j, t, q]
+        xphys = jnp.asarray(coords, dtype)
+        xc = jnp.stack([xphys[tuple(slice(t[ax], t[ax] + edims[ax])
+                                    for ax in range(d))]
+                        for t in corners])       # (T, edims, d)
+        Jg = jnp.einsum("t...i,jtq->q...ij", xc, Gj)   # (Q, edims, d, d)
+        detJg = jnp.abs(jnp.linalg.det(Jg))            # (Q, edims)
+        Jg_inv = jnp.linalg.inv(Jg)                    # (Q, edims, d, d)
+        # dtest[i, t, q, el] = sum_j G[j,t,q] * Jg_inv[q, el, j, i]
+        dtest = jnp.einsum("jtq,q...ji->itq...", Gj, Jg_inv)
+        Wq = Wj.reshape((Q,) + (1,) * d) * detJg       # |J_g(q)| per point
+        Bj = jnp.asarray(B, dtype)
+        Me_el = jnp.einsum("q...,tq,rq->tr...", Wq, Bj, Bj)
+        Jdet = jnp.ones(edims, dtype)            # |J| folded into Wq / Me_el
+        Me = None
     # eta term: 0.5*(delta_ab * sum_i dtest_i dtrial_i + dtest_b dtrial_a)
-    Adot = jnp.einsum("q,itq...,irq...->tr...", Wj, dtest, dtest)
-    P = jnp.einsum("q,btq...,arq...->tarb...", Wj, dtest, dtest)
+    Adot = jnp.einsum("q...,itq...,irq...->tr...", Wq, dtest, dtest)
+    P = jnp.einsum("q...,btq...,arq...->tarb...", Wq, dtest, dtest)
     # Newton term: zhat[a,t,q] = sum_i dtest_i S_el[a,i]
     zh = jnp.einsum("itq...,...ai->atq...", dtest, S_el)
-    ZH = jnp.einsum("q,atq...,brq...->tarb...", Wj, zh, zh)
+    ZH = jnp.einsum("q...,atq...,brq...->tarb...", Wq, zh, zh)
 
     eye = jnp.asarray(np.eye(d), dtype)
     # Ae[t,a,r,b](el)
@@ -330,7 +356,8 @@ def assemble_q1_strain(grid: Grid, eta: jax.Array, deta: jax.Array,
             blk = blk * colm[..., None, :]             # drop masked columns
             coef[off] = coef[off].at[row_sl].add(blk)
             # lumped mass: sum over this element's free trial dofs
-            acc = acc + Me[ti, ri] * jnp.sum(colm, axis=-1, keepdims=True)
+            me = Me[ti, ri] if Me is not None else Me_el[ti, ri][..., None]
+            acc = acc + me * jnp.sum(colm, axis=-1, keepdims=True)
         lump = lump.at[row_sl].add(acc * Jdet[..., None])
 
     # drop masked rows, then row-scale by 1/lump (stokes.C:1449-1450)
@@ -389,10 +416,12 @@ def _outer_np(per_axis: list, dims: tuple) -> np.ndarray:
 def q1_strain_dense_np(grid: Grid, eta: np.ndarray, deta: np.ndarray,
                        S: np.ndarray, vel_mask: np.ndarray, *,
                        zeroN: int = 0, zeroV: float = 1.0,
-                       order: int = 3) -> np.ndarray:
+                       order: int = 3, coords=None) -> np.ndarray:
     """Dense nested-loop oracle of assemble_q1_strain (tests only):
     a direct per-element/per-quadrature-point/per-dof-pair evaluation of the
-    StokesPCSetUp1 algorithm, kept deliberately naive."""
+    StokesPCSetUp1 algorithm, kept deliberately naive.  ``coords`` switches
+    to full isoparametric elements (per-quadrature-point geometry Jacobian
+    from the physical corner positions)."""
     d = grid.ndim
     dims = grid.dims
     size = int(np.prod(dims))
@@ -405,32 +434,46 @@ def q1_strain_dense_np(grid: Grid, eta: np.ndarray, deta: np.ndarray,
     lump = np.zeros(size * d)
     flat = np.arange(size).reshape(dims)
     nodes = [np.asarray(grid.nodes_1d[ax]) for ax in range(d)]
+
+    def gradref(t, q):
+        g = np.zeros(d)
+        for i in range(d):
+            z = d1[t[i], q[i]]
+            for k in range(d):
+                if k != i:
+                    z *= b1[t[k], q[k]]
+            g[i] = z
+        return g
+
     for el in itertools.product(*[range(n - 1) for n in dims]):
-        J = [0.5 * (nodes[ax][el[ax] + 1] - nodes[ax][el[ax]])
-             for ax in range(d)]
-        Jdet = abs(float(np.prod(J)))
+        if coords is None:
+            J = [0.5 * (nodes[ax][el[ax] + 1] - nodes[ax][el[ax]])
+                 for ax in range(d)]
+            Jdet = abs(float(np.prod(J)))
         eta_e = float(eta[el]); deta_e = float(deta[el]); S_e = S[el]
         Ael = np.zeros((len(corners), d, len(corners), d))
         Mel = np.zeros((len(corners), len(corners)))
         for q in quads:
-            qw = Jdet * float(np.prod([w1[q[k]] for k in range(d)]))
+            wq = float(np.prod([w1[q[k]] for k in range(d)]))
+            if coords is None:
+                qw = Jdet * wq
+                Jinv_q = None
+            else:
+                Jg = np.zeros((d, d))
+                for t in corners:
+                    node = tuple(el[ax] + t[ax] for ax in range(d))
+                    Jg += np.outer(np.asarray(coords[node]), gradref(t, q))
+                qw = abs(float(np.linalg.det(Jg))) * wq
+                Jinv_q = np.linalg.inv(Jg)
             for ti, t in enumerate(corners):
-                dtest = np.zeros(d)
-                for i in range(d):
-                    z = d1[t[i], q[i]] / J[i]
-                    for k in range(d):
-                        if k != i:
-                            z *= b1[t[k], q[k]]
-                    dtest[i] = z
+                g = gradref(t, q)
+                dtest = (g / np.asarray(J) if coords is None
+                         else g @ Jinv_q)
                 bt = float(np.prod([b1[t[k], q[k]] for k in range(d)]))
                 for ri, r in enumerate(corners):
-                    dtrial = np.zeros(d)
-                    for i in range(d):
-                        z = d1[r[i], q[i]] / J[i]
-                        for k in range(d):
-                            if k != i:
-                                z *= b1[r[k], q[k]]
-                        dtrial[i] = z
+                    g = gradref(r, q)
+                    dtrial = (g / np.asarray(J) if coords is None
+                              else g @ Jinv_q)
                     br = float(np.prod([b1[r[k], q[k]] for k in range(d)]))
                     Mel[ti, ri] += bt * br * qw
                     for a in range(d):

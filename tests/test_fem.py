@@ -106,3 +106,32 @@ def test_q1_strain_zeroN_filter():
                             zeroN=3, zeroV=2.5)
     Ao = q1_strain_dense_np(g, eta, deta, S, vm, zeroN=3, zeroV=2.5)
     np.testing.assert_allclose(st.as_dense_np(), Ao, atol=1e-13)
+
+
+def test_q1_isoparametric_matches_dense_oracle():
+    """Curved-domain (isoparametric) Q1 strain assembly == the naive dense
+    per-element/per-quadrature-point oracle; identity coords reduce to the
+    diagonal-Jacobian tensor-product path."""
+    import jax.numpy as jnp
+
+    from spectral_tpu.ops.curvilinear import CurvilinearMap, named_map
+    from spectral_tpu.ops.fem import assemble_q1_strain, q1_strain_dense_np
+
+    g = Grid((8, 7))
+    m = CurvilinearMap.build(g, named_map("bump:0.07"))
+    rng = np.random.default_rng(0)
+    eta = 1.0 + rng.random(g.dims)
+    deta = 0.3 * rng.random(g.dims)
+    S = rng.standard_normal(g.dims + (2, 2))
+    S = 0.5 * (S + np.swapaxes(S, -1, -2))
+    vel_mask = np.ones(g.dims + (2,), bool)
+    vel_mask[g.boundary_mask_np] = False
+    args = (g, jnp.asarray(eta), jnp.asarray(deta), jnp.asarray(S),
+            jnp.asarray(vel_mask))
+    A_st = assemble_q1_strain(*args, coords=m.coords)
+    A_dense = q1_strain_dense_np(g, eta, deta, S, vel_mask, coords=m.coords)
+    np.testing.assert_allclose(A_st.as_dense_np(), A_dense, atol=1e-12)
+    A_id = assemble_q1_strain(*args, coords=g.coords_np)
+    A_old = assemble_q1_strain(*args)
+    np.testing.assert_allclose(A_id.as_dense_np(), A_old.as_dense_np(),
+                               atol=1e-12)
