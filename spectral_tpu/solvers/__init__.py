@@ -1,10 +1,12 @@
 """Solver kernel library: Krylov methods, Newton, preconditioners."""
 
 from spectral_tpu.solvers.types import ConvergedReason, SolveResult
+from spectral_tpu.solvers.adjoint import implicit_gradient
 from spectral_tpu.solvers.krylov import (KSPConfig, ksp_solve, gmres, fgmres,
                                          cg, block_gmres)
 
 __all__ = [
+    "implicit_gradient",
     "ConvergedReason",
     "SolveResult",
     "KSPConfig",

@@ -1,0 +1,126 @@
+"""Adjoint sensitivity tests: implicit-function-theorem gradients checked
+against central finite differences of the full nonlinear solve (capability
+beyond the reference; solvers/adjoint.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.grid import Grid
+from spectral_tpu.ops.chebyshev import chebdiff
+from spectral_tpu.solvers.adjoint import implicit_gradient
+from spectral_tpu.solvers.krylov import KSPConfig
+from spectral_tpu.solvers.newton import NewtonConfig, newton_solve
+
+
+def _elliptic_pieces(g, b):
+    """F(u, gamma) = -sum_ax d_ax((1 + gamma u^2) d_ax u) - b, Dirichlet 0."""
+
+    def residual(uG, gamma):
+        u = g.zero_boundary(uG)
+        eta = 1.0 + gamma * u**2
+        F = jnp.zeros_like(u)
+        for ax in range(g.ndim):
+            F = F - chebdiff(eta * chebdiff(u, ax), ax)
+        return g.zero_boundary(F) - b
+
+    def solve(gamma):
+        res_fn = lambda x: (residual(x, gamma), None)
+        out = newton_solve(res_fn, jnp.zeros(g.dims),
+                           ksp=KSPConfig(type="gmres", rtol=1e-12, max_it=400),
+                           config=NewtonConfig(rtol=1e-12, max_it=30))
+        assert int(out.reason) > 0
+        return out.x
+
+    return residual, solve
+
+
+def test_implicit_gradient_matches_finite_differences():
+    g = Grid((12, 12))
+    x = g.coords
+    b = g.zero_boundary(jnp.prod(jnp.cos(0.5 * jnp.pi * x), axis=-1))
+    residual, solve = _elliptic_pieces(g, b)
+    qoi = lambda u, gamma: jnp.sum(u**2)
+
+    gamma0 = 0.7
+    xs = solve(gamma0)
+    grad, res = implicit_gradient(residual, qoi, xs, gamma0)
+    assert int(res.reason) > 0
+
+    h = 1e-5
+    qp = float(qoi(solve(gamma0 + h), gamma0 + h))
+    qm = float(qoi(solve(gamma0 - h), gamma0 - h))
+    fd = (qp - qm) / (2 * h)
+    assert abs(float(grad) - fd) < 1e-5 * max(1.0, abs(fd)), (float(grad), fd)
+
+
+def test_implicit_gradient_parameter_pytree():
+    """theta as a pytree {gamma, scale}; explicit-dependence term included
+    (qoi depends on theta directly too)."""
+    g = Grid((10, 10))
+    x = g.coords
+    base = g.zero_boundary(jnp.prod(jnp.cos(0.5 * jnp.pi * x), axis=-1))
+
+    def residual(uG, th):
+        u = g.zero_boundary(uG)
+        eta = 1.0 + th["gamma"] * u**2
+        F = jnp.zeros_like(u)
+        for ax in range(g.ndim):
+            F = F - chebdiff(eta * chebdiff(u, ax), ax)
+        return g.zero_boundary(F) - th["scale"] * base
+
+    def solve(th):
+        out = newton_solve(lambda x: (residual(x, th), None), jnp.zeros(g.dims),
+                           ksp=KSPConfig(type="gmres", rtol=1e-12, max_it=400),
+                           config=NewtonConfig(rtol=1e-12, max_it=30))
+        assert int(out.reason) > 0
+        return out.x
+
+    qoi = lambda u, th: jnp.sum(u**2) + 0.3 * th["scale"] ** 2
+    th0 = {"gamma": 0.5, "scale": 1.2}
+    xs = solve(th0)
+    grad, res = implicit_gradient(residual, qoi, xs, th0)
+    assert int(res.reason) > 0
+    h = 1e-5
+    for key in ("gamma", "scale"):
+        thp = dict(th0); thp[key] = th0[key] + h
+        thm = dict(th0); thm[key] = th0[key] - h
+        fd = (float(qoi(solve(thp), thp)) - float(qoi(solve(thm), thm))) / (2 * h)
+        assert abs(float(grad[key]) - fd) < 1e-5 * max(1.0, abs(fd)), \
+            (key, float(grad[key]), fd)
+
+
+def test_stokes_adjoint_hardness_sensitivity():
+    """Stokes: d/d(hardness) of the viscous-dissipation QoI via one adjoint
+    solve == central finite differences of full power-law solves."""
+    from spectral_tpu.models.rheology import PowerLawParams
+    from spectral_tpu.models.stokes import StokesConfig, StokesProblem
+
+    cfg = StokesConfig(exact=1, boundary=0, rheology=1, exponent=2.0,
+                       regularization=1e-2, pcvel="fastdiag")
+    p = StokesProblem(Grid((10, 10)), cfg)
+
+    def residual(xG, hardness):
+        params = PowerLawParams(hardness, cfg.exponent,
+                                cfg.regularization, cfg.gamma0)
+        F, _ = p.make_residual(params)(xG)
+        return {"v": F["v"], "p": p.project_p(F["p"])}
+
+    def solve(hardness):
+        params = PowerLawParams(hardness, cfg.exponent,
+                                cfg.regularization, cfg.gamma0)
+        out = p.solve(params=params)
+        assert int(out.reason) > 0
+        return out.x
+
+    qoi = lambda x, hardness: jnp.sum(x["v"] ** 2)
+    h0 = 1.0
+    xs = solve(h0)
+    grad, res = implicit_gradient(
+        residual, qoi, xs, h0,
+        ksp=KSPConfig(type="gmres", rtol=1e-10, max_it=2000, restart=100),
+        null_project=p.null_project)
+    assert int(res.reason) > 0
+    h = 1e-4
+    fd = (float(qoi(solve(h0 + h), 0)) - float(qoi(solve(h0 - h), 0))) / (2 * h)
+    assert abs(float(grad) - fd) < 1e-4 * max(1.0, abs(fd)), (float(grad), fd)
