@@ -74,11 +74,28 @@ def poisson_main(opts: Options) -> int:
     n = opts.get_int("n", 7)
     p = opts.get_int("p", 1)
     dims = (m, n) if p == 1 else (m, n, p)
+    map_spec = opts.get_string("map", "")
+    ksp = opts.ksp_config("", KSPConfig(type="gmres", rtol=1e-7, max_it=500))
+    if map_spec:
+        # curved domain: CurvilinearPoisson with the manufactured solution
+        # u = prod cos(pi x_j / 2) evaluated at physical nodes
+        from spectral_tpu.models.curvilinear import CurvilinearPoisson
+        from spectral_tpu.ops.curvilinear import named_map
+        model = CurvilinearPoisson(Grid(dims), named_map(map_spec))
+        print(f"  curvilinear domain: -map {map_spec}")
+        d = len(dims)
+        u_fn = lambda x: jnp.prod(jnp.cos(0.5 * jnp.pi * x), axis=-1)
+        lap_fn = lambda x: -d * (0.5 * jnp.pi) ** 2 * u_fn(x)
+        u, b = model.manufactured(u_fn, lap_fn)
+        res = model.solve(b, ksp=ksp, pc_type=opts.pc_type("", "mg"))
+        err = float(jnp.max(jnp.abs(res.x - u)))
+        print(f"Norm of error {err:e} iterations {int(res.iters)}")
+        _print_unused(opts)
+        return 0
     model = PoissonModel(
         Grid(dims, intervals=_domain_intervals(opts, len(dims))))
     u, f = model.exact_solution()
     b = model.rhs(u, f)
-    ksp = opts.ksp_config("", KSPConfig(type="gmres", rtol=1e-7, max_it=500))
     pc = opts.pc_type("", "fastdiag")
     res = model.solve(b, ksp=ksp, pc_type=pc)
     err = float(jnp.max(jnp.abs(res.x - u)))

@@ -124,3 +124,41 @@ def test_stokes_adjoint_hardness_sensitivity():
     h = 1e-4
     fd = (float(qoi(solve(h0 + h), 0)) - float(qoi(solve(h0 - h), 0))) / (2 * h)
     assert abs(float(grad) - fd) < 1e-4 * max(1.0, abs(fd)), (float(grad), fd)
+
+
+def test_field_parameter_gradient():
+    """theta = the entire forcing FIELD: one adjoint solve yields the
+    gradient w.r.t. every node value at once (reverse mode); checked
+    against finite differences at probe nodes."""
+    g = Grid((10, 10))
+    x = g.coords
+    base = g.zero_boundary(jnp.prod(jnp.cos(0.5 * jnp.pi * x), axis=-1))
+
+    def residual(uG, b_field):
+        u = g.zero_boundary(uG)
+        eta = 1.0 + 0.5 * u**2
+        F = jnp.zeros_like(u)
+        for ax in range(g.ndim):
+            F = F - chebdiff(eta * chebdiff(u, ax), ax)
+        return g.zero_boundary(F) - g.zero_boundary(b_field)
+
+    def solve(b_field):
+        out = newton_solve(lambda t: (residual(t, b_field), None),
+                           jnp.zeros(g.dims),
+                           ksp=KSPConfig(type="gmres", rtol=1e-12, max_it=400),
+                           config=NewtonConfig(rtol=1e-12, max_it=30))
+        assert int(out.reason) > 0
+        return out.x
+
+    qoi = lambda u, b: jnp.sum(u**2)
+    xs = solve(base)
+    grad, res = implicit_gradient(residual, qoi, xs, base)
+    assert int(res.reason) > 0
+    assert grad.shape == g.dims
+    h = 1e-5
+    for node in ((4, 5), (2, 7), (6, 3)):
+        e = jnp.zeros(g.dims).at[node].set(1.0)
+        fd = (float(qoi(solve(base + h * e), 0))
+              - float(qoi(solve(base - h * e), 0))) / (2 * h)
+        assert abs(float(grad[node]) - fd) < 1e-5 * max(1.0, abs(fd)), \
+            (node, float(grad[node]), fd)

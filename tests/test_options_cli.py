@@ -118,3 +118,13 @@ def test_elliptic_cli_curved_domain(capsys):
     assert "curvilinear domain: -map bump:0.08" in out
     err = float(out.split("Norm of error")[1].split("abs = ")[1].split()[0])
     assert err < 1e-4
+
+
+def test_poisson_cli_curved_domain(capsys):
+    from spectral_tpu.cli.drivers import poisson_main
+
+    rc = poisson_main(Options("-m 14 -n 14 -map bump:0.08 -ksp_rtol 1e-9".split()))
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "curvilinear domain" in out
+    assert float(out.split("Norm of error ")[1].split()[0]) < 1e-4
