@@ -93,3 +93,9 @@ def test_curved_domain_demo(tmp_path, monkeypatch):
     assert d.main(["-n", "12", "-output_vtk"]) == 0
     vtk = (tmp_path / "stokes_annulus.vtk").read_text()
     assert "STRUCTURED_GRID" in vtk and "VECTORS velocity" in vtk
+
+
+def test_adjoint_fit_demo():
+    import examples.adjoint_fit_demo as d
+
+    assert d.main(["-n", "8", "-steps", "6"]) == 0
