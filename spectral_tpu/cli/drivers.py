@@ -81,6 +81,8 @@ def poisson_main(opts: Options) -> int:
         # u = prod cos(pi x_j / 2) evaluated at physical nodes
         from spectral_tpu.models.curvilinear import CurvilinearPoisson
         from spectral_tpu.ops.curvilinear import named_map
+        if _domain_intervals(opts, len(dims)) is not None:
+            raise SystemExit("-map and -domain are mutually exclusive")
         model = CurvilinearPoisson(Grid(dims), named_map(map_spec))
         print(f"  curvilinear domain: -map {map_spec}")
         d = len(dims)
@@ -303,6 +305,8 @@ def heat_main(opts: Options) -> int:
         # at the boundary; report the steady-state error at physical nodes
         from spectral_tpu.ops.curvilinear import named_map
         from spectral_tpu.solvers.krylov import KSPConfig
+        if _domain_intervals(opts, len(dims)) is not None:
+            raise SystemExit("-map and -domain are mutually exclusive")
         g = Grid(dims)
         m = HeatModel(g, dt=dt, theta=theta, phi=named_map(map_spec),
                       ksp=KSPConfig(type="gmres", rtol=1e-11, max_it=200))

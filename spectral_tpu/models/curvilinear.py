@@ -22,7 +22,6 @@ import numpy as np
 
 from spectral_tpu.grid import Grid
 from spectral_tpu.ops.curvilinear import CurvilinearMap
-from spectral_tpu.ops.stencil import anisotropic_fd_stencil
 from spectral_tpu.solvers.krylov import KSPConfig
 from spectral_tpu.solvers.types import SolveResult
 
@@ -44,18 +43,9 @@ class CurvilinearPoisson:
 
     def build_pc(self, pc_type: str = "mg"):
         """PC on the anisotropic FD surrogate (separable metric part)."""
-        m = self.map
-        caxes = [m.Acoef[..., ax, ax] for ax in range(self.grid.ndim)]
-
-        def builder(grid, coeffs):
-            d = grid.ndim
-            cax = [coeffs[f"c{ax}"] for ax in range(d)]
-            return anisotropic_fd_stencil(grid, cax,
-                                          row_scale=1.0 / coeffs["detJ"])
-
-        coeffs = {f"c{ax}": jnp.asarray(caxes[ax])
-                  for ax in range(self.grid.ndim)}
-        coeffs["detJ"] = jnp.asarray(m.detJ)
+        from spectral_tpu.ops.curvilinear import metric_surrogate_builder
+        builder = metric_surrogate_builder(self.grid.ndim)
+        coeffs = self.map.pc_coeffs()
         if pc_type == "mg":
             from spectral_tpu.ops.multigrid import Multigrid
             mg = Multigrid.build(self.grid, builder=builder)

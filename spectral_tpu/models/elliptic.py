@@ -267,12 +267,9 @@ class EllipticModel:
             eta, deta, gradu = lin_state
             if self.cmap is None:
                 return elliptic_jacobian_stencil(g, eta, deta, gradu)
-            from spectral_tpu.ops.stencil import anisotropic_fd_stencil
-            A, detJ = self.cmap.Acoef, self.cmap.detJ
-            caxes = [eta * jnp.asarray(A[..., ax, ax], eta.dtype)
-                     for ax in range(g.ndim)]
-            return anisotropic_fd_stencil(
-                g, caxes, row_scale=1.0 / jnp.asarray(detJ, eta.dtype))
+            from spectral_tpu.ops.curvilinear import metric_surrogate_builder
+            return metric_surrogate_builder(g.ndim)(
+                g, self.cmap.pc_coeffs(eta))
 
         if pc_type == "fastdiag":
             fd = self._fastdiag
@@ -338,28 +335,14 @@ class EllipticModel:
                     return mg.setup({"eta": eta, "deta": deta,
                                      "gradu": list(gradu)})
             else:
-                from spectral_tpu.ops.stencil import anisotropic_fd_stencil
-                d = g.ndim
+                from spectral_tpu.ops.curvilinear import (
+                    metric_surrogate_builder)
 
-                def builder(grid, coeffs):
-                    eta = coeffs.get("eta")
-                    if eta is None:
-                        eta = jnp.ones(grid.dims)
-                    caxes = [eta * coeffs[f"metric_a{ax}"] for ax in range(d)]
-                    return anisotropic_fd_stencil(
-                        grid, caxes, row_scale=1.0 / coeffs["metric_detJ"])
-
-                mg = Multigrid.build(g, builder=builder)
-                A, detJ = self.cmap.Acoef, self.cmap.detJ
+                mg = Multigrid.build(
+                    g, builder=metric_surrogate_builder(g.ndim))
 
                 def setup(x, lin_state):
-                    eta = lin_state[0]
-                    coeffs = {"eta": eta, "metric_detJ":
-                              jnp.asarray(detJ, eta.dtype)}
-                    for ax in range(d):
-                        coeffs[f"metric_a{ax}"] = jnp.asarray(
-                            A[..., ax, ax], eta.dtype)
-                    return mg.setup(coeffs)
+                    return mg.setup(self.cmap.pc_coeffs(lin_state[0]))
 
             def apply(state, r):
                 return mg.vcycle(state, r)

@@ -51,6 +51,12 @@ class HeatModel:
         # build the PC eagerly: a cached_property first touched inside a jit
         # trace would cache tracer constants (see grid.py note)
         _ = self.cmap
+        if self.cmap is not None and self.ksp.type == "cg":
+            # the metric operator is nonsymmetric — CG (the flat-domain
+            # default) is invalid on curved domains; switch to GMRES with
+            # the same tolerances
+            object.__setattr__(self, "ksp",
+                               dataclasses.replace(self.ksp, type="gmres"))
         _ = self._pc_apply
 
     @cached_property
@@ -93,15 +99,13 @@ class HeatModel:
         # stencil 1/dt + theta * (-(1/detJ) d_l(A_ll d_l .))
         import dataclasses as _dc
 
+        from spectral_tpu.ops.curvilinear import metric_surrogate_builder
         from spectral_tpu.ops.multigrid import Multigrid
-        from spectral_tpu.ops.stencil import anisotropic_fd_stencil
-        d = self.grid.ndim
+        base = metric_surrogate_builder(self.grid.ndim)
         shift, theta = 1.0 / self.dt, self.theta
 
         def builder(grid, coeffs):
-            caxes = [coeffs[f"metric_a{ax}"] for ax in range(d)]
-            S = anisotropic_fd_stencil(grid, caxes,
-                                       row_scale=1.0 / coeffs["metric_detJ"])
+            S = base(grid, coeffs)
             interior = grid.interior_mask
             center = jnp.where(interior, theta * S.center + shift, S.center)
             return _dc.replace(S, center=center,
@@ -109,10 +113,7 @@ class HeatModel:
                                upper=tuple(theta * up for up in S.upper))
 
         mg = Multigrid.build(self.grid, builder=builder)
-        coeffs = {"metric_detJ": jnp.asarray(self.cmap.detJ)}
-        for ax in range(d):
-            coeffs[f"metric_a{ax}"] = jnp.asarray(self.cmap.Acoef[..., ax, ax])
-        state = mg.setup(coeffs)
+        state = mg.setup(self.cmap.pc_coeffs())
         return lambda r: mg.vcycle(state, r)
 
     def step(self, u: jax.Array, f: jax.Array, dirichlet: jax.Array) -> jax.Array:

@@ -408,18 +408,9 @@ class StokesProblem:
 
         if self.cmap is not None:
             # curvilinear surrogate: -(1/detJ) d_l(eta detJ A_ll d_l .) with
-            # the cross terms dropped (standard PC practice); the metric
-            # diagonal fields restrict down the hierarchy with eta.
-            from spectral_tpu.ops.stencil import anisotropic_fd_stencil
-            d = self.d
-
-            def builder(grid, coeffs):
-                eta = coeffs.get("eta")
-                if eta is None:
-                    eta = jnp.ones(grid.dims)
-                caxes = [eta * coeffs[f"metric_a{ax}"] for ax in range(d)]
-                return anisotropic_fd_stencil(
-                    grid, caxes, row_scale=1.0 / coeffs["metric_detJ"])
+            # the cross terms dropped (shared plumbing, ops.curvilinear)
+            from spectral_tpu.ops.curvilinear import metric_surrogate_builder
+            builder = metric_surrogate_builder(self.d)
         else:
             def builder(grid, coeffs):
                 eta = coeffs.get("eta")
@@ -431,13 +422,9 @@ class StokesProblem:
                                smoother=self.config.pcvel_smoother)
 
     def _vel_mg_coeffs(self, eta) -> dict:
-        coeffs = {"eta": eta}
-        if self.cmap is not None:
-            for ax in range(self.d):
-                coeffs[f"metric_a{ax}"] = jnp.asarray(
-                    self.cmap.Acoef[..., ax, ax], eta.dtype)
-            coeffs["metric_detJ"] = jnp.asarray(self.cmap.detJ, eta.dtype)
-        return coeffs
+        if self.cmap is None:
+            return {"eta": eta}
+        return self.cmap.pc_coeffs(eta)
 
     @cached_property
     def _vel_mg_nodal(self):

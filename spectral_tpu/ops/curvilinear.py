@@ -107,12 +107,38 @@ class CurvilinearMap:
             y = y + chebdiff(flux, i)
         return y / detJ
 
-    def separable_coeffs(self) -> dict:
-        """Per-axis diagonal flux coefficients detJ*A_ii (the PC surrogate
-        drops the cross terms, standard practice)."""
+    def pc_coeffs(self, eta: jax.Array | None = None, dtype=None) -> dict:
+        """Coefficient-field dict for the separable metric PC surrogate
+        (consumed by ``metric_surrogate_builder``; the fields restrict down
+        a multigrid hierarchy together with ``eta``)."""
         d = self.grid.ndim
-        return {f"c{ax}": jnp.asarray(self.Acoef[..., ax, ax])
-                for ax in range(d)}
+        if dtype is None:
+            dtype = eta.dtype if eta is not None else jnp.asarray(1.0).dtype
+        out = {f"metric_a{ax}": jnp.asarray(self.Acoef[..., ax, ax], dtype)
+               for ax in range(d)}
+        out["metric_detJ"] = jnp.asarray(self.detJ, dtype)
+        if eta is not None:
+            out["eta"] = eta
+        return out
+
+
+def metric_surrogate_builder(d: int):
+    """Multigrid stencil builder for the anisotropic separable metric
+    surrogate -(1/detJ) d_l(eta * detJ*A_ll d_l .) (cross terms dropped,
+    standard PC practice).  ``coeffs`` comes from ``CurvilinearMap.pc_coeffs``
+    (optionally with an "eta" field) — the single shared plumbing for the
+    curvilinear Poisson/elliptic/heat/Stokes preconditioners."""
+    from spectral_tpu.ops.stencil import anisotropic_fd_stencil
+
+    def builder(grid, coeffs):
+        eta = coeffs.get("eta")
+        if eta is None:
+            eta = jnp.ones(grid.dims, coeffs["metric_detJ"].dtype)
+        caxes = [eta * coeffs[f"metric_a{ax}"] for ax in range(d)]
+        return anisotropic_fd_stencil(
+            grid, caxes, row_scale=1.0 / coeffs["metric_detJ"])
+
+    return builder
 
 
 def named_map(spec: str):

@@ -288,8 +288,9 @@ class _BGState(NamedTuple):
 
 
 def _qr_block(W):
-    """Thin QR of the (B, n) row block: returns (Q rows (B, n), R (B, B))
-    with safe normalization for (near-)rank-deficient blocks."""
+    """Thin QR of the (B, n) row block: (Q rows (B, n), R (B, B)).  Rank
+    deficiency is handled by the caller (block_gmres zeroes directions
+    whose R diagonal is negligible relative to the block)."""
     Q, R = jnp.linalg.qr(W.T, mode="reduced")   # (n, B), (B, B)
     return Q.T, R
 
@@ -334,7 +335,10 @@ def block_gmres(A: Operator, B_rhs, X0=None, *, M: Optional[Operator] = None,
     X0m = (jnp.zeros_like(Bmat) if X0 is None
            else jax.vmap(lambda t: ravel_pytree(t)[0])(X0).astype(dtype))
 
-    m = max(1, min(restart, max_it))
+    # cap the cycle length at the saturation bound: the block Krylov space
+    # cannot exceed n dimensions, and running deflated (all-zero) steps past
+    # ceil(n/B) degrades the least-squares basis — restart there instead
+    m = max(1, min(restart, max_it, -(-n // nb) + 1))
     history_len = _hist_len(history_len, max_it)
     rows = (m + 1) * nb
     i32 = jnp.int32
@@ -356,9 +360,16 @@ def block_gmres(A: Operator, B_rhs, X0=None, *, M: Optional[Operator] = None,
         H2 = (s.V * active) @ W.T
         W = W - H2.T @ (s.V * active)
         Hcol = H1 + H2                                          # (rows, B)
+        # per-column norms BEFORE the intra-block QR: direction j is
+        # deflated only when its component orthogonal to the earlier block
+        # columns (the Rn diagonal) is negligible relative to ITS OWN norm
+        # — a true near-duplicate.  Dtype-aware (an absolute 1e-300
+        # threshold underflows to 0 in the f32 production path and would
+        # admit rounding-noise directions into the shared basis).
+        wn = jnp.sqrt(jnp.sum(W * W, axis=1))
         Qn, Rn = _qr_block(W)
-        # guard rank deficiency: zero rows of Qn whose Rn diagonal ~ 0
-        keep = (jnp.abs(jnp.diagonal(Rn)) > _TINY)[:, None].astype(dtype)
+        rtiny = 16 * jnp.finfo(dtype).eps * jnp.maximum(wn, _TINY)
+        keep = (jnp.abs(jnp.diagonal(Rn)) > rtiny)[:, None].astype(dtype)
         Qn = Qn * keep
         V = jax.lax.dynamic_update_slice_in_dim(s.V, Qn, (s.k + 1) * nb, 0)
         Hcol = jax.lax.dynamic_update_slice_in_dim(
@@ -370,8 +381,14 @@ def block_gmres(A: Operator, B_rhs, X0=None, *, M: Optional[Operator] = None,
         # masked least squares min ||H y - G|| over the active k*B columns
         cols = jnp.arange(m * nb) < s.k * nb
         Hm = jnp.where(cols[None, :], s.H, 0.0)
-        # normal equations with diagonal regularization of inactive columns
-        HtH = Hm.T @ Hm + jnp.diag(jnp.where(cols, 0.0, 1.0).astype(dtype))
+        # normal equations; inactive columns pinned to identity, active ones
+        # ridge-regularized relative to the largest diagonal so columns of
+        # deflated (rank-deficient) directions stay solvable — the TRUE
+        # residual is recomputed below, so the ridge cannot fake convergence
+        HtH = Hm.T @ Hm
+        ridge = jnp.finfo(dtype).eps * jnp.maximum(
+            jnp.max(jnp.diagonal(HtH)), _TINY)
+        HtH = HtH + jnp.diag(jnp.where(cols, ridge, 1.0).astype(dtype))
         Y = jnp.linalg.solve(HtH, Hm.T @ s.G)                   # (m*B, B)
         X = s.X + (Y.T @ s.V[:m * nb])
         R = Pf(Bmat - Af(X))
