@@ -1,12 +1,13 @@
 """Solver kernel library: Krylov methods, Newton, preconditioners."""
 
 from spectral_tpu.solvers.types import ConvergedReason, SolveResult
-from spectral_tpu.solvers.adjoint import implicit_gradient
+from spectral_tpu.solvers.adjoint import implicit_gradient, implicit_hvp
 from spectral_tpu.solvers.krylov import (KSPConfig, ksp_solve, gmres, fgmres,
                                          cg, block_gmres)
 
 __all__ = [
     "implicit_gradient",
+    "implicit_hvp",
     "ConvergedReason",
     "SolveResult",
     "KSPConfig",

@@ -71,3 +71,61 @@ def implicit_gradient(residual: Callable[[Any, Any], Any],
     grad = jax.tree_util.tree_map(lambda a, b: jnp.asarray(a) - b,
                                   gtheta, dF_theta)
     return grad, res
+
+
+def implicit_hvp(residual: Callable[[Any, Any], Any],
+                 qoi: Callable[[Any, Any], jax.Array],
+                 x_star: Any, theta: Any, lam: Any, v: Any, *,
+                 ksp: KSPConfig | None = None,
+                 M: Optional[Callable] = None,
+                 Mt: Optional[Callable] = None,
+                 null_project: Optional[Callable] = None,
+                 ) -> tuple[Any, Any, Any]:
+    """Hessian-vector product of the REDUCED objective phi(theta) =
+    qoi(x*(theta), theta): returns (H v, tangent SolveResult, second-adjoint
+    SolveResult).  The second-order adjoint method — exactly TWO extra
+    linear solves per product regardless of parameter count:
+
+      1. tangent:        J xdot = -F_theta v          (forward operator, M)
+      2. second adjoint: J^T lamdot = q_x' - (F_x^T lam)'   (transpose, Mt)
+      3. H v = q_theta' - (F_theta^T lam)' - F_theta^T lamdot
+
+    where (.)' denotes the directional derivative along (xdot, v), computed
+    as jvp-of-grad / jvp-of-vjp (forward-over-reverse) — no Hessian is ever
+    formed.  ``lam`` is the first-order adjoint from implicit_gradient
+    (J^T lam = q_x).  This is the matvec for Newton-CG / trust-region
+    optimization of PDE-constrained objectives on TPU.
+    """
+    ksp = ksp or KSPConfig(type="gmres", rtol=1e-10, max_it=500)
+
+    # 1. tangent solve: J xdot = -F_theta v
+    Fth_v = jax.jvp(lambda th: residual(x_star, th), (theta,), (v,))[1]
+    J = lambda w: jax.jvp(lambda x: residual(x, theta), (x_star,), (w,))[1]
+    neg = lambda t: jax.tree_util.tree_map(lambda a: -a, t)
+    res_t = ksp.solve(J, neg(Fth_v), M=M, null_project=null_project)
+    xdot = res_t.x
+
+    # 2. directional derivatives of the first-order quantities
+    gq = jax.grad(qoi, argnums=(0, 1))
+    (_, _), (qx_dot, qth_dot) = jax.jvp(lambda x, th: gq(x, th),
+                                        (x_star, theta), (xdot, v))
+
+    def hF(x, th):
+        _, vjp_xth = jax.vjp(residual, x, th)
+        return vjp_xth(lam)          # (F_x^T lam, F_theta^T lam)
+
+    (_, _), (hx_dot, hth_dot) = jax.jvp(hF, (x_star, theta), (xdot, v))
+
+    # 3. second adjoint: J^T lamdot = qx_dot - hx_dot
+    _, vjp_x = jax.vjp(lambda x: residual(x, theta), x_star)
+    At = lambda w: vjp_x(w)[0]
+    rhs = jax.tree_util.tree_map(lambda a, b: a - b, qx_dot, hx_dot)
+    res_a = ksp.solve(At, rhs, M=Mt if Mt is not None else M,
+                      null_project=null_project)
+    lamdot = res_a.x
+
+    _, vjp_theta = jax.vjp(lambda th: residual(x_star, th), theta)
+    Fth_lamdot = vjp_theta(lamdot)[0]
+    Hv = jax.tree_util.tree_map(
+        lambda a, b, c: jnp.asarray(a) - b - c, qth_dot, hth_dot, Fth_lamdot)
+    return Hv, res_t, res_a

@@ -193,3 +193,55 @@ def test_stokes_adjoint_gradient_preconditioned():
           - float(qoi(solve(_dc.replace(th0, hardness=1.0 - h)), 0))) / (2 * h)
     assert abs(float(grad.hardness) - fd) < 1e-4 * max(1.0, abs(fd)), \
         (float(grad.hardness), fd)
+
+
+def test_implicit_hvp_matches_fd_of_gradient():
+    """Second-order adjoint: the Hessian-vector product of the reduced
+    objective (two extra linear solves) matches central finite differences
+    of the first-order implicit gradient to ~1e-11."""
+    from spectral_tpu.solvers.adjoint import implicit_hvp
+
+    g = Grid((10, 10))
+    x = g.coords
+    base = g.zero_boundary(jnp.prod(jnp.cos(0.5 * jnp.pi * x), axis=-1))
+
+    def residual(uG, th):
+        u = g.zero_boundary(uG)
+        eta = 1.0 + th["gamma"] * u**2
+        F = jnp.zeros_like(u)
+        for ax in range(2):
+            F = F - chebdiff(eta * chebdiff(u, ax), ax)
+        return g.zero_boundary(F) - th["scale"] * base
+
+    ksp = KSPConfig(type="gmres", rtol=1e-12, max_it=500)
+
+    def solve(th):
+        out = newton_solve(lambda t: (residual(t, th), None),
+                           jnp.zeros(g.dims),
+                           ksp=KSPConfig(type="gmres", rtol=1e-13, max_it=400),
+                           config=NewtonConfig(rtol=1e-13, max_it=40))
+        assert int(out.reason) > 0
+        return out.x
+
+    qoi = lambda u, th: jnp.sum(u**2) + 0.3 * th["scale"] ** 2 * th["gamma"]
+    th0 = {"gamma": 0.5, "scale": 1.2}
+    xs = solve(th0)
+    gx = jax.grad(qoi, argnums=0)(xs, th0)
+    _, vjp_x = jax.vjp(lambda u: residual(u, th0), xs)
+    lam = ksp.solve(lambda w: vjp_x(w)[0], gx).x
+    v = {"gamma": 1.0, "scale": -0.7}
+    Hv, rt, ra = implicit_hvp(residual, qoi, xs, th0, lam, v, ksp=ksp)
+    assert int(rt.reason) > 0 and int(ra.reason) > 0
+
+    def grad_at(th):
+        gr, res = implicit_gradient(residual, qoi, solve(th), th, ksp=ksp)
+        assert int(res.reason) > 0
+        return gr
+
+    h = 1e-5
+    thp = {k: th0[k] + h * v[k] for k in th0}
+    thm = {k: th0[k] - h * v[k] for k in th0}
+    gp, gm = grad_at(thp), grad_at(thm)
+    for k in th0:
+        fd = (float(gp[k]) - float(gm[k])) / (2 * h)
+        assert abs(float(Hv[k]) - fd) < 1e-6 * max(1.0, abs(fd)), (k, Hv, fd)
