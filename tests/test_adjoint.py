@@ -245,3 +245,81 @@ def test_implicit_hvp_matches_fd_of_gradient():
     for k in th0:
         fd = (float(gp[k]) - float(gm[k])) / (2 * h)
         assert abs(float(Hv[k]) - fd) < 1e-6 * max(1.0, abs(fd)), (k, Hv, fd)
+
+
+def test_newton_cg_parameter_fit():
+    """Truncated-Newton (Newton-CG) on the reduced objective: recover two
+    parameters {gamma, scale} from an observed field using implicit
+    gradients + Hessian-vector products — quadratic tail convergence in a
+    handful of outer iterations (the optimization loop the second-order
+    adjoint machinery exists for)."""
+    from spectral_tpu.solvers.adjoint import implicit_hvp
+
+    g = Grid((10, 10))
+    x = g.coords
+    # strong forcing so u = O(1): the gamma*u^2 nonlinearity must be
+    # OBSERVABLE for gamma to be identifiable (with weak forcing the
+    # reduced Hessian is singular in the gamma direction)
+    base = 8.0 * g.zero_boundary(jnp.prod(jnp.cos(0.5 * jnp.pi * x), axis=-1))
+
+    def residual(uG, th):
+        u = g.zero_boundary(uG)
+        eta = 1.0 + th["gamma"] * u**2
+        F = jnp.zeros_like(u)
+        for ax in range(2):
+            F = F - chebdiff(eta * chebdiff(u, ax), ax)
+        return g.zero_boundary(F) - th["scale"] * base
+
+    ksp = KSPConfig(type="gmres", rtol=1e-12, max_it=500)
+
+    def solve(th):
+        out = newton_solve(lambda t: (residual(t, th), None),
+                           jnp.zeros(g.dims),
+                           ksp=KSPConfig(type="gmres", rtol=1e-13, max_it=400),
+                           config=NewtonConfig(rtol=1e-13, max_it=40))
+        assert int(out.reason) > 0
+        return out.x
+
+    true_th = {"gamma": 0.9, "scale": 1.4}
+    u_obs = solve(true_th)
+    qoi = lambda u, th: 0.5 * jnp.sum((u - u_obs) ** 2)
+
+    th = {"gamma": 0.3, "scale": 1.0}
+    gnorms = []
+    mis_prev = None
+    for outer in range(8):
+        xs = solve(th)
+        grad, res = implicit_gradient(residual, qoi, xs, th, ksp=ksp)
+        assert int(res.reason) > 0
+        gvec = np.array([float(grad["gamma"]), float(grad["scale"])])
+        gnorms.append(np.linalg.norm(gvec))
+        mis = float(qoi(xs, th))
+        if gnorms[-1] < 1e-10:
+            break
+        # adjoint for the HVPs at this iterate
+        gx = jax.grad(qoi, argnums=0)(xs, th)
+        _, vjp_x = jax.vjp(lambda u: residual(u, th), xs)
+        lam = ksp.solve(lambda w: vjp_x(w)[0], gx).x
+        # tiny dense Newton system from two HVPs (2 parameters)
+        cols = []
+        for e in ({"gamma": 1.0, "scale": 0.0}, {"gamma": 0.0, "scale": 1.0}):
+            Hv, rt, ra = implicit_hvp(residual, qoi, xs, th, lam, e, ksp=ksp)
+            assert int(rt.reason) > 0 and int(ra.reason) > 0
+            cols.append([float(Hv["gamma"]), float(Hv["scale"])])
+        H = np.array(cols).T
+        step = np.linalg.solve(H, -gvec)
+        if step @ gvec > 0:          # not a descent direction: steepest descent
+            step = -gvec
+        # damped update: backtrack on the misfit (nonconvex far from the
+        # optimum; full Newton steps only near the basin)
+        t = 1.0
+        for _ in range(8):
+            cand = {"gamma": th["gamma"] + t * step[0],
+                    "scale": th["scale"] + t * step[1]}
+            if float(qoi(solve(cand), cand)) < mis:
+                break
+            t *= 0.5
+        th = cand
+    assert abs(th["gamma"] - true_th["gamma"]) < 1e-6
+    assert abs(th["scale"] - true_th["scale"]) < 1e-6
+    assert gnorms[-1] < 1e-4 * gnorms[0], gnorms
