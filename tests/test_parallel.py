@@ -360,3 +360,32 @@ def test_pencil_pipelined_in_model_solve():
     assert int(r_sh.iters) == int(r_ref.iters)
     np.testing.assert_allclose(np.asarray(r_sh.x), np.asarray(r_ref.x),
                                atol=1e-11)
+
+
+def test_solve_batched_sharded_over_mesh():
+    """Multi-RHS at scale: the batched Krylov solve runs with the RHS block
+    SHARDED over the mesh's dp axis (each device carries a slice of the
+    family; GSPMD partitions the vmapped while_loop) and matches the
+    unsharded batched solve exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spectral_tpu.grid import Grid as _G
+    from spectral_tpu.models.poisson import PoissonModel
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    mesh = _mesh4()
+    m = PoissonModel(_G((12, 12)))
+    u, f = m.exact_solution()
+    b1 = m.rhs(u, f)
+    rng = np.random.default_rng(3)
+    scales = jnp.asarray(rng.uniform(0.5, 2.0, size=4))
+    B = scales[:, None, None] * b1[None]
+    ksp = KSPConfig(type="gmres", rtol=1e-10, max_it=200)
+    M = m.build_pc("fastdiag")
+    ref = ksp.solve_batched(m.operator, B, M=M)
+    B_sh = jax.device_put(B, NamedSharding(mesh, P("x", None, None)))
+    with mesh:
+        sh = jax.jit(lambda bb: ksp.solve_batched(m.operator, bb, M=M))(B_sh)
+    assert np.array_equal(np.asarray(sh.iters), np.asarray(ref.iters))
+    np.testing.assert_allclose(np.asarray(sh.x), np.asarray(ref.x),
+                               atol=1e-12)
