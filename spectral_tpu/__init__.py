@@ -27,7 +27,9 @@ __version__ = "0.1.0"
 
 __all__ = ["cgl_nodes", "chebdiff", "diffmat", "Grid", "PoissonModel",
            "EllipticModel", "StokesProblem", "StokesConfig", "HeatModel",
-           "KSPConfig", "NewtonConfig", "__version__"]
+           "CurvilinearPoisson", "CurvilinearMap", "named_map", "cheb_regrid",
+           "KSPConfig", "NewtonConfig", "block_gmres", "implicit_gradient",
+           "implicit_hvp", "__version__"]
 
 _LAZY = {
     "Grid": ("spectral_tpu.grid", "Grid"),
@@ -36,8 +38,17 @@ _LAZY = {
     "StokesProblem": ("spectral_tpu.models.stokes", "StokesProblem"),
     "StokesConfig": ("spectral_tpu.models.stokes", "StokesConfig"),
     "HeatModel": ("spectral_tpu.models.heat", "HeatModel"),
+    "CurvilinearPoisson": ("spectral_tpu.models.curvilinear",
+                           "CurvilinearPoisson"),
+    "CurvilinearMap": ("spectral_tpu.ops.curvilinear", "CurvilinearMap"),
+    "named_map": ("spectral_tpu.ops.curvilinear", "named_map"),
+    "cheb_regrid": ("spectral_tpu.ops.chebyshev", "cheb_regrid"),
     "KSPConfig": ("spectral_tpu.solvers.krylov", "KSPConfig"),
     "NewtonConfig": ("spectral_tpu.solvers.newton", "NewtonConfig"),
+    "block_gmres": ("spectral_tpu.solvers.krylov", "block_gmres"),
+    "implicit_gradient": ("spectral_tpu.solvers.adjoint",
+                          "implicit_gradient"),
+    "implicit_hvp": ("spectral_tpu.solvers.adjoint", "implicit_hvp"),
 }
 
 
