@@ -23,6 +23,9 @@ from spectral_tpu.utils.options import Options
 
 def main(argv=None) -> int:
     opts = Options(argv if argv is not None else sys.argv[1:])
+    if opts.get_string("platform", ""):
+        import jax
+        jax.config.update("jax_platforms", opts.get_string("platform", ""))
     n = opts.get_int("n", 32)
     use_mf = opts.has("snes_mf")          # JFNK via jvp (the -snes_mf analog)
     user_pc = opts.has("user_precond")
@@ -60,11 +63,13 @@ def main(argv=None) -> int:
             fnn = jnp.sqrt(jnp.vdot(Fn, Fn).real)
             return xn, Fn, lst, fnn, jnp.isfinite(fnn)
 
+    import jax
+    rtol = 1e-10 if jax.config.read("jax_enable_x64") else 1e-5
     res = newton_solve(
         residual, jnp.full(n, 0.5), jacobian_action=jac,
         pc_setup=pc_setup, pc_apply=pc_apply,
-        ksp=KSPConfig(type="gmres", rtol=1e-10, max_it=500),
-        config=NewtonConfig(rtol=1e-10, max_it=20, line_search=line_search),
+        ksp=KSPConfig(type="gmres", rtol=rtol, max_it=500),
+        config=NewtonConfig(rtol=rtol, max_it=20, line_search=line_search),
     )
     print(f"Newton iterations = {res.iters} ({res.reason_str()})")
     err = float(jnp.max(jnp.abs(res.x - jnp.asarray(xg) ** 3)))
