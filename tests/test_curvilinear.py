@@ -361,3 +361,21 @@ def test_curvilinear_elliptic_4d():
                   newton=NewtonConfig(rtol=1e-9, max_it=30), pc_type="mg")
     assert int(res.reason) > 0
     assert float(jnp.max(jnp.abs(res.x - u))) < 1e-2
+
+
+def test_named_map_and_metric_validation():
+    from spectral_tpu.ops.curvilinear import CurvilinearMap, named_map
+
+    assert named_map("") is None
+    with pytest.raises(ValueError, match="unknown map"):
+        named_map("spiral:1")
+    with pytest.raises(ValueError, match="r0 < r1"):
+        named_map("annulus:2:1")
+    with pytest.raises(ValueError, match="2-D"):
+        CurvilinearMap.build(Grid((6, 6, 6)), named_map("annulus:1:2"))
+    # a fold (bump too strong) makes detJ change sign -> rejected
+    with pytest.raises(ValueError, match="not invertible"):
+        CurvilinearMap.build(Grid((16, 16)), named_map("bump:0.6"))
+    # wrong output shape
+    with pytest.raises(ValueError, match="phi must map"):
+        CurvilinearMap.build(Grid((8, 8)), lambda xi: xi[..., :1])
