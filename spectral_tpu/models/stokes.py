@@ -460,16 +460,33 @@ class StokesProblem:
     def _mixed_fd_stencil(self, eta):
         """FD velocity surrogate INCLUDING the one-sided traction rows,
         scaled exactly like the residual's mixed rows
-        (scaleM*(scaleN*traction + alpha*v), stokes.C:1183-1200)."""
+        (scaleM*(scaleN*traction + alpha*v), stokes.C:1183-1200).
+
+        Curved domains: interior rows use the anisotropic metric
+        coefficients and the traction rows are scaled by |(Jinv n)_ax| —
+        the physical normal derivative pulled back to the principal
+        reference axis (metric-blind rows mis-scale the boundary operator
+        and stall the line-corrected solves as n grows)."""
         from spectral_tpu.models.stokes_pc import velocity_fd_stencil
         cfg = self.config
         oh = jnp.where(self.nm_mask[..., None], 1.0, 0.0) * jnp.abs(self.normal) \
             / jnp.maximum(jnp.max(jnp.abs(self.normal), -1, keepdims=True), 1e-14)
         nm_oh = (oh >= 1.0).astype(eta.dtype)
+        kwargs = {}
+        if self.cmap is not None:
+            A = self.cmap.Acoef
+            kwargs["caxes"] = [eta * jnp.asarray(A[..., ax, ax], eta.dtype)
+                              for ax in range(self.d)]
+            kwargs["row_scale"] = 1.0 / jnp.asarray(self.cmap.detJ, eta.dtype)
+            nu = jnp.einsum("...lk,...k->...l",
+                            jnp.asarray(self.cmap.Jinv, eta.dtype),
+                            self.normal)
+            kwargs["nscale"] = jnp.maximum(
+                jnp.sum(nm_oh * jnp.abs(nu), axis=-1), 1e-14)
         return velocity_fd_stencil(
             self.grid, eta, scaleN=cfg.scaleM * cfg.scaleN,
             nm_mask=self.nm_mask, nm_onehot=nm_oh, normal=self.normal,
-            alpha=cfg.scaleM * self.alpha)
+            alpha=cfg.scaleM * self.alpha, **kwargs)
 
     @cached_property
     def _nm_axes(self) -> tuple:

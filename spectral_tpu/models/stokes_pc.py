@@ -36,16 +36,26 @@ def velocity_fd_stencil(grid: Grid, eta: jax.Array, *,
                         nm_mask: jax.Array | None = None,
                         nm_onehot: jax.Array | None = None,
                         normal: jax.Array | None = None,
-                        alpha: jax.Array | None = None) -> StencilOp:
+                        alpha: jax.Array | None = None,
+                        caxes=None, row_scale=None,
+                        nscale: jax.Array | None = None) -> StencilOp:
     """StokesPCSetUp0 (stokes.C:1159-1241): component-decoupled eta-weighted
     FD Laplacian with arithmetic-mean midpoint coefficients; mixed/Neumann
     rows become one-sided differences in the principal normal direction
-    scaled by scaleN (+ alpha on the diagonal for sliding)."""
+    scaled by scaleN (+ alpha on the diagonal for sliding).
+
+    Curved domains: ``caxes``/``row_scale`` switch the interior rows to the
+    anisotropic metric coefficients eta*detJ*A_ll with the 1/detJ row scale,
+    and ``nscale`` (per-node) scales the one-sided traction rows by
+    |nu_ax| = |(Jinv n)_ax| — the physical normal derivative pulled back to
+    the principal reference axis."""
     d = grid.ndim
     dtype = eta.dtype
     interior = grid.interior_mask
     center = jnp.zeros(grid.dims, dtype)
     lowers, uppers = [], []
+    if caxes is None:
+        caxes = [eta] * d
     for ax in range(d):
         z = grid.nodes_1d[ax]
         n = len(z)
@@ -58,16 +68,22 @@ def velocity_fd_stencil(grid: Grid, eta: jax.Array, *,
         idxM = jnp.asarray(_bcast_axis(idxM, ax, d), dtype)
         idxP = jnp.asarray(_bcast_axis(idxP, ax, d), dtype)
         idx = jnp.asarray(_bcast_axis(idx, ax, d), dtype)
-        etaM = 0.5 * (shift(eta, ax, -1) + eta)
-        etaP = 0.5 * (shift(eta, ax, +1) + eta)
+        c = caxes[ax]
+        etaM = 0.5 * (shift(c, ax, -1) + c)
+        etaP = 0.5 * (shift(c, ax, +1) + c)
+        rs = 1.0 if row_scale is None else row_scale
         lo = jnp.where(interior & shift(interior, ax, -1),
-                       -idx * idxM * etaM, 0.0)
+                       -idx * idxM * etaM * rs, 0.0)
         up = jnp.where(interior & shift(interior, ax, +1),
-                       -idx * idxP * etaP, 0.0)
-        center = center + jnp.where(interior, idx * (idxP * etaP + idxM * etaM), 0.0)
+                       -idx * idxP * etaP * rs, 0.0)
+        center = center + jnp.where(interior,
+                                    idx * (idxP * etaP + idxM * etaM) * rs, 0.0)
         lowers.append(lo)
         uppers.append(up)
     center = jnp.where(interior, center, 1.0)
+
+    if nscale is not None:
+        eta = eta * nscale   # scales only the one-sided traction rows below
 
     if nm_mask is not None and normal is not None:
         # one-sided rows at mixed/Neumann nodes (stokes.C:1183-1199)
