@@ -19,9 +19,7 @@ def main(argv=None) -> int:
     from spectral_tpu.utils.options import Options
 
     opts = Options(argv if argv is not None else sys.argv[1:])
-    if opts.get_string("platform", ""):
-        import jax
-        jax.config.update("jax_platforms", opts.get_string("platform", ""))
+    opts.apply_platform()
 
     import jax
     import jax.numpy as jnp

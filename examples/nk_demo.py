@@ -23,9 +23,7 @@ from spectral_tpu.utils.options import Options
 
 def main(argv=None) -> int:
     opts = Options(argv if argv is not None else sys.argv[1:])
-    if opts.get_string("platform", ""):
-        import jax
-        jax.config.update("jax_platforms", opts.get_string("platform", ""))
+    opts.apply_platform()
     n = opts.get_int("n", 32)
     use_mf = opts.has("snes_mf")          # JFNK via jvp (the -snes_mf analog)
     user_pc = opts.has("user_precond")

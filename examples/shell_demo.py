@@ -63,9 +63,7 @@ def laplacian_2d(order: int = 2, munge: bool = False):
 
 def main(argv=None) -> int:
     opts = Options(argv if argv is not None else sys.argv[1:])
-    if opts.get_string("platform", ""):
-        import jax
-        jax.config.update("jax_platforms", opts.get_string("platform", ""))
+    opts.apply_platform()
     m = opts.get_int("m", 32)
     n = opts.get_int("n", 32)
     order = opts.get_int("order", 2)

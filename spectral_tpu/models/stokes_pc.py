@@ -49,38 +49,17 @@ def velocity_fd_stencil(grid: Grid, eta: jax.Array, *,
     and ``nscale`` (per-node) scales the one-sided traction rows by
     |nu_ax| = |(Jinv n)_ax| — the physical normal derivative pulled back to
     the principal reference axis."""
+    from spectral_tpu.ops.stencil import anisotropic_fd_stencil
     d = grid.ndim
     dtype = eta.dtype
     interior = grid.interior_mask
-    center = jnp.zeros(grid.dims, dtype)
-    lowers, uppers = [], []
-    if caxes is None:
-        caxes = [eta] * d
-    for ax in range(d):
-        z = grid.nodes_1d[ax]
-        n = len(z)
-        idxM = np.zeros(n)
-        idxP = np.zeros(n)
-        idx = np.zeros(n)
-        idxM[1:-1] = 1.0 / (z[1:-1] - z[:-2])
-        idxP[1:-1] = 1.0 / (z[2:] - z[1:-1])
-        idx[1:-1] = 2.0 / (z[2:] - z[:-2])
-        idxM = jnp.asarray(_bcast_axis(idxM, ax, d), dtype)
-        idxP = jnp.asarray(_bcast_axis(idxP, ax, d), dtype)
-        idx = jnp.asarray(_bcast_axis(idx, ax, d), dtype)
-        c = caxes[ax]
-        etaM = 0.5 * (shift(c, ax, -1) + c)
-        etaP = 0.5 * (shift(c, ax, +1) + c)
-        rs = 1.0 if row_scale is None else row_scale
-        lo = jnp.where(interior & shift(interior, ax, -1),
-                       -idx * idxM * etaM * rs, 0.0)
-        up = jnp.where(interior & shift(interior, ax, +1),
-                       -idx * idxP * etaP * rs, 0.0)
-        center = center + jnp.where(interior,
-                                    idx * (idxP * etaP + idxM * etaM) * rs, 0.0)
-        lowers.append(lo)
-        uppers.append(up)
-    center = jnp.where(interior, center, 1.0)
+    # interior rows: the shared variable-coefficient flux stencil
+    # (identical arithmetic to the historical inline loop for caxes=[eta]*d)
+    S = anisotropic_fd_stencil(grid, caxes if caxes is not None else [eta] * d,
+                               row_scale=row_scale)
+    center = S.center
+    lowers = list(S.lower)
+    uppers = list(S.upper)
 
     if nscale is not None:
         eta = eta * nscale   # scales only the one-sided traction rows below

@@ -78,6 +78,15 @@ class Options:
         v = self._get(key)
         return default if v is None else v
 
+    def apply_platform(self) -> None:
+        """Honor ``-platform cpu|tpu|...`` by reconfiguring jax BEFORE any
+        backend touch (env vars are too late under the pinned sitecustomize;
+        shared by the CLI drivers and every example script)."""
+        platform = self.get_string("platform", "")
+        if platform:
+            import jax
+            jax.config.update("jax_platforms", platform)
+
     def get_bool(self, key: str, default: bool = False) -> bool:
         v = self._get(key)
         if v is None:

@@ -3,6 +3,7 @@ against central finite differences of the full nonlinear solve (capability
 beyond the reference; solvers/adjoint.py)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -247,6 +248,7 @@ def test_implicit_hvp_matches_fd_of_gradient():
         assert abs(float(Hv[k]) - fd) < 1e-6 * max(1.0, abs(fd)), (k, Hv, fd)
 
 
+@pytest.mark.slow
 def test_newton_cg_parameter_fit():
     """Truncated-Newton (Newton-CG) on the reduced objective: recover two
     parameters {gamma, scale} from an observed field using implicit
@@ -286,7 +288,6 @@ def test_newton_cg_parameter_fit():
 
     th = {"gamma": 0.3, "scale": 1.0}
     gnorms = []
-    mis_prev = None
     for outer in range(8):
         xs = solve(th)
         grad, res = implicit_gradient(residual, qoi, xs, th, ksp=ksp)

@@ -399,3 +399,22 @@ def test_curvilinear_neumann_discretization_consistent():
 def named_map_bump06():
     from spectral_tpu.ops.curvilinear import named_map
     return named_map("bump:0.06")
+
+
+@pytest.mark.slow
+def test_curvilinear_neumann_metric_traction_surrogate_helps():
+    """A/B at identical budgets (fgmres rtol 1e-9, max_it 600): the
+    metric-aware traction surrogate converges the 16^2 curved Neumann solve
+    in 2 Newton / ~1200 total outer iterations where the metric-blind
+    surrogate needs 7 / ~4200 (measured).  Solution accuracy remains
+    conditioning-limited (PARITY Known deviations)."""
+    from spectral_tpu.ops.curvilinear import named_map
+
+    cfg = StokesConfig(exact=1, boundary=1, pcvel="mg",
+                       outer_ksp=KSPConfig(type="fgmres", rtol=1e-9,
+                                           max_it=600, restart=150))
+    p = StokesProblem(Grid((16, 16)), cfg, phi=named_map("bump:0.06"))
+    res = p.solve()
+    assert int(res.reason) > 0
+    assert int(res.iters) <= 4
+    assert int(np.sum(np.asarray(res.ksp_iters))) < 2500
