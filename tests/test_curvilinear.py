@@ -418,3 +418,22 @@ def test_curvilinear_neumann_metric_traction_surrogate_helps():
     assert int(res.reason) > 0
     assert int(res.iters) <= 4
     assert int(np.sum(np.asarray(res.ksp_iters))) < 2500
+
+
+def test_curvilinear_family_solves_match_sequential():
+    """Parameter families compose with the metric path: one vmapped Newton
+    step drives B power-law exponents on the annulus sector; each member
+    matches its sequential solve to machine precision."""
+    from spectral_tpu.models.rheology import PowerLawParams
+    from spectral_tpu.ops.curvilinear import named_map
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    cfg = StokesConfig(exact=0, boundary=3, rheology=1, regularization=1e-3,
+                       pcvel="mg", newton=NewtonConfig(rtol=1e-8, max_it=40))
+    p = StokesProblem(Grid((10, 10)), cfg, phi=named_map("annulus:1:2"))
+    params = [PowerLawParams(1.0, e, 1e-3, 1.0) for e in (1.5, 2.0, 2.5)]
+    fam = p.solve_family(params)
+    assert all(int(r) > 0 for r in np.asarray(fam.reason))
+    seq = p.solve(params=params[1])
+    np.testing.assert_allclose(np.asarray(fam.x["v"][1]),
+                               np.asarray(seq.x["v"]), atol=1e-12)
