@@ -54,6 +54,7 @@ class EllipticModel:
     mesh_axis: str = "x"
     axis_map: object = None
     phi: object = None   # curved domain Phi([-1,1]^d) (ops.curvilinear)
+    pipeline_chunks: int = 1   # >1: chunked/overlapped pencil exchange
 
     @cached_property
     def cmap(self):
@@ -89,7 +90,8 @@ class EllipticModel:
             from spectral_tpu.parallel.pencil import make_dif
             d = make_dif(self.mesh, self.axis_map,
                          sharded_axis=self.sharded_axis,
-                         mesh_axis=self.mesh_axis)(v, axis)
+                         mesh_axis=self.mesh_axis,
+                         pipeline_chunks=self.pipeline_chunks)(v, axis)
         return self.grid.apply_dif_weight(d, axis)  # mapped-domain chain rule
 
     # -- coefficients ---------------------------------------------------------

@@ -78,7 +78,8 @@ class StokesProblem:
 
     def __init__(self, grid: Grid, config: StokesConfig = StokesConfig(),
                  mesh=None, sharded_axis: int = 0, mesh_axis: str = "x",
-                 axis_map: dict | None = None, phi: Callable | None = None):
+                 axis_map: dict | None = None, phi: Callable | None = None,
+                 pipeline_chunks: int = 1):
         """``mesh`` switches every derivative to the explicit pencil-SPMD
         path (parallel.pencil): grid axis ``sharded_axis`` is sharded over
         mesh axis ``mesh_axis``; derivatives along it all_to_all-exchange
@@ -99,6 +100,7 @@ class StokesProblem:
         self.sharded_axis = sharded_axis
         self.mesh_axis = mesh_axis
         self.axis_map = axis_map
+        self.pipeline_chunks = pipeline_chunks
         self.cmap = None
         if phi is not None:
             if grid.intervals is not None or grid.maps is not None:
@@ -116,7 +118,8 @@ class StokesProblem:
             from spectral_tpu.parallel.pencil import make_dif
             d = make_dif(self.mesh, self.axis_map,
                          sharded_axis=self.sharded_axis,
-                         mesh_axis=self.mesh_axis)(v, axis)
+                         mesh_axis=self.mesh_axis,
+                         pipeline_chunks=self.pipeline_chunks)(v, axis)
         return self.grid.apply_dif_weight(d, axis)  # mapped-domain chain rule
 
     # ------------------------------------------------------------------
