@@ -236,6 +236,28 @@ def bench_stokes_family(B=8, n=16):
     return t_fam, B * t_one / max(t_fam, 1e-9), ok
 
 
+def bench_stokes_curved(n=14):
+    """Curved-domain flagship (no reference analog — coordinate transforms
+    are its FIXME): one full annulus-sector Stokes solve, metric-form
+    operators + metric-aware MG velocity PC, f32 with dtype-scaled
+    tolerances."""
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.stokes import StokesConfig, StokesProblem
+    from spectral_tpu.ops.curvilinear import named_map
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    cfg = StokesConfig(exact=1, boundary=0, pcvel="mg",
+                       newton=NewtonConfig(rtol=1e-4, max_it=25))
+    p = StokesProblem(Grid((n, n)), cfg, phi=named_map("annulus:1:2"))
+    p.solve()                                       # compile
+    t0 = time.perf_counter()
+    res = p.solve()
+    t = time.perf_counter() - t0
+    import numpy as _np
+    return (t, int(_np.sum(_np.asarray(res.ksp_iters))),
+            bool(res.reason > 0), float(p.error_vs_exact(res.x)))
+
+
 def main():
     t_start = time.perf_counter()
     gdofs, dt, copy_gelts = bench_cheb_matvec()
@@ -307,6 +329,19 @@ def main():
         })
     except Exception as e:
         extra["stokes_family8_error"] = str(e)[:200]
+
+    try:
+        if time.perf_counter() - t_start > 480:
+            raise RuntimeError("skipped: bench time budget exhausted")
+        ct, citers, cok, cerr = bench_stokes_curved()
+        extra.update({
+            "stokes_curved14_time_s": round(ct, 3),
+            "stokes_curved14_outer_iters": citers,
+            "stokes_curved14_converged": cok,
+            "stokes_curved14_max_err": cerr,
+        })
+    except Exception as e:
+        extra["stokes_curved14_error"] = str(e)[:200]
 
     out = {
         "metric": "cheb_matvec_gdofs",
