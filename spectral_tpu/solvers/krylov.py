@@ -378,18 +378,15 @@ def block_gmres(A: Operator, B_rhs, X0=None, *, M: Optional[Operator] = None,
         return s._replace(V=V, H=H, k=s.k + 1, it=s.it + 1)
 
     def cycle_end(s: _BGState) -> _BGState:
-        # masked least squares min ||H y - G|| over the active k*B columns
+        # masked least squares min ||H y - G|| over the active k*B columns,
+        # solved by SVD minimum-norm least squares: no normal-equations
+        # conditioning-squaring (an ill-conditioned block Hessenberg keeps
+        # its full f32 accuracy), and inactive/deflated (all-zero) columns
+        # get exactly-zero Y rows from the minimum-norm property — no ridge
+        # needed.  The TRUE residual is still recomputed below.
         cols = jnp.arange(m * nb) < s.k * nb
         Hm = jnp.where(cols[None, :], s.H, 0.0)
-        # normal equations; inactive columns pinned to identity, active ones
-        # ridge-regularized relative to the largest diagonal so columns of
-        # deflated (rank-deficient) directions stay solvable — the TRUE
-        # residual is recomputed below, so the ridge cannot fake convergence
-        HtH = Hm.T @ Hm
-        ridge = jnp.finfo(dtype).eps * jnp.maximum(
-            jnp.max(jnp.diagonal(HtH)), _TINY)
-        HtH = HtH + jnp.diag(jnp.where(cols, ridge, 1.0).astype(dtype))
-        Y = jnp.linalg.solve(HtH, Hm.T @ s.G)                   # (m*B, B)
+        Y = jnp.linalg.lstsq(Hm, s.G)[0]                        # (m*B, B)
         X = s.X + (Y.T @ s.V[:m * nb])
         R = Pf(Bmat - Af(X))
         Rp = Mf(R)
@@ -625,9 +622,12 @@ def preonly(A: Operator, b, x0=None, *, M: Optional[Operator] = None,
     x = Mf(Pf(b))
     bf, _ = ravel_pytree(b)
     hist = jnp.full((history_len,), -1.0, bf.dtype)
+    # rnorm = 0.0, not NaN: preonly computes no residual (PETSc KSPPREONLY
+    # runs with KSP_NORM_NONE and reports 0), and a NaN here leaks into any
+    # artifact/log that consumes SolveResult uniformly.
     return SolveResult(x, jnp.asarray(1, jnp.int32),
                        jnp.asarray(int(ConvergedReason.CONVERGED_ITS), jnp.int32),
-                       jnp.asarray(jnp.nan, bf.dtype), hist)
+                       jnp.asarray(0.0, bf.dtype), hist)
 
 
 # ---------------------------------------------------------------------------
