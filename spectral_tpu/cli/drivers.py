@@ -93,7 +93,9 @@ def poisson_main(opts: Options) -> int:
         err = float(jnp.max(jnp.abs(res.x - u)))
         print(f"Norm of error {err:e} iterations {int(res.iters)}")
         _print_unused(opts)
-        return 0
+        # gate on the solver outcome like the flat/heat/stokes paths: a
+        # stalled curvilinear solve must not exit success
+        return 0 if int(res.reason) > 0 else 2
     model = PoissonModel(
         Grid(dims, intervals=_domain_intervals(opts, len(dims))))
     u, f = model.exact_solution()
@@ -182,6 +184,17 @@ def elliptic_main(opts: Options) -> int:
     return 0 if res.reason > 0 else 2
 
 
+def _pcvel_option(opts: Options) -> str:
+    """-pcvel: reference ints 0-3 (stokes.C:159-174) plus 4 = the metric/
+    eta-aware multigrid family (the recommended curved-domain PC, which the
+    int-only mapping previously made unreachable from the CLI); string
+    values name any registered family directly."""
+    raw = opts.get_string("pcvel", "0")
+    table = {"0": "fastdiag", "1": "q1fem", "2": "probed", "3": "nodal",
+             "4": "mg"}
+    return table.get(raw, raw)
+
+
 def stokes_main(opts: Options) -> int:
     """Stokes driver (stokes.C:119-253) with continuation."""
     import jax.numpy as jnp
@@ -192,6 +205,7 @@ def stokes_main(opts: Options) -> int:
     from spectral_tpu.solvers.newton import NewtonConfig
 
     dims = opts.get_int_array("dim", (8, 6))
+    debug = opts.get_int("debug", 0)
     cfg = StokesConfig(
         exact=opts.get_int("exact", 0),
         boundary=opts.get_int("boundary", 0),
@@ -204,8 +218,7 @@ def stokes_main(opts: Options) -> int:
         cont=opts.get_int("cont", 1),
         scaleM=opts.get_real("scaleM", 1.0),
         scaleN=opts.get_real("scaleN", 1.0),
-        pcvel={0: "fastdiag", 1: "q1fem", 2: "probed", 3: "nodal"}.get(
-            opts.get_int("pcvel", 0), "fastdiag"),
+        pcvel=_pcvel_option(opts),
         pcvel_smoother=opts.get_string("pcvel_smoother", "chebyshev"),
         saddle=opts.get_int("pc_saddle_type", 0),
         outer_ksp=opts.ksp_config("", KSPConfig(type="fgmres", rtol=1e-5,
@@ -251,6 +264,41 @@ def stokes_main(opts: Options) -> int:
     print(f"Norm of solution {unorm:9.3e}  norm of forcing {fnorm:9.3e}"
           f"  norm of residual {rnorm:9.3e}")
 
+    def _uvp_print2(state, name):
+        """VecPrint2 of a (v, p) state's interior as the reference does
+        (m-2, n-2, 'uvp') — on d > 2 grids print the axis-2 midplane."""
+        from spectral_tpu.utils.printing import vec_print2
+        v, pr = np.asarray(state["v"]), np.asarray(state["p"])
+        if v.ndim > 3:
+            mid = v.shape[2] // 2
+            v, pr = v[:, :, mid], pr[:, :, mid]
+        field = np.concatenate([v, pr[..., None]], axis=-1)[1:-1, 1:-1]
+        vec_print2(field, dims[0] - 2, dims[1] - 2, name, "uvp"[:field.shape[-1]])
+
+    if debug >= 1:
+        # -debug 1: exact solution + its discrete residual (stokes.C:197-204)
+        _uvp_print2(xex, "exact global")
+        _uvp_print2(F, "exact residual")
+    if debug >= 2:
+        # -debug 2: setup-stage dumps (stokes.C:978-984 coordinates/forcing;
+        # stokes.C:807-834 mixed/Neumann node census)
+        from spectral_tpu.utils.printing import vec_print2
+        coords = np.asarray(p.cmap.coords if p.cmap is not None
+                            else p.grid.coords)
+        if coords.ndim > 3:
+            coords = coords[:, :, coords.shape[2] // 2]
+        vec_print2(coords[..., :2], dims[0], dims[1], "coordinates", "xy")
+        _uvp_print2({"v": p.force["v"], "p": p.force["p"]}, "exact forcing")
+        nm = np.asarray(p.nm_mask)
+        if nm.any():
+            normal = np.asarray(p.normal)
+            for idx in np.argwhere(nm):
+                t = tuple(int(i) for i in idx)
+                kind = ("MIXED" if bool(np.asarray(p.mixed_mask)[t])
+                        else "NEUMANN")
+                print(f"boundary type {kind}, index = {t}, "
+                      f"normal = {normal[t].tolist()}")
+
     monitor = opts.has("snes_monitor")
     ckpt_dir = opts.get_string("checkpoint_dir", "") or None
     from spectral_tpu.utils.profiling import PhaseTimer
@@ -264,6 +312,14 @@ def stokes_main(opts: Options) -> int:
         print(f"Minimum eta = {float(jnp.min(eta)):9.3e}   "
               f"Maximum eta = {float(jnp.max(eta)):9.3e}")
     err = p.error_vs_exact(res.x)
+    if debug >= 1:
+        # post-solve dump (stokes.C:224-227; the reference prints x under
+        # the label "final error" — print the actual mean-free error)
+        pm = np.asarray(p.p_mask)
+        dp = np.where(pm, np.asarray(res.x["p"]) - np.asarray(p.exact_p), 0.0)
+        dp -= np.where(pm, dp.sum() / max(pm.sum(), 1), 0.0)
+        _uvp_print2({"v": np.asarray(res.x["v"]) - np.asarray(p.exact_v),
+                     "p": dp}, "final error")
     print(f"Number of nonlinear iterations = {res.iters}")
     print(f"Reason for solver termination: {res.reason_str()}")
     print(f"{'Norm of error':<25}: abs = {err:8e}")

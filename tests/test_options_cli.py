@@ -128,3 +128,43 @@ def test_poisson_cli_curved_domain(capsys):
     assert rc == 0
     assert "curvilinear domain" in out
     assert float(out.split("Norm of error ")[1].split()[0]) < 1e-4
+
+
+def test_poisson_cli_curved_gates_on_reason(capsys):
+    """A stalled curvilinear solve must exit nonzero (round-3 advisor fix:
+    the curved path previously returned 0 unconditionally)."""
+    from spectral_tpu.cli.drivers import poisson_main
+
+    # max_it 1 cannot converge at rtol 1e-9 on this map
+    rc = poisson_main(Options(
+        "-m 14 -n 14 -map bump:0.08 -ksp_rtol 1e-9 -ksp_max_it 1".split()))
+    capsys.readouterr()
+    assert rc != 0
+
+
+def test_stokes_pcvel_mapping():
+    """-pcvel accepts the reference ints 0-3, the new int 4 = mg, and
+    string family names (round-3 advisor fix: 'mg' was unreachable)."""
+    from spectral_tpu.cli.drivers import _pcvel_option
+
+    for argv, want in ((["-pcvel", "0"], "fastdiag"), (["-pcvel", "1"], "q1fem"),
+                       (["-pcvel", "2"], "probed"), (["-pcvel", "3"], "nodal"),
+                       (["-pcvel", "4"], "mg"), (["-pcvel", "mg"], "mg"),
+                       (["-pcvel", "q1sep"], "q1sep"), ([], "fastdiag")):
+        assert _pcvel_option(Options(argv)) == want, argv
+
+
+def test_stokes_cli_debug_dumps(capsys):
+    """-debug 1 prints the exact-state/residual and final-error grids;
+    -debug 2 adds coordinates/forcing and the Neumann/mixed node census
+    (stokes.C:197-204, 807-834, 978-984)."""
+    from spectral_tpu.cli.drivers import stokes_main
+
+    rc = stokes_main(Options(
+        "-exact 2 -cont0 1 -dim 6,5 -debug 2 -boundary 1 "
+        "-snes_rtol 1e-4".split()))
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    for tag in ("exact global", "exact residual", "final error",
+                "coordinates", "exact forcing", "boundary type NEUMANN"):
+        assert tag in out, tag
