@@ -472,10 +472,18 @@ class StokesProblem:
         and stall the line-corrected solves as n grows)."""
         from spectral_tpu.models.stokes_pc import velocity_fd_stencil
         cfg = self.config
-        oh = jnp.where(self.nm_mask[..., None], 1.0, 0.0) * jnp.abs(self.normal) \
-            / jnp.maximum(jnp.max(jnp.abs(self.normal), -1, keepdims=True), 1e-14)
+        # principal axis AND inward side from the REFERENCE normal: the
+        # one-sided row must step toward an on-grid neighbor, which is a
+        # grid-topology fact; for strongly curved maps the physical
+        # normal's sign/axis can disagree with the reference face
+        # (round-3 advisor fix).  Flat domains: identical (normals
+        # coincide).  The physical normal enters only through nscale.
+        n_ref = (jnp.asarray(self.grid.normal, eta.dtype)
+                 if self.cmap is not None else self.normal)
+        oh = jnp.where(self.nm_mask[..., None], 1.0, 0.0) * jnp.abs(n_ref) \
+            / jnp.maximum(jnp.max(jnp.abs(n_ref), -1, keepdims=True), 1e-14)
         nm_oh = (oh >= 1.0).astype(eta.dtype)
-        kwargs = {}
+        kwargs = {"ref_normal": n_ref}
         if self.cmap is not None:
             A = self.cmap.Acoef
             kwargs["caxes"] = [eta * jnp.asarray(A[..., ax, ax], eta.dtype)
@@ -493,9 +501,13 @@ class StokesProblem:
 
     @cached_property
     def _nm_axes(self) -> tuple:
-        """Axes that are a principal normal of some mixed/Neumann node."""
+        """Axes that are a principal normal of some mixed/Neumann node
+        (reference-cube normal on curved domains, matching the stencil's
+        one-sided-row axis selection)."""
         nm = np.asarray(self.nm_mask)
-        oh = np.where(nm[..., None], np.abs(np.asarray(self.normal)), 0.0)
+        n_sel = (self.grid.normal_np if self.cmap is not None
+                 else np.asarray(self.normal))
+        oh = np.where(nm[..., None], np.abs(n_sel), 0.0)
         mx = oh.max(axis=-1, keepdims=True)
         return tuple(ax for ax in range(self.d)
                      if bool(((oh[..., ax] >= mx[..., 0]) & (oh[..., ax] > 0)).any()))

@@ -38,7 +38,8 @@ def velocity_fd_stencil(grid: Grid, eta: jax.Array, *,
                         normal: jax.Array | None = None,
                         alpha: jax.Array | None = None,
                         caxes=None, row_scale=None,
-                        nscale: jax.Array | None = None) -> StencilOp:
+                        nscale: jax.Array | None = None,
+                        ref_normal: jax.Array | None = None) -> StencilOp:
     """StokesPCSetUp0 (stokes.C:1159-1241): component-decoupled eta-weighted
     FD Laplacian with arithmetic-mean midpoint coefficients; mixed/Neumann
     rows become one-sided differences in the principal normal direction
@@ -48,7 +49,15 @@ def velocity_fd_stencil(grid: Grid, eta: jax.Array, *,
     anisotropic metric coefficients eta*detJ*A_ll with the 1/detJ row scale,
     and ``nscale`` (per-node) scales the one-sided traction rows by
     |nu_ax| = |(Jinv n)_ax| — the physical normal derivative pulled back to
-    the principal reference axis."""
+    the principal reference axis.
+
+    ``ref_normal``: the normal used to pick which SIDE the one-sided row
+    steps toward (inward neighbor).  On curved domains this must be the
+    REFERENCE-cube outward normal (grid.normal) — the inward neighbor is a
+    grid-topology fact, and for strongly curved maps the PHYSICAL normal's
+    sign along the principal reference axis can disagree with the face
+    orientation, making the row reference the outward (off-grid/zeroed)
+    neighbor.  Defaults to ``normal`` (flat domains: they coincide)."""
     from spectral_tpu.ops.stencil import anisotropic_fd_stencil
     d = grid.ndim
     dtype = eta.dtype
@@ -66,6 +75,8 @@ def velocity_fd_stencil(grid: Grid, eta: jax.Array, *,
 
     if nm_mask is not None and normal is not None:
         # one-sided rows at mixed/Neumann nodes (stokes.C:1183-1199)
+        if ref_normal is None:
+            ref_normal = normal
         lowers = list(lowers)
         uppers = list(uppers)
         for ax in range(d):
@@ -79,8 +90,9 @@ def velocity_fd_stencil(grid: Grid, eta: jax.Array, *,
             inv_m = jnp.asarray(_bcast_axis(inv_m, ax, d), dtype)
             on_ax = nm_mask & (nm_onehot[..., ax] > 0)
             # normal > 0 <-> index-0 face <-> inward neighbor at +1 index
-            sel_p = on_ax & (normal[..., ax] > 0)
-            sel_m = on_ax & (normal[..., ax] < 0)
+            # (side from the REFERENCE normal: grid topology, not physics)
+            sel_p = on_ax & (ref_normal[..., ax] > 0)
+            sel_m = on_ax & (ref_normal[..., ax] < 0)
             diag_row = scaleN * eta * jnp.where(sel_p, inv_p, inv_m)
             if alpha is not None:
                 diag_row = diag_row + alpha

@@ -94,6 +94,38 @@ def test_mixed_row_one_sided():
     assert np.all(nnz[nm] == 1)
 
 
+def test_mixed_row_side_from_reference_normal():
+    """Round-3 advisor fix: the one-sided traction row's SIDE comes from
+    the reference-cube normal (grid topology), not the physical normal —
+    a strongly curved map can flip the physical normal's sign along the
+    principal reference axis, which previously made the PC row reference
+    the outward (zeroed) neighbor."""
+    g = Grid((8, 8))
+    eta = jnp.ones(g.dims)
+    d = 2
+    # Neumann nodes on the interior of the index-0 face of axis 0
+    nm = np.zeros(g.dims, bool)
+    nm[0, 1:-1] = True
+    nm_mask = jnp.asarray(nm)
+    oh = jnp.zeros(g.dims + (d,)).at[..., 0].set(jnp.where(nm_mask, 1.0, 0.0))
+    # reference normal: +1 on the index-0 face (util.C:70-82 convention)
+    ref_n = jnp.zeros(g.dims + (d,)).at[..., 0].set(
+        jnp.where(nm_mask, 1.0, 0.0))
+    # physical normal with FLIPPED sign along axis 0 (strong-curvature case)
+    phys_n = -ref_n
+    S = velocity_fd_stencil(g, eta, nm_mask=nm_mask, nm_onehot=oh,
+                            normal=phys_n, ref_normal=ref_n)
+    up0 = np.asarray(S.upper[0])
+    lo0 = np.asarray(S.lower[0])
+    # inward neighbor of the index-0 face is at +1 index -> upper coupling
+    assert np.all(np.abs(up0[nm]) > 0)
+    assert np.all(lo0[nm] == 0)
+    # without ref_normal the flipped physical normal picks the off-grid side
+    S_bad = velocity_fd_stencil(g, eta, nm_mask=nm_mask, nm_onehot=oh,
+                                normal=phys_n)
+    assert np.all(np.asarray(S_bad.upper[0])[nm] == 0)
+
+
 def test_colored_probe_full_pattern_matches_aliased_oracle():
     """-pcvel 2 full upstream pattern (stokes.C:1477-1497): d*(4d+1)
     couplings per row, extracted under stride-5 lattice coloring.  Like the
