@@ -41,6 +41,26 @@ import numpy as np
 # lower to generic XLA ops; 512 is conservative.
 MATMUL_MAX_N = 512
 
+# Production execution path for last-axis derivatives under method="auto".
+# bench.py measures the compiled Pallas kernel head-to-head against the XLA
+# matmul ON THE CHIP and promotes the winner here (round-3 verdict item 1);
+# default is the XLA matmul, which every platform supports.
+_PRODUCTION_LAST_AXIS = "matmul"
+
+
+def set_production_path(last_axis: str) -> None:
+    """Select the execution path chebdiff(method="auto") uses for LAST-axis
+    derivatives: "matmul" (XLA, default) or "pallas" (Mosaic kernel,
+    TPU-only — set it only after measuring a win on the target chip)."""
+    global _PRODUCTION_LAST_AXIS
+    if last_axis not in ("matmul", "pallas"):
+        raise ValueError(f"unknown path {last_axis!r}")
+    _PRODUCTION_LAST_AXIS = last_axis
+
+
+def production_path() -> str:
+    return _PRODUCTION_LAST_AXIS
+
 
 # ---------------------------------------------------------------------------
 # Nodes
@@ -214,13 +234,24 @@ def chebdiff(u: jax.Array, axis: int = 0, method: str = "auto") -> jax.Array:
          (e.g. a velocity-component axis, cf. the reference's rank d+1 ``DV``
          matrices, stokes.C:283-291) are simply batched.
       axis: which axis to differentiate.
-      method: "auto" | "matmul" | "fft".
+      method: "auto" | "matmul" | "fft" | "pallas" (last axis, TPU).
     """
     n = u.shape[axis]
     if n < 2:
         raise ValueError(f"axis {axis} has extent {n}; need >= 2 (chebyshev.c:18)")
+    last = axis % u.ndim == u.ndim - 1
     if method == "auto":
-        method = "matmul" if n <= MATMUL_MAX_N else "fft"
+        if n > MATMUL_MAX_N:
+            method = "fft"
+        elif last and _PRODUCTION_LAST_AXIS == "pallas":
+            method = "pallas"
+        else:
+            method = "matmul"
+    if method == "pallas":
+        if last:
+            from spectral_tpu.ops.pallas_cheb import chebdiff_last_pallas
+            return chebdiff_last_pallas(u)
+        method = "matmul"  # the Pallas kernel streams the minor axis only
     if method == "matmul":
         return _chebdiff_matmul(u, axis)
     if method == "fft":

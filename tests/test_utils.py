@@ -76,3 +76,43 @@ def test_latest_step_five_digits(tmp_path):
     for step in (3, 9999, 10000):
         ckpt.save_state(d, step, {"x": np.zeros(2)})
     assert ckpt.latest_step(d) == 10000
+
+
+def test_trace_summary_parses_xplane(tmp_path):
+    """trace_summary runs a callable under jax.profiler and parses the
+    xplane protobuf (the round-3 dispatch-vs-kernel evidence path).  On the
+    CPU test platform there is no /device: plane; the host plane must still
+    carry the traced compute."""
+    import jax
+
+    from spectral_tpu.utils.profiling import trace_summary
+
+    x = jnp.ones((256, 256))
+    f = jax.jit(lambda a: a @ a)
+    f(x).block_until_ready()
+    s = trace_summary(lambda: [f(x).block_until_ready() for _ in range(3)],
+                      trace_dir=str(tmp_path))
+    assert s["wall_ms"] > 0
+    assert any(k.startswith("/host") or k.startswith("/device")
+               for k in s["planes"])
+    assert sum(s["planes"].values()) > 0
+
+
+def test_production_path_toggle():
+    """bench.py promotes the measured winner; the toggle validates names
+    and round-trips."""
+    from spectral_tpu.ops import chebyshev as cheb
+
+    orig = cheb.production_path()
+    try:
+        cheb.set_production_path("pallas")
+        assert cheb.production_path() == "pallas"
+        cheb.set_production_path("matmul")
+        assert cheb.production_path() == "matmul"
+        try:
+            cheb.set_production_path("nope")
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+    finally:
+        cheb.set_production_path(orig)
