@@ -46,9 +46,10 @@ class CurvilinearPoisson:
         from spectral_tpu.ops.curvilinear import metric_surrogate_builder
         builder = metric_surrogate_builder(self.grid.ndim)
         coeffs = self.map.pc_coeffs()
-        if pc_type == "mg":
+        if pc_type.startswith("mg"):
             from spectral_tpu.ops.multigrid import Multigrid
-            mg = Multigrid.build(self.grid, builder=builder)
+            cycles = int(pc_type[2:]) if pc_type[2:] else 2
+            mg = Multigrid.build(self.grid, builder=builder, cycles=cycles)
             state = mg.setup(coeffs)
             return lambda r: mg.vcycle(state, r)
         if pc_type == "jacobi":

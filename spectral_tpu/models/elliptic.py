@@ -326,11 +326,14 @@ class EllipticModel:
 
             return setup, apply
 
-        if pc_type == "mg":
+        if pc_type.startswith("mg"):
+            # "mg" = 2 residual-corrected V-cycles per apply (near-LU-class
+            # outer counts, round-3 verdict item 2); "mg<k>" selects k.
             from spectral_tpu.ops.multigrid import Multigrid
 
+            cycles = int(pc_type[2:]) if pc_type[2:] else 2
             if self.cmap is None:
-                mg = Multigrid.build(g)
+                mg = Multigrid.build(g, cycles=cycles)
 
                 def setup(x, lin_state):
                     eta, deta, gradu = lin_state
@@ -341,7 +344,8 @@ class EllipticModel:
                     metric_surrogate_builder)
 
                 mg = Multigrid.build(
-                    g, builder=metric_surrogate_builder(g.ndim))
+                    g, builder=metric_surrogate_builder(g.ndim),
+                    cycles=cycles)
 
                 def setup(x, lin_state):
                     return mg.setup(self.cmap.pc_coeffs(lin_state[0]))

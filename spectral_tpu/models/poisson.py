@@ -89,9 +89,10 @@ class PoissonModel:
         if pc_type == "jacobi":
             diag = self.fd_stencil.diag()
             return lambda r: r / diag
-        if pc_type == "mg":
+        if pc_type.startswith("mg"):
             from spectral_tpu.ops.multigrid import Multigrid
-            mg = Multigrid.build(self.grid)
+            cycles = int(pc_type[2:]) if pc_type[2:] else 2
+            mg = Multigrid.build(self.grid, cycles=cycles)
             state = mg.setup({})
             return lambda r: mg.vcycle(state, r)
         if pc_type == "lu":

@@ -92,19 +92,23 @@ def trace_summary(fn, *, trace_dir: str | None = None) -> dict:
         for plane in pd.planes:
             name = plane.name
             is_device = name.startswith("/device:")
+            # union of [start, end) intervals across ALL lines of the plane:
+            # device planes carry the same execution on both a module-level
+            # and an op-level line, so summing per-line busy would double
+            # count (found on the round-3 TPU trace)
+            iv = sorted((e.start_ns, e.end_ns)
+                        for line in plane.lines for e in line.events)
             busy = 0.0
-            for line in plane.lines:
-                # union of [start, end) intervals on this line
-                iv = sorted((e.start_ns, e.end_ns) for e in line.events)
-                last = None
-                for s, e in iv:
-                    if last is None or s >= last:
-                        busy += e - s
-                        last = e
-                    elif e > last:
-                        busy += e - last
-                        last = e
-                if is_device:
+            last = None
+            for s, e in iv:
+                if last is None or s >= last:
+                    busy += e - s
+                    last = e
+                elif e > last:
+                    busy += e - last
+                    last = e
+            if is_device:
+                for line in plane.lines:
                     for ev in line.events:
                         top[ev.name] += ev.duration_ns / 1e6
                         n_events += 1

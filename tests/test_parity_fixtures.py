@@ -146,12 +146,15 @@ def test_poisson_lu_crosscheck():
             (dims, int(r_fd.iters), int(r_lu.iters))
 
 
-def test_elliptic_lu_crosscheck():
-    """Variable-coefficient case: fastdiag solves only the separable part,
-    so it is allowed a small penalty vs the true assembled-stencil LU —
-    the north-star bound is 'within 10% of the PETSc iteration count'
-    (BASELINE.json); LU-of-the-same-stencil is the PETSc-equivalent here."""
-    m = EllipticModel(Grid((16, 16)), gamma=1.0, exponent=2.0)
+@pytest.mark.parametrize("dims", [(16, 16), (24, 24)])
+def test_elliptic_lu_crosscheck(dims):
+    """Variable-coefficient case: the MG PC (2 residual-corrected V-cycles
+    per apply, the round-3 default) must stay within 15% of the TOTAL
+    Krylov count of a dense LU of the same assembled stencil — the
+    PETSc-equivalent strong PC for the 'within 10% of the PETSc iteration
+    count' north star (BASELINE.json; README:12-14).  Recorded: 68 vs 64
+    at 16^2, 71 vs 62 at 24^2 (was 1.16-1.32x with a single V-cycle)."""
+    m = EllipticModel(Grid(dims), gamma=1.0, exponent=2.0)
     u, b, d = m.setup_problem(exact=0, cos_scale=1.0)
     ksp = KSPConfig(type="fgmres", rtol=1e-10, max_it=200)
     newton = NewtonConfig(rtol=1e-10)
@@ -160,7 +163,7 @@ def test_elliptic_lu_crosscheck():
     assert r_lu.reason > 0 and r_fd.reason > 0
     total_lu = sum(r_lu.ksp_iters)
     total_fd = sum(r_fd.ksp_iters)
-    assert total_fd <= 1.5 * total_lu, (total_fd, total_lu)
+    assert total_fd <= 1.15 * total_lu, (total_fd, total_lu)
 
 
 def test_elliptic_5d_exactness():
