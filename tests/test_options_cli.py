@@ -168,3 +168,22 @@ def test_stokes_cli_debug_dumps(capsys):
     for tag in ("exact global", "exact residual", "final error",
                 "coordinates", "exact forcing", "boundary type NEUMANN"):
         assert tag in out, tag
+
+
+def test_elliptic_grid_sequence(capsys):
+    """-snes_grid_sequence k (SNESSetGridSequence parity): coarse solves
+    regenerate the problem per level and warm-start the fine grid via
+    spectral regrid — the fine solve finishes in ~2 Newton steps at
+    machine-precision error."""
+    from spectral_tpu.cli.drivers import elliptic_main
+
+    rc = elliptic_main(Options(
+        "-dim 24,24 -gamma 1 -exact 0 -ksp_rtol 1e-10 -snes_rtol 1e-10 "
+        "-pc_type mg -snes_grid_sequence 1 -debug 1".split()))
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "grid sequence level (12, 12)" in out
+    fine_newton = int(out.split("Number of nonlinear iterations = ")[1].split()[0])
+    assert fine_newton <= 3
+    err = float(out.split("Norm of error")[1].split("abs = ")[1].split()[0])
+    assert err < 1e-10
