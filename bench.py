@@ -64,7 +64,7 @@ def _scan_bench(step, u, inner, reps):
     return best
 
 
-def bench_cheb_matvec(n=64, batch=256, inner=8, reps=5, dtype=jnp.float32):
+def bench_cheb_matvec(n=64, batch=256, inner=8, reps=3, dtype=jnp.float32):
     """Production-path derivative throughput + same-pattern roofline.
 
     The step is ``chebdiff(u, axis=-1)`` (exactly what the operators call)
@@ -87,7 +87,7 @@ def bench_cheb_matvec(n=64, batch=256, inner=8, reps=5, dtype=jnp.float32):
     return gdofs, dt, copy_gelts
 
 
-def bench_pallas_paths(n=64, batch=256, inner=8, reps=5, dtype=jnp.float32):
+def bench_pallas_paths(n=64, batch=256, inner=8, reps=3, dtype=jnp.float32):
     """COMPILED Pallas kernels head-to-head against the XLA matmul path on
     the chip (round-3 verdict item 1): (a) the last-axis derivative at the
     primary-metric shapes, (b) the fused single-pass 3-D Laplacian at 64^3
@@ -121,7 +121,7 @@ def bench_pallas_paths(n=64, batch=256, inner=8, reps=5, dtype=jnp.float32):
     return gdofs_pal, dt_pal, dt_fused * 1e3, dt_comp * 1e3
 
 
-def profile_matvec(n=64, batch=256, calls=32, dtype=jnp.float32):
+def profile_matvec(n=64, batch=256, calls=12, dtype=jnp.float32):
     """jax.profiler-backed dispatch-vs-kernel split of the production
     derivative (round-3 verdict item 1: the MFU claim must cite a profile,
     not the in-process copy proxy).  Runs ``calls`` UNCHAINED dispatches —
@@ -161,7 +161,7 @@ def profile_matvec(n=64, batch=256, calls=32, dtype=jnp.float32):
     return summary
 
 
-def measure_stream_bw(mb=128, inner=16, reps=5, dtype=jnp.float32):
+def measure_stream_bw(mb=128, inner=16, reps=3, dtype=jnp.float32):
     """Stream-triad bandwidth (GB/s): z = z*a + x (2 reads + 1 write)."""
     n = mb * 2**20 // 4
     x = jnp.ones((n,), dtype) * 1e-9
