@@ -233,13 +233,15 @@ def bench_elliptic32(rtol=1e-10):
     u64, b64, d64 = m.setup_problem_np(exact=0, cos_scale=1.0)
     t0 = time.perf_counter()
     # variable-coefficient MG (3 residual-corrected V-cycles/apply) tracks
-    # the Jacobian's eta field, and Eisenstat-Walker forcing solves early
-    # Newton steps loosely: 19 total Krylov iterations vs 86 for the
-    # round-2 fastdiag-PC/full-tolerance combination, at rel residual
-    # 4.4e-12 (round-3 verdict item 2)
+    # the Jacobian's eta field; Eisenstat-Walker forcing + an f32-sane
+    # Newton rtol (3e-5 — tighter just crawls at the f32 floor; the f64
+    # refinement recovers 1e-10) + lagged PC setup: 7 Newton / 27 total
+    # Krylov vs 86 for the round-2 fastdiag/full-tolerance combination
+    # (round-3 verdict item 2)
     x, info = m.solve_refined(b64, d64, rtol=rtol, pc_type="mg3",
-                              newton=NewtonConfig(rtol=1e-6, max_it=30,
-                                                  ksp_ew=True))
+                              newton=NewtonConfig(rtol=3e-5, max_it=30,
+                                                  ksp_ew=True, ew_etamax=0.5,
+                                                  pc_lag=2))
     dt = time.perf_counter() - t0
     err = float(np.max(np.abs(x - u64)))
     total_ksp = sum(info["newton32"].ksp_iters) + info["refine_inner_iters"]

@@ -341,10 +341,51 @@ def stokes_main(opts: Options) -> int:
 
     monitor = opts.has("snes_monitor")
     ckpt_dir = opts.get_string("checkpoint_dir", "") or None
+    gseq = opts.get_int("snes_grid_sequence", 0)
     from spectral_tpu.utils.profiling import PhaseTimer
     timer = PhaseTimer()
     with timer.phase("SNESSolve"):
-        results = p.solve_continuation(monitor=monitor, checkpoint_dir=ckpt_dir)
+        if gseq > 0:
+            # -snes_grid_sequence k: run the FULL continuation (the
+            # expensive parameter ramp, stokes.C:217-235) on a coarse grid
+            # only, then solve finer grids at the FINAL parameters from
+            # the spectrally-regridded state — grid sequencing composed
+            # with parameter continuation (no reference analog; PETSc
+            # SNESSetGridSequence pattern).
+            from spectral_tpu.ops.chebyshev import cheb_regrid
+
+            def make_p(dims_l):
+                if map_spec:
+                    from spectral_tpu.ops.curvilinear import named_map
+                    return StokesProblem(Grid(dims_l), cfg,
+                                         phi=named_map(map_spec))
+                return StokesProblem(
+                    Grid(dims_l, intervals=_domain_intervals(opts, len(dims))),
+                    cfg)
+
+            seq = []
+            for lvl in range(gseq, 0, -1):
+                dl = tuple(max(6, ((n - 1) >> lvl) + 1) for n in dims)
+                if dl != tuple(dims) and dl not in seq:
+                    seq.append(dl)
+            x0 = None
+            for i, dl in enumerate(seq):
+                pl = make_p(dl)
+                if x0 is None:
+                    rl = pl.solve_continuation(monitor=monitor)[-1]
+                else:
+                    rl = pl.solve(x0)
+                nxt = seq[i + 1] if i + 1 < len(seq) else tuple(dims)
+                pn = make_p(nxt) if nxt != tuple(dims) else p
+                x0 = {"v": pn.mask_v(cheb_regrid(rl.x["v"], nxt)),
+                      "p": pn.mask_p(cheb_regrid(rl.x["p"], nxt))}
+                print(f"  grid sequence level {dl}: {int(rl.iters)} Newton / "
+                      f"{int(np.sum(np.asarray(rl.ksp_iters)))} Krylov, "
+                      f"reason {rl.reason_str()}")
+            results = [p.solve(x0, monitor=monitor)]
+        else:
+            results = p.solve_continuation(monitor=monitor,
+                                           checkpoint_dir=ckpt_dir)
     res = results[-1]
     if monitor:
         # eta extremes per solve (stokes.C:730-735 prints them per residual)

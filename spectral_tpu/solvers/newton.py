@@ -96,6 +96,12 @@ class NewtonConfig:
     ew_etamax: float = 0.9
     ew_gamma: float = 1.0
     ew_alpha: float = 1.61803398875   # (1+sqrt(5))/2
+    # -snes_lag_preconditioner analog: rebuild the PC state every pc_lag
+    # Newton steps (1 = every step, PETSc default).  The Jacobian action
+    # always uses the CURRENT linearization; only the preconditioner lags —
+    # with slowly-varying coefficients this trades a slightly weaker PC for
+    # skipping the (MG-hierarchy/factorization) setup cost per step.
+    pc_lag: int = 1
 
 
 def _line_search_bt(residual_fn, x, dx, fnorm0, cfg: NewtonConfig):
@@ -165,10 +171,15 @@ def newton_solve(
 
     residual_jit = jax.jit(residual_fn)
     recycling = (config.recycle > 0 and ksp.type in ("gmres", "fgmres"))
+    lagging = config.pc_lag > 1 and pc_setup is not None
+    pc_build = jax.jit(pc_setup) if lagging else None
 
     @jax.jit
-    def newton_step(x, F, lin_state, fnorm, U, lin_rtol):
-        pc_state = pc_setup(x, lin_state) if pc_setup is not None else None
+    def newton_step(x, F, lin_state, fnorm, U, lin_rtol, pc_state_in):
+        if lagging:
+            pc_state = pc_state_in
+        else:
+            pc_state = pc_setup(x, lin_state) if pc_setup is not None else None
         M = (lambda r: pc_apply(pc_state, r)) if pc_apply is not None else None
         A = lambda w: jacobian_action(x, lin_state, w)
         # lin_rtol is a traced scalar (Eisenstat-Walker varies it per step
@@ -211,6 +222,7 @@ def newton_solve(
 
     eta_prev = None
     fnorm_prev = None
+    pc_state_lagged = None
     for it in range(config.max_it + 1):
         newton_its = it
         if callback:
@@ -229,6 +241,9 @@ def newton_solve(
         if it == config.max_it:
             reason = int(ConvergedReason.DIVERGED_ITS)
             break
+
+        if lagging and it % config.pc_lag == 0:
+            pc_state_lagged = pc_build(x, lin_state)
 
         lin_rtol = ksp.rtol
         if config.ksp_ew:
@@ -253,7 +268,8 @@ def newton_solve(
 
         x, F, lin_state, fnorm, ok, dxnorm, kits, khist, U = newton_step(
             x, F, lin_state, fnorm, U,
-            jnp.asarray(lin_rtol, jnp.result_type(float)))
+            jnp.asarray(lin_rtol, jnp.result_type(float)),
+            pc_state_lagged)
         ksp_iters.append(int(kits))
         ksp_history_last = [float(v) for v in np.asarray(khist) if v >= 0.0]
         hist.append(float(fnorm))

@@ -140,4 +140,5 @@ class Options:
             line_search=self.get_string("snes_linesearch_type", default.line_search),
             # -snes_ksp_ew: Eisenstat-Walker adaptive linear tolerances
             ksp_ew=self.has("snes_ksp_ew") or default.ksp_ew,
+            pc_lag=self.get_int("snes_lag_preconditioner", default.pc_lag),
         )

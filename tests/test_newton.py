@@ -203,3 +203,27 @@ def test_eisenstat_walker_cuts_krylov_at_same_convergence():
     tot_tight = sum(r_tight.ksp_iters)
     tot_ew = sum(r_ew.ksp_iters)
     assert tot_ew < 0.8 * tot_tight, (tot_ew, tot_tight)
+
+
+def test_pc_lag_same_convergence():
+    """-snes_lag_preconditioner analog: rebuilding the PC every k steps
+    (Jacobian action stays current) converges to the same solution with a
+    comparable iteration count."""
+    residual, xg = _nk_problem(48)
+
+    def pc_setup(x, lin_state):
+        return lin_state
+
+    def pc_apply(diag, r):
+        return r / diag
+
+    kw = dict(pc_setup=pc_setup, pc_apply=pc_apply,
+              ksp=KSPConfig(type="fgmres", rtol=1e-10, max_it=400))
+    r1 = newton_solve(residual, jnp.full(48, 0.5),
+                      config=NewtonConfig(rtol=1e-10, max_it=25), **kw)
+    r3 = newton_solve(residual, jnp.full(48, 0.5),
+                      config=NewtonConfig(rtol=1e-10, max_it=25, pc_lag=3),
+                      **kw)
+    assert int(r1.reason) > 0 and int(r3.reason) > 0
+    np.testing.assert_allclose(np.asarray(r3.x), np.asarray(xg) ** 3, atol=1e-7)
+    assert int(r3.iters) <= int(r1.iters) + 2
