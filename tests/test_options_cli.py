@@ -187,3 +187,18 @@ def test_elliptic_grid_sequence(capsys):
     assert fine_newton <= 3
     err = float(out.split("Norm of error")[1].split("abs = ")[1].split()[0])
     assert err < 1e-10
+
+
+def test_stokes_grid_sequence(capsys):
+    """stokes -snes_grid_sequence: full continuation runs on the coarse
+    grid only; the fine grid solves once at the final parameters from the
+    spectrally-regridded state."""
+    from spectral_tpu.cli.drivers import stokes_main
+
+    rc = stokes_main(Options(
+        "-dim 12,12 -exact 2 -rheology 1 -cont 2 -eps 1e-2 -exponent 2 "
+        "-pcvel mg -snes_ksp_ew -snes_grid_sequence 1".split()))
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "grid sequence level" in out
+    assert "Reason for solver termination: CONVERGED" in out
