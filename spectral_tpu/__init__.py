@@ -29,7 +29,7 @@ __all__ = ["cgl_nodes", "chebdiff", "diffmat", "Grid", "PoissonModel",
            "EllipticModel", "StokesProblem", "StokesConfig", "HeatModel",
            "CurvilinearPoisson", "CurvilinearMap", "named_map", "cheb_regrid",
            "KSPConfig", "NewtonConfig", "block_gmres", "implicit_gradient",
-           "implicit_hvp", "__version__"]
+           "implicit_hvp", "extreme_singular_values", "__version__"]
 
 _LAZY = {
     "Grid": ("spectral_tpu.grid", "Grid"),
@@ -49,6 +49,8 @@ _LAZY = {
     "implicit_gradient": ("spectral_tpu.solvers.adjoint",
                           "implicit_gradient"),
     "implicit_hvp": ("spectral_tpu.solvers.adjoint", "implicit_hvp"),
+    "extreme_singular_values": ("spectral_tpu.solvers.krylov",
+                                "extreme_singular_values"),
 }
 
 
