@@ -382,6 +382,12 @@ def main():
     from spectral_tpu.utils.profiling import enable_compile_cache
     enable_compile_cache()
 
+    # Acquire the device grant BEFORE starting the budget clock: on the
+    # tunneled bench chip the first op can block for many minutes waiting
+    # for the grant, which is dead time, not bench time — counting it
+    # against the internal budget starves the late benches for no reason.
+    float(jnp.sum(jnp.ones(8)))
+
     t_start = time.perf_counter()
     gdofs, dt, copy_gelts = bench_cheb_matvec()
     bw_spec = _device_bw_gbps()
