@@ -107,7 +107,8 @@ class _GState(NamedTuple):
 
 
 def _gmres_flat(A, M, P, b, x0, *, restart, rtol, atol, dtol, max_it,
-                flexible, history_len, rnorm0_override=None):
+                flexible, history_len, rnorm0_override=None,
+                want_basis=False):
     m = restart
     n = b.shape[0]
     dtype = b.dtype
@@ -149,7 +150,8 @@ def _gmres_flat(A, M, P, b, x0, *, restart, rtol, atol, dtol, max_it,
             t1 = -s.sn[i] * c[i] + s.cs[i] * c[i + 1]
             return c.at[i].set(t0).at[i + 1].set(t1)
 
-        Hraw = s.Hraw.at[:, s.k].set(col[:m + 1])
+        Hraw = (s.Hraw.at[:, s.k].set(col[:m + 1]) if want_basis
+                else s.Hraw)
         col = jax.lax.fori_loop(0, s.k, rot, col)
         a0, a1 = col[s.k], col[s.k + 1]
         denom = jnp.sqrt(a0 * a0 + a1 * a1)
@@ -200,9 +202,10 @@ def _gmres_flat(A, M, P, b, x0, *, restart, rtol, atol, dtol, max_it,
         k_last = jnp.where(s.k > 0, s.k, s.k_last)
         # capture this cycle's search directions + raw Hessenberg BEFORE
         # new_cycle resets them (recycling harvest; flexible keeps the
-        # PRECONDITIONED directions)
-        Zlast = jnp.where(s.k > 0, basis, s.Zlast)
-        Hlast = jnp.where(s.k > 0, s.Hraw, s.Hlast)
+        # PRECONDITIONED directions).  Dummy (1, 1) carries when the basis
+        # is not wanted — recycling must not tax every plain solve.
+        Zlast = jnp.where(s.k > 0, basis, s.Zlast) if want_basis else s.Zlast
+        Hlast = jnp.where(s.k > 0, s.Hraw, s.Hlast) if want_basis else s.Hlast
         tol = jnp.maximum(rtol * s.rnorm0, atol)
         reason = jnp.where(
             ~jnp.isfinite(beta), int(ConvergedReason.DIVERGED_NANORINF),
@@ -238,8 +241,9 @@ def _gmres_flat(A, M, P, b, x0, *, restart, rtol, atol, dtol, max_it,
         R=jnp.zeros((m, m), dtype), g=jnp.zeros((m + 1,), dtype),
         cs=jnp.zeros((m,), dtype), sn=jnp.zeros((m,), dtype),
         k=jnp.asarray(0, jnp.int32), k_last=jnp.asarray(0, jnp.int32),
-        Zlast=jnp.zeros((m, n), dtype),
-        Hraw=jnp.zeros((m + 1, m), dtype), Hlast=jnp.zeros((m + 1, m), dtype),
+        Zlast=jnp.zeros((m, n) if want_basis else (1, 1), dtype),
+        Hraw=jnp.zeros((m + 1, m) if want_basis else (1, 1), dtype),
+        Hlast=jnp.zeros((m + 1, m) if want_basis else (1, 1), dtype),
         it=jnp.asarray(0, jnp.int32),
         rnorm=beta0, rnorm0=jnp.maximum(rnorm0_ref, _TINY),
         pending=jnp.asarray(False), reason=reason0, hist=hist,
@@ -290,7 +294,7 @@ def _gmres_like(A, b, x0, *, M, rtol, atol, dtol, max_it, restart,
     out = _gmres_flat(
         Af, Mf, Pf, bf, x0f, restart=restart, rtol=rtol, atol=atol, dtol=dtol,
         max_it=max_it, flexible=flexible, history_len=history_len,
-        rnorm0_override=rnorm0_override)
+        rnorm0_override=rnorm0_override, want_basis=return_basis)
     xf, it, reason, rnorm, hist, basis, H, k_last = out
     res = SolveResult(unravel(xf), it, reason, rnorm, hist)
     if return_basis:
