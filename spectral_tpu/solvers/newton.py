@@ -342,11 +342,13 @@ def newton_solve_family(
         x0 = jax.tree_util.tree_map(
             lambda a: jnp.broadcast_to(a, (B,) + a.shape), x0)
 
-    def newton_step(x, F, lin_state, fnorm, theta, active):
+    def newton_step(x, F, lin_state, fnorm, theta, active, lin_rtol):
         pc_state = pc_setup(x, lin_state) if pc_setup is not None else None
         M = (lambda r: pc_apply(pc_state, r)) if pc_apply is not None else None
         A = lambda w: jacobian_action(x, lin_state, w)
-        lres = ksp.solve(A, F, M=M, null_project=null_project)
+        # per-member traced rtol (Eisenstat-Walker; == ksp.rtol otherwise)
+        lres = dataclasses.replace(ksp, rtol=lin_rtol).solve(
+            A, F, M=M, null_project=null_project)
         res_t = lambda z: residual_fn(z, theta)
         if callable(config.line_search):
             out = config.line_search(res_t, x, lres.x, fnorm)
@@ -376,6 +378,8 @@ def newton_solve_family(
     hist = [np.asarray(fnorm)]
     reason = np.full(B, int(ConvergedReason.ITERATING), dtype=np.int64)
     iters = np.zeros(B, dtype=np.int64)
+    eta_prev = None
+    fnorm_prev = None
 
     for it in range(config.max_it + 1):
         fn = np.asarray(fnorm)
@@ -397,8 +401,28 @@ def newton_solve_family(
         if config.monitor:
             print(f"{it:3d} SNES family fnorms "
                   + " ".join(f"{v:.3e}" for v in fn))
+        lin_rtol = np.full(B, ksp.rtol)
+        if config.ksp_ew:
+            # per-member Eisenstat-Walker choice 2 (same recurrence as
+            # newton_solve, vectorized over the family)
+            if eta_prev is None:
+                eta = np.full(B, config.ew_eta0)
+            else:
+                ratio = fn / np.maximum(fnorm_prev, 1e-300)
+                eta = config.ew_gamma * ratio ** config.ew_alpha
+                guard = config.ew_gamma * eta_prev ** config.ew_alpha
+                eta = np.where(guard > 0.1, np.maximum(eta, guard), eta)
+            eta = np.minimum(eta, config.ew_etamax)
+            eta = np.maximum(eta, 0.5 * config.rtol * fnorm0
+                             / np.maximum(fn, 1e-300))
+            eta = np.minimum(eta, config.ew_etamax)
+            lin_rtol = np.maximum(eta, ksp.rtol)
+            eta_prev = lin_rtol
+        fnorm_prev = fn
+
         x, F, lin_state, fnorm, ok, dxn, xn = step_v(
-            x, F, lin_state, fnorm, thetas, jnp.asarray(live))
+            x, F, lin_state, fnorm, thetas, jnp.asarray(live),
+            jnp.asarray(lin_rtol, jnp.result_type(float)))
         iters[live] = it + 1
         hist.append(np.asarray(fnorm))
         if callable(config.line_search) or config.line_search != "basic":

@@ -227,3 +227,27 @@ def test_pc_lag_same_convergence():
     assert int(r1.reason) > 0 and int(r3.reason) > 0
     np.testing.assert_allclose(np.asarray(r3.x), np.asarray(xg) ** 3, atol=1e-7)
     assert int(r3.iters) <= int(r1.iters) + 2
+
+
+def test_family_eisenstat_walker():
+    """EW forcing composes with the vmapped family solver: per-member
+    adaptive rtols, same converged answers."""
+    from spectral_tpu.solvers.newton import newton_solve_family
+
+    def residual(x, theta):
+        return x * x - theta, None
+
+    def jac(x, lin, w):
+        return 2.0 * x * w
+
+    thetas = jnp.asarray([1.0, 4.0, 9.0])
+    res = newton_solve_family(residual, jnp.ones(3), thetas,
+                              jacobian_action=jac,
+                              config=NewtonConfig(rtol=1e-12, max_it=40,
+                                                  ksp_ew=True),
+                              ksp=KSPConfig(type="fgmres", rtol=1e-12,
+                                            max_it=50))
+    assert (res.reason > 0).all()
+    np.testing.assert_allclose(
+        np.asarray(res.x), np.sqrt(np.asarray([[1.0], [4.0], [9.0]]))
+        * np.ones((3, 3)), rtol=1e-8)
