@@ -107,8 +107,7 @@ class _GState(NamedTuple):
 
 
 def _gmres_flat(A, M, P, b, x0, *, restart, rtol, atol, dtol, max_it,
-                flexible, history_len, rnorm0_override=None,
-                want_basis=False):
+                flexible, history_len, want_basis=False):
     m = restart
     n = b.shape[0]
     dtype = b.dtype
@@ -227,11 +226,6 @@ def _gmres_flat(A, M, P, b, x0, *, restart, rtol, atol, dtol, max_it,
     r0 = P(b - A(x0))
     rp0 = r0 if flexible else M(r0)
     beta0 = _norm(rp0)
-    # recycled solves pass the UNPROJECTED initial residual norm so the
-    # relative tolerance keeps the original problem scale — otherwise the
-    # x0 projection tightens the absolute target by exactly the factor it
-    # gained and saves nothing
-    rnorm0_ref = beta0 if rnorm0_override is None else rnorm0_override.astype(dtype)
     hist = jnp.full((history_len,), -1.0, dtype).at[0].set(beta0)
     reason0 = jnp.where(beta0 <= atol, int(ConvergedReason.CONVERGED_ATOL),
                         int(ConvergedReason.ITERATING)).astype(i32)
@@ -245,7 +239,7 @@ def _gmres_flat(A, M, P, b, x0, *, restart, rtol, atol, dtol, max_it,
         Hraw=jnp.zeros((m + 1, m) if want_basis else (1, 1), dtype),
         Hlast=jnp.zeros((m + 1, m) if want_basis else (1, 1), dtype),
         it=jnp.asarray(0, jnp.int32),
-        rnorm=beta0, rnorm0=jnp.maximum(rnorm0_ref, _TINY),
+        rnorm=beta0, rnorm0=jnp.maximum(beta0, _TINY),
         pending=jnp.asarray(False), reason=reason0, hist=hist,
     )
     s0 = new_cycle(x0, rp0, beta0, s0)
@@ -290,11 +284,10 @@ def _gmres_like(A, b, x0, *, M, rtol, atol, dtol, max_it, restart,
             return Mf_base(r - y @ W) + y @ Uf
 
         Mf = Mf_defl
-    rnorm0_override = None
     out = _gmres_flat(
         Af, Mf, Pf, bf, x0f, restart=restart, rtol=rtol, atol=atol, dtol=dtol,
         max_it=max_it, flexible=flexible, history_len=history_len,
-        rnorm0_override=rnorm0_override, want_basis=return_basis)
+        want_basis=return_basis)
     xf, it, reason, rnorm, hist, basis, H, k_last = out
     res = SolveResult(unravel(xf), it, reason, rnorm, hist)
     if return_basis:
