@@ -99,3 +99,13 @@ def test_adjoint_fit_demo():
     import examples.adjoint_fit_demo as d
 
     assert d.main(["-n", "8", "-steps", "6"]) == 0
+
+
+def test_solver_tuning_demo(capsys):
+    """Round-3 tour: EW forcing, MG cycle strength vs LU, grid sequencing,
+    condition estimates — each section asserts its own A/B."""
+    from examples.solver_tuning_demo import main
+
+    main()
+    out = capsys.readouterr().out
+    assert "solver_tuning_demo OK" in out
