@@ -258,7 +258,8 @@ class StokesProblem:
         """G[..., j, k] = d v_k / d x_j via batched DCT derivative."""
         G = jnp.stack([self._dif(vL, j) for j in range(self.d)], axis=-2)
         if self.cmap is not None:
-            G = jnp.einsum("...lj,...lk->...jk", self._jinv(G.dtype), G)
+            G = jnp.einsum("...lj,...lk->...jk", self._jinv(G.dtype), G,
+        precision=jax.lax.Precision.HIGHEST)
         return G
 
     def _strain(self, vL):
@@ -269,7 +270,8 @@ class StokesProblem:
         """y_k = sum_j d flux[..., j, k] / d x_j."""
         if self.cmap is not None:
             CT = jnp.asarray(self.cmap.cofactor, flux.dtype)
-            flux = jnp.einsum("...lj,...jk->...lk", CT, flux)
+            flux = jnp.einsum("...lj,...jk->...lk", CT, flux,
+        precision=jax.lax.Precision.HIGHEST)
         y = jnp.zeros(flux.shape[:-2] + (self.d,), flux.dtype)
         for j in range(self.d):
             y = y + self._dif(flux[..., j, :], j)
@@ -282,7 +284,8 @@ class StokesProblem:
         vL = self.local_velocity(vG, with_dirichlet)
         if self.cmap is not None:
             CT = jnp.asarray(self.cmap.cofactor, vL.dtype)
-            vL = jnp.einsum("...li,...i->...l", CT, vL)
+            vL = jnp.einsum("...li,...i->...l", CT, vL,
+        precision=jax.lax.Precision.HIGHEST)
         div = jnp.zeros(self.grid.dims, vL.dtype)
         for i in range(self.d):
             div = div + self._dif(vL[..., i], i)
@@ -296,7 +299,8 @@ class StokesProblem:
         pL = pressure_reduce_order(self.mask_p(pG), self.grid.nodes_1d)
         gp = jnp.stack([self._dif(pL, i) for i in range(self.d)], axis=-1)
         if self.cmap is not None:
-            gp = jnp.einsum("...li,...l->...i", self._jinv(gp.dtype), gp)
+            gp = jnp.einsum("...li,...l->...i", self._jinv(gp.dtype), gp,
+        precision=jax.lax.Precision.HIGHEST)
         gp = jnp.where(self.nm_mask[..., None], 0.0, gp)
         return self.mask_v(gp)
 
@@ -306,7 +310,8 @@ class StokesProblem:
         if self.num_mixed == 0:
             return y
         cfg = self.config
-        traction = jnp.einsum("...jk,...k->...j", stress, self.normal)
+        traction = jnp.einsum("...jk,...k->...j", stress, self.normal,
+        precision=jax.lax.Precision.HIGHEST)
         rows = cfg.scaleM * (cfg.scaleN * traction + self.alpha[..., None] * vL)
         return jnp.where(self.nm_mask[..., None], rows, y)
 
@@ -491,7 +496,8 @@ class StokesProblem:
             kwargs["row_scale"] = 1.0 / jnp.asarray(self.cmap.detJ, eta.dtype)
             nu = jnp.einsum("...lk,...k->...l",
                             jnp.asarray(self.cmap.Jinv, eta.dtype),
-                            self.normal)
+                            self.normal,
+        precision=jax.lax.Precision.HIGHEST)
             kwargs["nscale"] = jnp.maximum(
                 jnp.sum(nm_oh * jnp.abs(nu), axis=-1), 1e-14)
         return velocity_fd_stencil(

@@ -185,7 +185,8 @@ class Q1StrainStencil:
             for ax, o in enumerate(off):
                 if o:
                     xs = shift(xs, ax, o)
-            t = jnp.einsum("...ab,...b->...a", C, xs)
+            t = jnp.einsum("...ab,...b->...a", C, xs,
+        precision=jax.lax.Precision.HIGHEST)
             y = t if y is None else y + t
         return y
 
@@ -316,26 +317,34 @@ def assemble_q1_strain(grid: Grid, eta: jax.Array, deta: jax.Array,
         xc = jnp.stack([xphys[tuple(slice(t[ax], t[ax] + edims[ax])
                                     for ax in range(d))]
                         for t in corners])       # (T, edims, d)
-        Jg = jnp.einsum("t...i,jtq->q...ij", xc, Gj)   # (Q, edims, d, d)
+        Jg = jnp.einsum("t...i,jtq->q...ij", xc, Gj,
+        precision=jax.lax.Precision.HIGHEST)   # (Q, edims, d, d)
         detJg = jnp.abs(jnp.linalg.det(Jg))            # (Q, edims)
         Jg_inv = jnp.linalg.inv(Jg)                    # (Q, edims, d, d)
         # dtest[i, t, q, el] = sum_j G[j,t,q] * Jg_inv[q, el, j, i]
-        dtest = jnp.einsum("jtq,q...ji->itq...", Gj, Jg_inv)
+        dtest = jnp.einsum("jtq,q...ji->itq...", Gj, Jg_inv,
+        precision=jax.lax.Precision.HIGHEST)
         Wq = Wj.reshape((Q,) + (1,) * d) * detJg       # |J_g(q)| per point
         Bj = jnp.asarray(B, dtype)
-        Me_el = jnp.einsum("q...,tq,rq->tr...", Wq, Bj, Bj)
+        Me_el = jnp.einsum("q...,tq,rq->tr...", Wq, Bj, Bj,
+        precision=jax.lax.Precision.HIGHEST)
         Jdet = jnp.ones(edims, dtype)            # |J| folded into Wq / Me_el
         Me = None
     # eta term: 0.5*(delta_ab * sum_i dtest_i dtrial_i + dtest_b dtrial_a)
-    Adot = jnp.einsum("q...,itq...,irq...->tr...", Wq, dtest, dtest)
-    P = jnp.einsum("q...,btq...,arq...->tarb...", Wq, dtest, dtest)
+    Adot = jnp.einsum("q...,itq...,irq...->tr...", Wq, dtest, dtest,
+        precision=jax.lax.Precision.HIGHEST)
+    P = jnp.einsum("q...,btq...,arq...->tarb...", Wq, dtest, dtest,
+        precision=jax.lax.Precision.HIGHEST)
     # Newton term: zhat[a,t,q] = sum_i dtest_i S_el[a,i]
-    zh = jnp.einsum("itq...,...ai->atq...", dtest, S_el)
-    ZH = jnp.einsum("q...,atq...,brq...->tarb...", Wq, zh, zh)
+    zh = jnp.einsum("itq...,...ai->atq...", dtest, S_el,
+        precision=jax.lax.Precision.HIGHEST)
+    ZH = jnp.einsum("q...,atq...,brq...->tarb...", Wq, zh, zh,
+        precision=jax.lax.Precision.HIGHEST)
 
     eye = jnp.asarray(np.eye(d), dtype)
     # Ae[t,a,r,b](el)
-    Ae = (eta_el * (0.5 * (jnp.einsum("tr...,ab->tarb...", Adot, eye) + P))
+    Ae = (eta_el * (0.5 * (jnp.einsum("tr...,ab->tarb...", Adot, eye,
+        precision=jax.lax.Precision.HIGHEST) + P))
           + deta_el * ZH) * Jdet
 
     vel_mask = jnp.asarray(vel_mask)

@@ -123,7 +123,8 @@ class LineSolver:
         if rm.ndim > Ti.ndim - 1:      # rhs carries extra component axes
             extra = rm.ndim - (Ti.ndim - 1)
             Ti = Ti.reshape(Ti.shape[:-2] + (1,) * extra + Ti.shape[-2:])
-        x = jnp.einsum("...ij,...j->...i", Ti, rm)
+        x = jnp.einsum("...ij,...j->...i", Ti, rm,
+        precision=jax.lax.Precision.HIGHEST)
         return jnp.moveaxis(x, -1, self.axis)
 
 

@@ -44,6 +44,13 @@ HISTORY_LEN = 256
 _TINY = 1e-300
 
 
+
+# f32 accuracy on TPU: plain `@` runs the MXU at default (bfloat16-input)
+# precision; basis orthogonalization and solution reconstruction need the
+# full f32 path.
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+
 def _identity(x):
     return x
 
@@ -134,10 +141,10 @@ def _gmres_flat(A, M, P, b, x0, *, restart, rtol, atol, dtol, max_it,
             Z = s.Z
         # CGS2 orthogonalization against active basis columns
         mask = (jnp.arange(m + 1) <= s.k).astype(dtype)
-        h1 = (s.V @ w) * mask
-        w = w - s.V.T @ h1
-        h2 = (s.V @ w) * mask
-        w = w - s.V.T @ h2
+        h1 = _mm(s.V, w) * mask
+        w = w - _mm(s.V.T, h1)
+        h2 = _mm(s.V, w) * mask
+        w = w - _mm(s.V.T, h2)
         col = h1 + h2
         hk1 = _norm(w)
         vnew = jnp.where(hk1 > _TINY, 1.0 / hk1, 0.0) * w
@@ -181,7 +188,7 @@ def _gmres_flat(A, M, P, b, x0, *, restart, rtol, atol, dtol, max_it,
         gk = jnp.where(on, s.g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(Rk, gk, lower=False)
         basis = s.Z if flexible else s.V[:m]
-        x = s.x + basis.T @ y
+        x = s.x + _mm(basis.T, y)
         # Reconstruct the residual from the basis instead of reapplying the
         # operator (PETSc KSPGMRES does the same): b - A x = V Q^T (e_k g_k),
         # so one inverse Givens sweep + one basis matmul suffice.  This keeps
@@ -196,7 +203,7 @@ def _gmres_flat(A, M, P, b, x0, *, restart, rtol, atol, dtol, max_it,
                      .at[i + 1].set(s.sn[i] * qi + s.cs[i] * qi1)
 
         q = jax.lax.fori_loop(0, s.k, unrot, q)
-        rp = s.V.T @ q
+        rp = _mm(s.V.T, q)
         beta = jnp.abs(s.g[s.k])
         k_last = jnp.where(s.k > 0, s.k, s.k_last)
         # capture this cycle's search directions + raw Hessenberg BEFORE
@@ -273,15 +280,15 @@ def _gmres_like(A, b, x0, *, M, rtol, atol, dtol, max_it, restart,
         # residual concentrated on slow modes; measured +15-30% iterations.)
         Uf = recycle_U.astype(bf.dtype)
         W = jax.vmap(lambda u: Pf(Af(u)))(Uf)          # (k, n) = A U rows
-        T = W @ W.T
+        T = _mm(W, W.T)
         ridge = jnp.finfo(bf.dtype).eps * (jnp.trace(T) + 1.0)
         Tf = jax.scipy.linalg.cho_factor(
             T + ridge * jnp.eye(T.shape[0], dtype=bf.dtype))
         Mf_base = Mf
 
         def Mf_defl(r):
-            y = jax.scipy.linalg.cho_solve(Tf, W @ r)
-            return Mf_base(r - y @ W) + y @ Uf
+            y = jax.scipy.linalg.cho_solve(Tf, _mm(W, r))
+            return Mf_base(r - _mm(y, W)) + _mm(y, Uf)
 
         Mf = Mf_defl
     out = _gmres_flat(
@@ -403,10 +410,10 @@ def block_gmres(A: Operator, B_rhs, X0=None, *, M: Optional[Operator] = None,
         Vk = jax.lax.dynamic_slice_in_dim(s.V, s.k * nb, nb)   # (B, n)
         W = Mf(Pf(Af(Vk)))                                      # (B, n)
         active = (jnp.arange(rows) < (s.k + 1) * nb)[:, None].astype(dtype)
-        H1 = (s.V * active) @ W.T                               # (rows, B)
-        W = W - H1.T @ (s.V * active)
-        H2 = (s.V * active) @ W.T
-        W = W - H2.T @ (s.V * active)
+        H1 = _mm(s.V * active, W.T)                             # (rows, B)
+        W = W - _mm(H1.T, s.V * active)
+        H2 = _mm(s.V * active, W.T)
+        W = W - _mm(H2.T, s.V * active)
         Hcol = H1 + H2                                          # (rows, B)
         # per-column norms BEFORE the intra-block QR: direction j is
         # deflated only when its component orthogonal to the earlier block
@@ -435,7 +442,7 @@ def block_gmres(A: Operator, B_rhs, X0=None, *, M: Optional[Operator] = None,
         cols = jnp.arange(m * nb) < s.k * nb
         Hm = jnp.where(cols[None, :], s.H, 0.0)
         Y = jnp.linalg.lstsq(Hm, s.G)[0]                        # (m*B, B)
-        X = s.X + (Y.T @ s.V[:m * nb])
+        X = s.X + _mm(Y.T, s.V[:m * nb])
         R = Pf(Bmat - Af(X))
         Rp = Mf(R)
         rnorms = jnp.sqrt(jnp.sum(Rp * Rp, axis=1))
@@ -805,7 +812,7 @@ class KSPConfig:
         Hm = Hm + big * jnp.eye(m + 1, m, dtype=dtype) * (~cols)[None, :]
         Vt = jnp.linalg.svd(Hm, full_matrices=False)[2]   # (m, m) rows = g^T
         G = Vt[m - nkeep:]                                # nkeep smallest
-        U_new = G @ basis                                 # (nkeep, n)
+        U_new = _mm(G, basis)                             # (nkeep, n)
         return res, U_new
 
     def solve_batched(self, A: Operator, b, x0=None, *, M=None,

@@ -289,6 +289,167 @@ def newton_solve(
                         recycle_U=U)
 
 
+def quasi_newton_solve(
+    residual_fn: Callable[[Any], tuple[Any, Any]],
+    x0: Any,
+    *,
+    m: int = 10,
+    pc_setup: Optional[Callable[[Any, Any], Any]] = None,
+    pc_apply: Optional[Callable[[Any, Any], Any]] = None,
+    config: NewtonConfig = NewtonConfig(),
+) -> NewtonResult:
+    """Limited-memory quasi-Newton (PETSc SNESQN, L-BFGS variant): the
+    search direction is -H_k F(x_k) with H_k built from the last ``m``
+    (s, y) secant pairs by the two-loop recursion — NO Jacobian actions or
+    linear solves, one residual evaluation per accepted step (plus line
+    search).  The initial Hessian H_0 is gamma_k * M with M the optional
+    preconditioner (the standard scaled-PC seeding; PETSc
+    -snes_qn_scale_type scalar + a PC) and gamma_k = (s.y)/(y.y).
+    Secant pairs failing the curvature condition are skipped (Powell).
+
+    Use when Jacobian actions are much more expensive than residuals, or
+    as a smoother/accelerator; for the framework's PDE problems plain
+    Newton-Krylov with EW forcing usually wins (recorded in tests).
+    Returns a NewtonResult (``ksp_iters`` are zero: no linear solves).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    xf, unravel = ravel_pytree(x0)
+    n = xf.shape[0]
+    dtype = xf.dtype
+    eps = jnp.finfo(dtype).eps
+
+    def residual_flat(xf_):
+        F, lin = residual_fn(unravel(xf_))
+        return ravel_pytree(F)[0].astype(dtype), lin
+
+    @jax.jit
+    def qn_step(xf_, Ff, lin, fnorm, S, Y, k, sigma):
+        mM = jnp.minimum(k, m)
+        pc_state = pc_setup(unravel(xf_), lin) if pc_setup is not None else None
+
+        def M(r):
+            if pc_apply is None:
+                return r
+            return ravel_pytree(pc_apply(pc_state, unravel(r)))[0].astype(dtype)
+
+        # two-loop recursion: q <- H_k F
+        def loop1(j, carry):
+            q, alphas = carry
+            idx = (k - 1 - j) % m
+            valid = (j < mM).astype(dtype)
+            sy = jnp.vdot(Y[idx], S[idx]).real
+            rho = jnp.where(jnp.abs(sy) > eps, 1.0 / jnp.where(
+                jnp.abs(sy) > eps, sy, 1.0), 0.0)
+            a = valid * rho * jnp.vdot(S[idx], q).real
+            return q - a * Y[idx], alphas.at[j].set(a)
+
+        q, alphas = jax.lax.fori_loop(
+            0, m, loop1, (Ff, jnp.zeros((m,), dtype)))
+        idx0 = (k - 1) % m
+        sy0 = jnp.vdot(Y[idx0], S[idx0]).real
+        yy0 = jnp.vdot(Y[idx0], Y[idx0]).real
+        gamma = jnp.where((k > 0) & (yy0 > eps), sy0 / jnp.maximum(yy0, eps), 1.0)
+        r = gamma * M(q)
+
+        def loop2(j, r_):
+            jj = m - 1 - j
+            idx = (k - 1 - jj) % m
+            valid = (jj < mM).astype(dtype)
+            sy = jnp.vdot(Y[idx], S[idx]).real
+            rho = jnp.where(jnp.abs(sy) > eps, 1.0 / jnp.where(
+                jnp.abs(sy) > eps, sy, 1.0), 0.0)
+            beta = valid * rho * jnp.vdot(Y[idx], r_).real
+            return r_ + (alphas[jj] - beta) * S[idx] * valid
+
+        # sigma handles definite operators of EITHER sign: pairs are stored
+        # as (s, sigma*y) so the secant matrix is positive-definite, and
+        # H' ~ |J|^{-1} gives the root step dx = sigma * H' F ~ J^{-1} F
+        dx = sigma * jax.lax.fori_loop(0, m, loop2, r)
+
+        def res_tree(xt):
+            F, lin_ = residual_fn(xt)
+            return F, lin_
+
+        if config.line_search == "basic":
+            xn_t = unravel(xf_ - dx)
+            Fn_t, lin_n = res_tree(xn_t)
+            fnn = _norm(Fn_t)
+            ok = jnp.isfinite(fnn)
+        else:
+            xn_t, Fn_t, lin_n, fnn, ok = _line_search_bt(
+                res_tree, unravel(xf_), unravel(dx), fnorm, config)
+        xn = ravel_pytree(xn_t)[0].astype(dtype)
+        Fn = ravel_pytree(Fn_t)[0].astype(dtype)
+        s = xn - xf_
+        y = Fn - Ff
+        sy = jnp.vdot(s, y).real
+        thresh = jnp.sqrt(eps) * _norm(s) * _norm(y)
+        # pick the operator's curvature sign from the first usable pair
+        sigma_n = jnp.where((k == 0) & (jnp.abs(sy) > thresh),
+                            jnp.sign(sy).astype(dtype), sigma)
+        # Powell skip: only store pairs with sufficient sigma-curvature
+        good = (sigma_n * sy > thresh) & ok
+        idxn = k % m
+        S = jnp.where(good, S.at[idxn].set(s), S)
+        Y = jnp.where(good, Y.at[idxn].set(sigma_n * y), Y)
+        k = jnp.where(good, k + 1, k)
+        return xn, Fn, lin_n, fnn, ok, _norm(s), S, Y, k, sigma_n
+
+    Ff, lin = residual_flat(xf)
+    fnorm = _norm(Ff)
+    fnorm0 = max(float(fnorm), 1e-300)
+    hist = [float(fnorm)]
+    S = jnp.zeros((m, n), dtype)
+    Y = jnp.zeros((m, n), dtype)
+    k = jnp.asarray(0, jnp.int32)
+    sigma = jnp.asarray(1.0, dtype)
+    reason = int(ConvergedReason.ITERATING)
+    its = 0
+    for it in range(config.max_it + 1):
+        its = it
+        if config.monitor:
+            print(f"{it:3d} SNES-QN Function norm {float(fnorm):.12e}")
+        if float(fnorm) <= config.atol:
+            reason = int(ConvergedReason.CONVERGED_ATOL)
+            break
+        if float(fnorm) <= config.rtol * fnorm0:
+            reason = int(ConvergedReason.CONVERGED_RTOL)
+            break
+        if not np.isfinite(float(fnorm)):
+            reason = int(ConvergedReason.DIVERGED_NANORINF)
+            break
+        if it == config.max_it:
+            reason = int(ConvergedReason.DIVERGED_ITS)
+            break
+        xf_n, Ff_n, lin_n, fnorm_n, ok, snorm, S_n, Y_n, k_n, sigma_n = qn_step(
+            xf, Ff, lin, fnorm, S, Y, k, sigma)
+        if config.line_search != "basic" and not bool(ok):
+            # line-search failure: the secant memory has gone stale/indefinite
+            # — RESTART it (PETSc -snes_qn_restart_type) and retry from the
+            # same point; only a failure right after a restart is terminal.
+            if int(k) == 0:
+                its = it + 1
+                reason = int(ConvergedReason.DIVERGED_LINE_SEARCH)
+                hist.append(float(fnorm_n))
+                break
+            S = jnp.zeros_like(S)
+            Y = jnp.zeros_like(Y)
+            k = jnp.asarray(0, jnp.int32)
+            hist.append(float(fnorm))
+            continue
+        xf, Ff, lin, fnorm, S, Y, k, sigma = (
+            xf_n, Ff_n, lin_n, fnorm_n, S_n, Y_n, k_n, sigma_n)
+        hist.append(float(fnorm))
+        if float(snorm) <= config.stol * max(float(_norm(xf)), 1e-30):
+            its = it + 1
+            reason = int(ConvergedReason.CONVERGED_SNORM_RELATIVE)
+            break
+    return NewtonResult(x=unravel(xf), iters=its, reason=reason,
+                        fnorm=float(fnorm), fnorm_history=hist,
+                        ksp_iters=[0] * its, lin_state=lin)
+
+
 @dataclasses.dataclass
 class NewtonFamilyResult:
     """Batched Newton outcome: leading axis of x = family member."""
