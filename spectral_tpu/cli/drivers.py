@@ -177,17 +177,19 @@ def elliptic_main(opts: Options) -> int:
         levels = []
         for lvl in range(gseq, 0, -1):
             dl = tuple(max(5, ((n - 1) >> lvl) + 1) for n in dims)
-            if dl != tuple(dims):
+            # dedup: deep sequences hit the floor and would repeat a level
+            # (the warm start would then carry the WRONG shape downstream)
+            if dl != tuple(dims) and dl not in levels:
                 levels.append(dl)
-        for dl in levels:
+        for i, dl in enumerate(levels):
             ml = make_model(dl)
             _, bl, drl = ml.setup_problem(exact=exact, cos_scale=cos_scale)
             rl = ml.solve(bl, drl, x0=x0, ksp=ksp, newton=newton, pc_type=pc)
             print(f"  grid sequence level {dl}: {int(rl.iters)} Newton / "
                   f"{int(np.sum(np.asarray(rl.ksp_iters)))} Krylov, "
                   f"reason {rl.reason_str()}")
-            nxt = levels[levels.index(dl) + 1] if dl != levels[-1] else tuple(dims)
-            x0 = make_model(nxt).grid.zero_boundary(
+            nxt = levels[i + 1] if i + 1 < len(levels) else tuple(dims)
+            x0 = Grid(nxt).zero_boundary(
                 cheb_regrid(ml.grid.set_boundary(rl.x, drl), nxt))
     res = model.solve(b, dirichlet, x0=x0, ksp=ksp, newton=newton, pc_type=pc)
 
@@ -313,7 +315,8 @@ def stokes_main(opts: Options) -> int:
             mid = v.shape[2] // 2
             v, pr = v[:, :, mid], pr[:, :, mid]
         field = np.concatenate([v, pr[..., None]], axis=-1)[1:-1, 1:-1]
-        vec_print2(field, dims[0] - 2, dims[1] - 2, name, "uvp"[:field.shape[-1]])
+        comp = "uvw"[:field.shape[-1] - 1] + "p"   # d velocity labels + p
+        vec_print2(field, dims[0] - 2, dims[1] - 2, name, comp)
 
     if debug >= 1:
         # -debug 1: exact solution + its discrete residual (stokes.C:197-204)
@@ -372,9 +375,12 @@ def stokes_main(opts: Options) -> int:
             for i, dl in enumerate(seq):
                 pl = make_p(dl)
                 if x0 is None:
-                    rl = pl.solve_continuation(monitor=monitor)[-1]
+                    # the coarse-level continuation carries the checkpoint/
+                    # resume state (the expensive ramp lives here)
+                    rl = pl.solve_continuation(
+                        monitor=monitor, checkpoint_dir=ckpt_dir)[-1]
                 else:
-                    rl = pl.solve(x0)
+                    rl = pl.solve(x0, monitor=monitor)
                 nxt = seq[i + 1] if i + 1 < len(seq) else tuple(dims)
                 pn = make_p(nxt) if nxt != tuple(dims) else p
                 x0 = {"v": pn.mask_v(cheb_regrid(rl.x["v"], nxt)),

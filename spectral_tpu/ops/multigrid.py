@@ -43,6 +43,17 @@ def _theta_interp_np(n_f: int, n_c: int) -> np.ndarray:
     return P
 
 
+def theta_transfer_np(n_f: int, n_c: int) -> tuple[np.ndarray, np.ndarray]:
+    """(P, R) per-axis transfer pair: linear coarse->fine interpolation in
+    theta and its row-normalized (constants-preserving) restriction.  The
+    single source of truth for every hierarchy (linear MG here, FAS in
+    solvers/fas.py)."""
+    P = _theta_interp_np(n_f, n_c)
+    R = P.T.copy()
+    R /= R.sum(axis=1, keepdims=True)
+    return P, R
+
+
 def default_stencil_builder(grid: Grid, coeffs: dict) -> StencilOp:
     """Variable-coefficient elliptic Jacobian stencil from coefficient fields
     (eta, deta, gradu); constant-coefficient Laplacian when fields absent."""
@@ -109,9 +120,7 @@ class Multigrid:
             fine, coarse = grids[lvl], grids[lvl + 1]
             P_axes, Rc_axes = [], []
             for ax in range(grid.ndim):
-                P = _theta_interp_np(fine.dims[ax], coarse.dims[ax])
-                R = P.T.copy()
-                R /= R.sum(axis=1, keepdims=True)  # averaging: constants -> constants
+                P, R = theta_transfer_np(fine.dims[ax], coarse.dims[ax])
                 P_axes.append(jnp.asarray(P))
                 Rc_axes.append(jnp.asarray(R))
             Ps.append(tuple(P_axes))

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spectral_tpu.grid import Grid
-from spectral_tpu.ops.multigrid import _theta_interp_np
+from spectral_tpu.ops.multigrid import theta_transfer_np
 from spectral_tpu.ops.tensorops import apply_axis_matmul
 from spectral_tpu.solvers.types import ConvergedReason
 
@@ -63,12 +63,7 @@ def _restrict_dirichlet(dir_f: np.ndarray, dims_c: tuple[int, ...]) -> np.ndarra
     """
     d = dir_f.ndim
     dims_f = dir_f.shape
-    Rs = []
-    for ax in range(d):
-        P = _theta_interp_np(dims_f[ax], dims_c[ax])
-        R = P.T.copy()
-        R /= R.sum(axis=1, keepdims=True)
-        Rs.append(R)
+    Rs = [theta_transfer_np(dims_f[ax], dims_c[ax])[1] for ax in range(d)]
     out = np.zeros(dims_c, dir_f.dtype)
     for ax in range(d):
         for side in (0, -1):
@@ -137,9 +132,7 @@ class FASSolver:
         for lf, lc in zip(self.levels[:-1], self.levels[1:]):
             Ps, Rs = [], []
             for ax in range(len(dims)):
-                P = _theta_interp_np(lf[ax], lc[ax])
-                R = P.T.copy()
-                R /= R.sum(axis=1, keepdims=True)
+                P, R = theta_transfer_np(lf[ax], lc[ax])
                 Ps.append(jnp.asarray(P))
                 Rs.append(jnp.asarray(R))
             self._P.append(Ps)

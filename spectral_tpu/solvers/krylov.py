@@ -812,6 +812,13 @@ class KSPConfig:
         Hm = Hm + big * jnp.eye(m + 1, m, dtype=dtype) * (~cols)[None, :]
         Vt = jnp.linalg.svd(Hm, full_matrices=False)[2]   # (m, m) rows = g^T
         G = Vt[m - nkeep:]                                # nkeep smallest
+        # when the final cycle closed with fewer than nkeep active columns,
+        # some "smallest" rows are the pinned e_j of INACTIVE columns, whose
+        # basis rows are stale previous-cycle directions — drop rows whose
+        # mass is not on the active columns
+        act = cols.astype(dtype)
+        support = jnp.sum((G * act[None, :]) ** 2, axis=1)
+        G = G * (support > 0.5)[:, None].astype(dtype)
         U_new = _mm(G, basis)                             # (nkeep, n)
         return res, U_new
 
