@@ -46,3 +46,25 @@ def test_fas_warm_start_and_auto_omega():
     assert 0.05 < fas.omega < 0.33, fas.omega
     warm = fas.solve(x0=res.x, rtol=1e-9, max_cycles=30)
     assert warm.iters == 0, warm.iters  # already below rtol * ||b||
+
+
+def test_fas_curvilinear_composes():
+    """FAS composes with the curvilinear metric path: the model factory
+    regenerates the metric-form operator per level; the (metric-blind)
+    fastdiag smoother still works at a smaller auto-damping (measured
+    omega ~0.14 vs ~0.23 flat at 25^2, 18 cycles to rtol 1e-8)."""
+    from spectral_tpu.ops.curvilinear import named_map
+
+    def factory(dims):
+        return EllipticModel(Grid(dims), gamma=1.0, exponent=2.0,
+                             phi=named_map("bump:0.08"))
+
+    dims = (17, 17)
+    m = factory(dims)
+    u, b, d = m.setup_problem(exact=0, cos_scale=1.0)
+    fas = FASSolver(factory, dims, b, d)
+    res = fas.solve(rtol=1e-7, max_cycles=40)
+    assert int(res.reason) > 0, res.reason_str()
+    # solve error ~ rtol * conditioning at this size; composability is the
+    # point here, the accuracy race lives in the flat tests above
+    assert float(jnp.max(jnp.abs(res.x - u))) < 2e-5
