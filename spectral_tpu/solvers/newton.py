@@ -450,6 +450,93 @@ def quasi_newton_solve(
                         ksp_iters=[0] * its, lin_state=lin)
 
 
+def anderson_solve(
+    residual_fn: Callable[[Any], tuple[Any, Any]],
+    x0: Any,
+    *,
+    m: int = 5,
+    beta: float = 1.0,
+    pc_setup: Optional[Callable[[Any, Any], Any]] = None,
+    pc_apply: Optional[Callable[[Any, Any], Any]] = None,
+    config: NewtonConfig = NewtonConfig(),
+) -> NewtonResult:
+    """Anderson mixing (PETSc SNESANDERSON / Walker-Ni AA(m)): accelerate
+    the preconditioned fixed-point iteration x <- x - beta M F(x) by
+    least-squares extrapolation over the last ``m`` residual differences:
+
+        gamma = argmin || w_k - dW gamma ||,   w = M F
+        x_{k+1} = x_k - beta w_k + (dX + beta dW) gamma
+
+    One residual evaluation + one PC apply per iteration, no Jacobian, no
+    line search (PETSc's SNESANDERSON likewise runs unglobalized).  With a
+    strong M (e.g. the fast-diagonalization surrogate) this is the
+    classic nonlinear-Richardson accelerator; the framework's production
+    path remains Newton-Krylov + EW.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    xf, unravel = ravel_pytree(x0)
+    n = xf.shape[0]
+    dtype = xf.dtype
+    eps = jnp.finfo(dtype).eps
+
+    def w_of(xf_):
+        F, lin = residual_fn(unravel(xf_))
+        Ff = ravel_pytree(F)[0].astype(dtype)
+        if pc_apply is None:
+            return Ff, Ff, lin
+        st = pc_setup(unravel(xf_), lin) if pc_setup is not None else None
+        w = ravel_pytree(pc_apply(st, unravel(Ff)))[0].astype(dtype)
+        return w, Ff, lin
+
+    @jax.jit
+    def step(xf_, w, dX, dW, k):
+        mM = jnp.minimum(k, m)
+        cols = (jnp.arange(m) < mM).astype(dtype)
+        A = dW * cols[:, None]                         # (m, n) masked rows
+        gamma = jnp.linalg.lstsq(A.T, w)[0]            # min ||w - dW^T g||
+        # AA-II update: x <- g(x_k) - (Delta G)^T gamma with
+        # g(x) = x - beta w and Delta G = dX - beta dW
+        xn = xf_ - beta * w - (dX - beta * dW).T @ gamma
+        wn, Fn, lin_n = w_of(xn)
+        idx = k % m
+        dX_n = dX.at[idx].set(xn - xf_)
+        dW_n = dW.at[idx].set(wn - w)
+        return xn, wn, Fn, lin_n, dX_n, dW_n, k + 1
+
+    w, Ff, lin = w_of(xf)
+    fnorm = _norm(Ff)
+    fnorm0 = max(float(fnorm), 1e-300)
+    hist = [float(fnorm)]
+    dX = jnp.zeros((m, n), dtype)
+    dW = jnp.zeros((m, n), dtype)
+    k = jnp.asarray(0, jnp.int32)
+    reason = int(ConvergedReason.ITERATING)
+    its = 0
+    for it in range(config.max_it + 1):
+        its = it
+        if config.monitor:
+            print(f"{it:3d} SNES-Anderson Function norm {float(fnorm):.12e}")
+        if float(fnorm) <= config.atol:
+            reason = int(ConvergedReason.CONVERGED_ATOL)
+            break
+        if float(fnorm) <= config.rtol * fnorm0:
+            reason = int(ConvergedReason.CONVERGED_RTOL)
+            break
+        if not np.isfinite(float(fnorm)):
+            reason = int(ConvergedReason.DIVERGED_NANORINF)
+            break
+        if it == config.max_it:
+            reason = int(ConvergedReason.DIVERGED_ITS)
+            break
+        xf, w, Ff, lin, dX, dW, k = step(xf, w, dX, dW, k)
+        fnorm = _norm(Ff)
+        hist.append(float(fnorm))
+    return NewtonResult(x=unravel(xf), iters=its, reason=reason,
+                        fnorm=float(fnorm), fnorm_history=hist,
+                        ksp_iters=[0] * its, lin_state=lin)
+
+
 @dataclasses.dataclass
 class NewtonFamilyResult:
     """Batched Newton outcome: leading axis of x = family member."""
