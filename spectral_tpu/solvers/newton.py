@@ -537,6 +537,144 @@ def anderson_solve(
                         ksp_iters=[0] * its, lin_state=lin)
 
 
+def ngmres_solve(
+    residual_fn: Callable[[Any], tuple[Any, Any]],
+    x0: Any,
+    *,
+    m: int = 5,
+    npc: Optional[Callable[[Any], Any]] = None,
+    beta: float = 1.0,
+    pc_setup: Optional[Callable[[Any, Any], Any]] = None,
+    pc_apply: Optional[Callable[[Any, Any], Any]] = None,
+    gamma_a: float = 2.0,
+    gamma_c: float = 2.0,
+    config: NewtonConfig = NewtonConfig(),
+) -> NewtonResult:
+    """Nonlinear GMRES (PETSc SNESNGMRES, Washio-Oosterlee N-GMRES):
+    accelerate an inner *nonlinear preconditioner* by least-squares
+    recombination of the last ``m`` iterates.
+
+    Each iteration:
+      1. inner step  x_M = NPC(x_k)  (PETSc SNESSetNPC analog — any
+         host-level solver step: a loose Newton step, one FAS cycle, a
+         damped Richardson sweep; default is the preconditioned
+         Richardson x - beta*M F(x) built from pc_setup/pc_apply),
+      2. minimize the LINEARIZED residual over the affine hull of the
+         stored iterates:  alpha = argmin || F_M - sum_i a_i (F_M - F_i) ||,
+         candidate  x_A = x_M + sum_i a_i (x_i - x_M),
+      3. selection (Washio-Oosterlee criterion A): accept x_A when
+         ||F_A|| < gamma_a * min_i ||F_i||, else fall back to x_M,
+      4. difference restart (criterion B analog, PETSc
+         -snes_ngmres_restart_type difference): clear the subspace when
+         the inner step itself stagnated, ||F_M|| > gamma_c * min_i ||F_i||
+         — recombining stale directions then only amplifies noise.
+
+    Distinction from :func:`anderson_solve`: Anderson mixes the
+    *fixed-point map* with a fixed window and no safeguards; NGMRES wraps
+    an arbitrary inner solver and guards acceptance/restart, which is
+    what makes compositions like NGMRES(Newton-loose) or NGMRES(FAS)
+    robust (Brune et al., "Composing scalable nonlinear algebraic
+    solvers").  The reference itself has no analog (its SNES always runs
+    plain Newton LS).
+
+    Returns a NewtonResult; ``ksp_iters`` counts are zero (linear work,
+    if any, happens inside the NPC).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    xf, unravel = ravel_pytree(x0)
+    n = xf.shape[0]
+    dtype = xf.dtype
+
+    def F_of(xf_):
+        F, lin = residual_fn(unravel(xf_))
+        return ravel_pytree(F)[0].astype(dtype), lin
+
+    if npc is None:
+        if pc_apply is None:
+            raise ValueError("ngmres_solve needs either npc= or pc_apply=")
+
+        def npc(x_tree):  # noqa: F811 — default: damped precond. Richardson
+            F, lin = residual_fn(x_tree)
+            st = pc_setup(x_tree, lin) if pc_setup is not None else None
+            return _axpy(-beta, pc_apply(st, F), x_tree)
+
+    @jax.jit
+    def recombine(xMf, FMf, X, Fs, fnorms, k):
+        mM = jnp.minimum(k, m)
+        cols = (jnp.arange(m) < mM).astype(dtype)
+        A = (FMf[None, :] - Fs) * cols[:, None]        # rows: F_M - F_i
+        alpha = jnp.linalg.lstsq(A.T, FMf)[0]
+        xA = xMf + (X - xMf[None, :]).T @ (alpha * cols)
+        return xA
+
+    Ff, lin = F_of(xf)
+    fnorm = _norm(Ff)
+    fnorm0 = max(float(fnorm), 1e-300)
+    hist = [float(fnorm)]
+    X = jnp.zeros((m, n), dtype)
+    Fs = jnp.zeros((m, n), dtype)
+    fnorms = np.full(m, np.inf)
+    k = 0                      # total stored entries (circular)
+    reason = int(ConvergedReason.ITERATING)
+    its = 0
+    for it in range(config.max_it + 1):
+        its = it
+        if config.monitor:
+            print(f"{it:3d} SNES-NGMRES Function norm {float(fnorm):.12e}")
+        if float(fnorm) <= config.atol:
+            reason = int(ConvergedReason.CONVERGED_ATOL)
+            break
+        if float(fnorm) <= config.rtol * fnorm0:
+            reason = int(ConvergedReason.CONVERGED_RTOL)
+            break
+        if not np.isfinite(float(fnorm)):
+            reason = int(ConvergedReason.DIVERGED_NANORINF)
+            break
+        if it == config.max_it:
+            reason = int(ConvergedReason.DIVERGED_ITS)
+            break
+        # store the CURRENT iterate, then take the inner step
+        idx = k % m
+        X = X.at[idx].set(xf)
+        Fs = Fs.at[idx].set(Ff)
+        fnorms[idx] = float(fnorm)
+        k += 1
+        xM_tree = npc(unravel(xf))
+        xMf = ravel_pytree(xM_tree)[0].astype(dtype)
+        FMf, linM = F_of(xMf)
+        fM = float(_norm(FMf))
+        fmin = float(np.min(fnorms[:min(k, m)]))
+        if not np.isfinite(fM):
+            reason = int(ConvergedReason.DIVERGED_NANORINF)
+            fnorm = jnp.asarray(fM, dtype)
+            hist.append(fM)
+            its = it + 1
+            break
+        if fM > gamma_c * fmin:
+            # difference restart: inner step stagnated vs the best stored
+            # iterate — recombination over stale data is unreliable
+            fnorms[:] = np.inf
+            fnorms[0] = fM
+            X = jnp.zeros_like(X).at[0].set(xMf)
+            Fs = jnp.zeros_like(Fs).at[0].set(FMf)
+            k = 1
+            xf, Ff, lin, fnorm = xMf, FMf, linM, jnp.asarray(fM, dtype)
+            hist.append(fM)
+            continue
+        xAf = recombine(xMf, FMf, X, Fs, fnorms, jnp.asarray(k, jnp.int32))
+        FAf, linA = F_of(xAf)
+        fA = float(_norm(FAf))
+        if np.isfinite(fA) and fA < gamma_a * fmin:
+            xf, Ff, lin, fnorm = xAf, FAf, linA, jnp.asarray(fA, dtype)
+        else:
+            xf, Ff, lin, fnorm = xMf, FMf, linM, jnp.asarray(fM, dtype)
+        hist.append(float(fnorm))
+    return NewtonResult(x=unravel(xf), iters=its, reason=reason,
+                        fnorm=float(fnorm), fnorm_history=hist,
+                        ksp_iters=[0] * its, lin_state=lin)
+
+
 @dataclasses.dataclass
 class NewtonFamilyResult:
     """Batched Newton outcome: leading axis of x = family member."""

@@ -297,3 +297,56 @@ def test_anderson_acceleration():
     assert int(res.iters) <= 40, int(res.iters)
     assert float(jnp.max(jnp.abs(res.x - u))) < 1e-8
     assert all(i == 0 for i in res.ksp_iters)  # no linear solves
+
+
+def test_ngmres_richardson():
+    """SNESNGMRES analog with the default NPC (damped preconditioned
+    Richardson): the Washio-Oosterlee recombination + acceptance/restart
+    safeguards converge the nonlinear elliptic problem in a handful of
+    iterations where the bare Richardson sweep at this damping crawls."""
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.elliptic import EllipticModel
+    from spectral_tpu.solvers.newton import ngmres_solve
+
+    m = EllipticModel(Grid((16, 16)), gamma=1.0, exponent=2.0)
+    u, b, d = m.setup_problem(exact=0, cos_scale=1.0)
+    residual = m.make_residual(b, d)
+    pcs, pca = m.make_pc("fastdiag")
+    res = ngmres_solve(residual, jnp.zeros(m.grid.dims), m=5, beta=0.2,
+                       pc_setup=pcs, pc_apply=pca,
+                       config=NewtonConfig(rtol=1e-9, max_it=100))
+    assert int(res.reason) > 0, res.reason_str()
+    assert int(res.iters) <= 40, int(res.iters)
+    assert float(jnp.max(jnp.abs(res.x - u))) < 1e-8
+    assert all(i == 0 for i in res.ksp_iters)  # linear work lives in the NPC
+
+
+def test_ngmres_composes_loose_newton():
+    """NGMRES(Newton-loose) composition (Brune et al.): the inner NPC is a
+    single Newton step with a deliberately loose linear solve (rtol 0.3,
+    3 Krylov iterations max).  The outer NGMRES recombination recovers
+    fast convergence from these cheap inexact steps, and the safeguarded
+    acceptance keeps the iteration monotone enough to converge."""
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.elliptic import EllipticModel
+    from spectral_tpu.solvers.newton import newton_solve, ngmres_solve
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    m = EllipticModel(Grid((16, 16)), gamma=1.0, exponent=2.0)
+    u, b, d = m.setup_problem(exact=0, cos_scale=1.0)
+    residual = m.make_residual(b, d)
+    pcs, pca = m.make_pc("fastdiag")
+
+    def loose_newton_step(x):
+        r = newton_solve(residual, x, pc_setup=pcs, pc_apply=pca,
+                         ksp=KSPConfig(type="gmres", rtol=0.3, max_it=3),
+                         config=NewtonConfig(max_it=1, rtol=0.0, atol=0.0,
+                                             line_search="basic"))
+        return r.x
+
+    res = ngmres_solve(residual, jnp.zeros(m.grid.dims), m=5,
+                       npc=loose_newton_step,
+                       config=NewtonConfig(rtol=1e-9, max_it=60))
+    assert int(res.reason) > 0, res.reason_str()
+    assert int(res.iters) <= 30, int(res.iters)
+    assert float(jnp.max(jnp.abs(res.x - u))) < 1e-7
