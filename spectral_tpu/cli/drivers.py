@@ -21,6 +21,71 @@ def _print_unused(opts: Options) -> None:
         print(f"WARNING! There are options you set that were not used: {left}")
 
 
+def _snes_solve(opts: Options, model, make_model, b, dirichlet, x0, *,
+                ksp, newton, pc):
+    """-snes_type dispatch (PETSc SNESSetType parity): ``newtonls``
+    (default), ``qn``, ``anderson``, ``ngmres``, ``fas``.
+
+    The reference always runs SNESNEWTONLS (elliptic.C:177-186); PETSc
+    exposes the full family via -snes_type, which this mirrors.  Family
+    knobs use their PETSc names (-snes_qn_m, -snes_anderson_m/-beta,
+    -snes_ngmres_m) plus -npc_snes_type newtonls to compose
+    NGMRES(Newton-loose) with -npc_ksp_rtol / -npc_ksp_max_it controlling
+    the inner loose solve (SNESSetNPC analog).  Non-Newton results are
+    adapted to NewtonResult so monitors and exit codes stay uniform.
+    """
+    snes_type = opts.get_string("snes_type", "newtonls")
+    if snes_type in ("newtonls", "newton"):
+        return model.solve(b, dirichlet, x0=x0, ksp=ksp, newton=newton,
+                           pc_type=pc)
+    import jax.numpy as jnp
+
+    from spectral_tpu.solvers import newton as snes
+    from spectral_tpu.solvers.newton import NewtonConfig, NewtonResult
+
+    residual = model.make_residual(b, dirichlet)
+    x0 = jnp.zeros(model.grid.dims) if x0 is None else x0
+    pcs, pca = model.make_pc(pc) if pc != "none" else (None, None)
+    if snes_type == "qn":
+        return snes.quasi_newton_solve(
+            residual, x0, m=opts.get_int("snes_qn_m", 10),
+            pc_setup=pcs, pc_apply=pca, config=newton)
+    if snes_type == "anderson":
+        return snes.anderson_solve(
+            residual, x0, m=opts.get_int("snes_anderson_m", 5),
+            beta=opts.get_real("snes_anderson_beta", 0.2),
+            pc_setup=pcs, pc_apply=pca, config=newton)
+    if snes_type == "ngmres":
+        npc = None
+        if opts.get_string("npc_snes_type", "") in ("newtonls", "newton"):
+            inner_ksp = dataclasses.replace(
+                ksp, rtol=opts.get_real("npc_ksp_rtol", 0.3),
+                max_it=opts.get_int("npc_ksp_max_it", 5))
+            inner_cfg = NewtonConfig(max_it=1, rtol=0.0, atol=0.0,
+                                     line_search="basic")
+
+            def npc(x):  # one loose inexact-Newton step per outer iteration
+                return snes.newton_solve(
+                    residual, x, jacobian_action=model.jacobian_action,
+                    pc_setup=pcs, pc_apply=pca, ksp=inner_ksp,
+                    config=inner_cfg).x
+        return snes.ngmres_solve(
+            residual, x0, m=opts.get_int("snes_ngmres_m", 5), npc=npc,
+            beta=opts.get_real("snes_ngmres_beta", 0.2),
+            pc_setup=pcs, pc_apply=pca, config=newton)
+    if snes_type == "fas":
+        from spectral_tpu.solvers.fas import FASSolver
+
+        fas = FASSolver(make_model, model.grid.dims, b, dirichlet)
+        r = fas.solve(x0=x0, rtol=newton.rtol, atol=newton.atol,
+                      max_cycles=newton.max_it)
+        return NewtonResult(x=r.x, iters=r.iters, reason=r.reason,
+                            fnorm=r.rnorm, fnorm_history=r.history,
+                            ksp_iters=[0] * r.iters)
+    raise SystemExit(f"unknown -snes_type {snes_type!r} "
+                     "(newtonls|qn|anderson|ngmres|fas)")
+
+
 def cheb_main(opts: Options) -> int:
     """Transform self-test (cheb.c:16-135): apply the 1-D and rank-3
     derivative operators to exp-type functions with known derivatives."""
@@ -191,7 +256,8 @@ def elliptic_main(opts: Options) -> int:
             nxt = levels[i + 1] if i + 1 < len(levels) else tuple(dims)
             x0 = Grid(nxt).zero_boundary(
                 cheb_regrid(ml.grid.set_boundary(rl.x, drl), nxt))
-    res = model.solve(b, dirichlet, x0=x0, ksp=ksp, newton=newton, pc_type=pc)
+    res = _snes_solve(opts, model, make_model, b, dirichlet, x0,
+                      ksp=ksp, newton=newton, pc=pc)
 
     if debug >= 2:
         vec_print2(np.asarray(res.x)[1:-1, 1:-1], dims[0] - 2, dims[1] - 2, "computed u")

@@ -202,3 +202,31 @@ def test_stokes_grid_sequence(capsys):
     assert rc == 0, out
     assert "grid sequence level" in out
     assert "Reason for solver termination: CONVERGED" in out
+
+
+def test_elliptic_snes_type_family(capsys):
+    """-snes_type (SNESSetType parity): the full SNES family drives the
+    elliptic problem from the CLI.  anderson/ngmres/fas converge to
+    spectral accuracy; ngmres composes a loose Newton NPC via
+    -npc_snes_type (SNESSetNPC analog)."""
+    from spectral_tpu.cli.drivers import elliptic_main
+
+    base = "-dim 16,16 -gamma 1 -exact 0"
+    for extra, max_its in [
+        ("-snes_type anderson", 40),
+        ("-snes_type ngmres", 40),
+        ("-snes_type ngmres -npc_snes_type newtonls -snes_ngmres_m 5", 20),
+        ("-snes_type fas", 15),
+    ]:
+        rc = elliptic_main(Options(f"{base} {extra}".split()))
+        out = capsys.readouterr().out
+        assert rc == 0, (extra, out)
+        assert "CONVERGED" in out, (extra, out)
+        its = int(out.split("Number of nonlinear iterations = ")[1].split()[0])
+        assert its <= max_its, (extra, its)
+        err = float(out.split("Norm of error")[1].split("abs = ")[1].split()[0])
+        assert err < 1e-7, (extra, err)
+    # unknown type is a clear CLI error
+    import pytest
+    with pytest.raises(SystemExit):
+        elliptic_main(Options(f"{base} -snes_type bogus".split()))
