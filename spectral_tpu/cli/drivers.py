@@ -24,7 +24,7 @@ def _print_unused(opts: Options) -> None:
 def _snes_solve(opts: Options, model, make_model, b, dirichlet, x0, *,
                 ksp, newton, pc):
     """-snes_type dispatch (PETSc SNESSetType parity): ``newtonls``
-    (default), ``qn``, ``anderson``, ``ngmres``, ``fas``.
+    (default), ``newtontr``, ``qn``, ``anderson``, ``ngmres``, ``fas``.
 
     The reference always runs SNESNEWTONLS (elliptic.C:177-186); PETSc
     exposes the full family via -snes_type, which this mirrors.  Family
@@ -46,6 +46,14 @@ def _snes_solve(opts: Options, model, make_model, b, dirichlet, x0, *,
     residual = model.make_residual(b, dirichlet)
     x0 = jnp.zeros(model.grid.dims) if x0 is None else x0
     pcs, pca = model.make_pc(pc) if pc != "none" else (None, None)
+    if snes_type in ("newtontr", "tr"):
+        return snes.newton_tr_solve(
+            residual, x0, jacobian_action=model.jacobian_action,
+            pc_setup=pcs, pc_apply=pca, ksp=ksp, config=newton,
+            delta0=opts.get_real("snes_tr_delta0", 0.2),
+            eta1=opts.get_real("snes_tr_eta1", 1e-3),
+            eta2=opts.get_real("snes_tr_eta2", 0.25),
+            eta3=opts.get_real("snes_tr_eta3", 0.75))
     if snes_type == "qn":
         return snes.quasi_newton_solve(
             residual, x0, m=opts.get_int("snes_qn_m", 10),
@@ -83,7 +91,7 @@ def _snes_solve(opts: Options, model, make_model, b, dirichlet, x0, *,
                             fnorm=r.rnorm, fnorm_history=r.history,
                             ksp_iters=[0] * r.iters)
     raise SystemExit(f"unknown -snes_type {snes_type!r} "
-                     "(newtonls|qn|anderson|ngmres|fas)")
+                     "(newtonls|newtontr|qn|anderson|ngmres|fas)")
 
 
 def cheb_main(opts: Options) -> int:

@@ -289,6 +289,129 @@ def newton_solve(
                         recycle_U=U)
 
 
+def newton_tr_solve(
+    residual_fn: Callable[[Any], tuple[Any, Any]],
+    x0: Any,
+    *,
+    jacobian_action: Optional[Callable[[Any, Any, Any], Any]] = None,
+    pc_setup: Optional[Callable[[Any, Any], Any]] = None,
+    pc_apply: Optional[Callable[[Any, Any], Any]] = None,
+    ksp: KSPConfig = KSPConfig(type="gmres", rtol=1e-5),
+    config: NewtonConfig = NewtonConfig(),
+    null_project: Optional[Callable] = None,
+    delta0: float = 0.2,
+    delta_max: float = 1e10,
+    eta1: float = 1e-3,
+    eta2: float = 0.25,
+    eta3: float = 0.75,
+    t1: float = 0.25,
+    t2: float = 2.0,
+) -> NewtonResult:
+    """Trust-region Newton on the merit 1/2||F||^2 (PETSc SNESNEWTONTR).
+
+    Replaces the line search with a trust region: the Krylov Newton step is
+    CLIPPED to radius delta, the candidate is scored by the ratio rho of the
+    actual merit decrease to the decrease predicted by the linear model
+    ``F - J s`` (one extra Jacobian apply), and delta shrinks (*t1) or grows
+    (*t2, up to delta_max) by the classic eta1/eta2/eta3 thresholds (PETSc
+    -snes_tr_eta1..3/-snes_tr_t1/t2 defaults).  Rejected steps keep x and
+    retry with the smaller radius.  More robust than backtracking far from
+    the attraction basin (the reference only ever runs SNESNEWTONLS;
+    elliptic.C:177-186 — this widens the family the same way PETSc does).
+
+    Architecture mirrors ``newton_solve``: one jitted ``tr_step`` (PC setup
+    -> Krylov solve -> clip -> model/actual reduction), with delta a traced
+    scalar so radius updates never recompile; the host loop owns the
+    accept/reject logic (Newton counts are small).
+    """
+    if jacobian_action is None:
+        def jacobian_action(x, lin_state, w):  # noqa: F811  (JFNK via jvp)
+            _, tangent = jax.jvp(lambda z: residual_fn(z)[0], (x,), (w,))
+            return tangent
+
+    residual_jit = jax.jit(residual_fn)
+
+    @jax.jit
+    def tr_step(x, F, lin_state, fnorm, delta):
+        pc_state = pc_setup(x, lin_state) if pc_setup is not None else None
+        M = (lambda r: pc_apply(pc_state, r)) if pc_apply is not None else None
+        A = lambda w: jacobian_action(x, lin_state, w)
+        lres = ksp.solve(A, F, M=M, null_project=null_project)
+        dx = lres.x
+        dxnorm = _norm(dx)
+        scale = jnp.minimum(1.0, delta / jnp.maximum(dxnorm, 1e-300))
+        s = jax.tree_util.tree_map(lambda v: scale * v, dx)
+        snorm = scale * dxnorm
+        # Predicted merit decrease from the linear model F(x - s) ~= F - J s
+        Js = A(s)
+        Fm = jax.tree_util.tree_map(lambda f, j: f - j, F, Js)
+        pred = 0.5 * (fnorm ** 2 - _norm(Fm) ** 2)
+        xt = _axpy(-1.0, s, x)
+        Ft, lst = residual_fn(xt)
+        fnt = _norm(Ft)
+        ared = 0.5 * (fnorm ** 2 - fnt ** 2)
+        return (xt, Ft, lst, fnt, snorm, dxnorm, pred, ared,
+                lres.iters, lres.history)
+
+    x = x0
+    F, lin_state = residual_jit(x)
+    fnorm = _norm(F)
+    fnorm0 = max(float(fnorm), 1e-300)
+    xnorm0 = float(_norm(x))
+    delta = delta0 * xnorm0 if xnorm0 > 0 else delta0
+    hist = [float(fnorm)]
+    ksp_iters: list[int] = []
+    ksp_history_last: list[float] = []
+    reason = int(ConvergedReason.ITERATING)
+    newton_its = 0
+
+    for it in range(config.max_it + 1):
+        newton_its = it
+        if config.monitor:
+            print(f"{it:3d} SNES Function norm {float(fnorm):.12e}")
+        if float(fnorm) <= config.atol:
+            reason = int(ConvergedReason.CONVERGED_ATOL)
+            break
+        if float(fnorm) <= config.rtol * fnorm0:
+            reason = int(ConvergedReason.CONVERGED_RTOL)
+            break
+        if not np.isfinite(float(fnorm)):
+            reason = int(ConvergedReason.DIVERGED_NANORINF)
+            break
+        if it == config.max_it:
+            reason = int(ConvergedReason.DIVERGED_ITS)
+            break
+
+        xt, Ft, lst, fnt, snorm, dxnorm, pred, ared, kits, khist = tr_step(
+            x, F, lin_state, fnorm, jnp.asarray(delta, jnp.result_type(float)))
+        ksp_iters.append(int(kits))
+        ksp_history_last = [float(v) for v in np.asarray(khist) if v >= 0.0]
+        pred_f, ared_f = float(pred), float(ared)
+        rho = ared_f / pred_f if pred_f > 0 else -1.0
+        at_boundary = float(snorm) >= 0.999 * delta and float(dxnorm) > delta
+        if rho < eta2:
+            delta = t1 * delta
+        elif rho > eta3 and at_boundary:
+            delta = min(t2 * delta, delta_max)
+        if rho > eta1 and np.isfinite(float(fnt)):
+            x, F, lin_state, fnorm = xt, Ft, lst, fnt
+            hist.append(float(fnorm))
+            xnorm = float(_norm(x))
+            if float(snorm) <= config.stol * max(xnorm, 1e-30):
+                newton_its = it + 1
+                reason = int(ConvergedReason.CONVERGED_SNORM_RELATIVE)
+                break
+        elif delta <= 1e-12 * max(float(_norm(x)), 1.0):
+            newton_its = it + 1
+            reason = int(ConvergedReason.DIVERGED_TR_DELTA)
+            break
+
+    return NewtonResult(x=x, iters=newton_its, reason=reason,
+                        fnorm=float(fnorm), fnorm_history=hist,
+                        ksp_iters=ksp_iters, lin_state=lin_state,
+                        ksp_history_last=ksp_history_last)
+
+
 def quasi_newton_solve(
     residual_fn: Callable[[Any], tuple[Any, Any]],
     x0: Any,

@@ -30,6 +30,7 @@ class ConvergedReason(enum.IntEnum):
     DIVERGED_DTOL = -4
     DIVERGED_NANORINF = -5
     DIVERGED_LINE_SEARCH = -6
+    DIVERGED_TR_DELTA = -7      # trust-region radius collapsed
 
     @staticmethod
     def describe(code: int) -> str:

@@ -2,6 +2,8 @@
 u'' + u^2 = f with f = 6x + x^6 (exact solution u = x^3), solved matrix-free
 with a user PC and line search."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -350,3 +352,63 @@ def test_ngmres_composes_loose_newton():
     assert int(res.reason) > 0, res.reason_str()
     assert int(res.iters) <= 30, int(res.iters)
     assert float(jnp.max(jnp.abs(res.x - u))) < 1e-7
+
+
+def test_newton_tr_matches_linesearch_newton():
+    """SNESNEWTONTR analog: same quadratic convergence as line-search Newton
+    on the nk.c problem once inside the attraction basin, identical answer."""
+    from spectral_tpu.solvers.newton import newton_tr_solve
+
+    residual, xg = _nk_problem(32)
+    res = newton_tr_solve(
+        residual, jnp.full(32, 0.5),
+        ksp=KSPConfig(type="gmres", rtol=1e-10, max_it=500),
+        config=NewtonConfig(rtol=1e-10, max_it=30),
+    )
+    assert res.reason > 0, res.reason_str()
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(xg) ** 3, atol=1e-7)
+    assert len(res.fnorm_history) >= 2
+    assert len(res.ksp_iters) >= 1
+
+
+def test_newton_tr_globalizes_far_start():
+    """From a start far outside the basin the trust region clips the Newton
+    step, rejects bad candidates (keeping x), shrinks delta, and still
+    converges to the reference root; the accepted-fnorm history is strictly
+    decreasing by construction of the rho > eta1 acceptance test."""
+    from spectral_tpu.solvers.newton import newton_tr_solve
+
+    residual, xg = _nk_problem(32)
+    res = newton_tr_solve(
+        residual, jnp.full(32, -20.0),
+        ksp=KSPConfig(type="gmres", rtol=1e-10, max_it=500),
+        config=NewtonConfig(rtol=1e-10, max_it=80),
+        delta0=0.5,
+    )
+    assert res.reason > 0, res.reason_str()
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(xg) ** 3, atol=1e-6)
+    h = res.fnorm_history
+    assert all(h[i + 1] < h[i] for i in range(len(h) - 1))  # monotone merits
+
+
+def test_newton_tr_detects_merit_local_min():
+    """u'' + u^2 has a local minimum of the merit 1/2||F||^2 with F != 0
+    reachable from u0 = 2: full-step Newton stalls there and FALSELY reports
+    CONVERGED_SNORM_RELATIVE (steps shrink because J^T F -> 0, not F); the
+    trust region's rho test rejects the non-improving candidates, delta
+    collapses, and the solve honestly reports DIVERGED_TR_DELTA (PETSc's
+    SNES_DIVERGED_LOCAL_MIN/TR_DELTA diagnosis)."""
+    from spectral_tpu.solvers.newton import newton_solve, newton_tr_solve
+
+    residual, _ = _nk_problem(32)
+    ksp = KSPConfig(type="gmres", rtol=1e-10, max_it=500)
+    cfg = NewtonConfig(rtol=1e-10, max_it=80)
+    tr = newton_tr_solve(residual, jnp.full(32, 2.0), ksp=ksp, config=cfg,
+                         delta0=0.5)
+    basic = newton_solve(residual, jnp.full(32, 2.0), ksp=ksp,
+                         config=dataclasses.replace(cfg, line_search="basic"))
+    assert tr.reason == ConvergedReason.DIVERGED_TR_DELTA, tr.reason_str()
+    assert tr.fnorm > 1.0          # genuinely not a root
+    # same stationary point, but only TR labels it truthfully
+    assert basic.reason == ConvergedReason.CONVERGED_SNORM_RELATIVE
+    assert abs(basic.fnorm - tr.fnorm) < 1e-6

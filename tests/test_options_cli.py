@@ -213,6 +213,7 @@ def test_elliptic_snes_type_family(capsys):
 
     base = "-dim 16,16 -gamma 1 -exact 0"
     for extra, max_its in [
+        ("-snes_type newtontr", 15),
         ("-snes_type anderson", 40),
         ("-snes_type ngmres", 40),
         ("-snes_type ngmres -npc_snes_type newtonls -snes_ngmres_m 5", 20),
