@@ -347,6 +347,7 @@ def stokes_main(opts: Options) -> int:
                                                       max_it=10000, restart=30)),
         newton=opts.newton_config(NewtonConfig(rtol=_default_snes_rtol(),
                                                max_it=50)),
+        cont_predictor=opts.get_string("cont_predictor", "none"),
     )
     print(f"Stokes problem  dim = [{','.join(map(str, dims))}]")
     print(f"  hardness = {cfg.hardness:f}    exponent = {cfg.exponent:8f}"

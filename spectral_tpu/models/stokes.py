@@ -44,7 +44,8 @@ from spectral_tpu.ops.chebyshev import chebdiff
 from spectral_tpu.ops.extrapolation import pressure_reduce_order
 from spectral_tpu.ops.fastdiag import FastDiagSolver
 from spectral_tpu.solvers.krylov import KSPConfig
-from spectral_tpu.solvers.newton import NewtonConfig, NewtonResult, newton_solve
+from spectral_tpu.solvers.newton import (NewtonConfig, NewtonResult,
+                                         newton_solve, _norm as _state_norm)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,6 +72,15 @@ class StokesConfig:
     svel_ksp: KSPConfig = KSPConfig(type="preonly")
     schur_ksp: KSPConfig = KSPConfig(type="gmres", rtol=1e-5, max_it=3, restart=3)
     newton: NewtonConfig = NewtonConfig(rtol=1e-8, max_it=50)
+    # continuation warm-start predictor: "none" restarts Newton from the
+    # previous solution (the reference behavior, stokes.C:217-235);
+    # "secant" extrapolates through the last two solutions along the
+    # exponent schedule, guarded by a residual-norm comparison.  Default
+    # "none": MEASURED no-gain on the power-law ramp (docs/DESIGN.md #12 —
+    # Newton's quadratic convergence makes start quality a non-bottleneck;
+    # 195 vs 206 total outer).  The guard caps any regression at one
+    # rejected extrapolant (= one residual eval) per step.
+    cont_predictor: str = "none"
 
 
 class StokesProblem:
@@ -876,6 +886,8 @@ class StokesProblem:
         cfg = self.config
         results = []
         x = self.zero_state()
+        x_prev = None      # previous step's solution (secant predictor)
+        exp_prev = None    # its exponent (continuation parameter)
         recycle_U = None   # Krylov subspace threaded ACROSS continuation steps
         start = cfg.cont0
         if checkpoint_dir is not None:
@@ -890,8 +902,35 @@ class StokesProblem:
             if monitor:
                 print(f"## [{i}/{cfg.cont}] Solving with exponent = {p.exponent:5f} "
                       f"regularization {p.regularization:8.2e}")
-            res = self.solve(x, params=p, monitor=monitor,
+            x_start = x
+            if cfg.cont_predictor == "secant" and x_prev is not None:
+                # Secant (Euler) predictor along the continuation parameter:
+                # extrapolate the warm start through the last two solutions,
+                # x + theta (x - x_prev), theta the exponent-step ratio.  The
+                # reference's loop restarts Newton from the PREVIOUS solution
+                # (stokes.C:217-235); the predictor is the standard
+                # numerical-continuation upgrade.  GUARDED: the extrapolant
+                # is used only if its residual norm beats the plain warm
+                # start (one extra residual eval), so pathological steps
+                # (basin changes near exponent kinks) can't regress.
+                de_new = p.exponent - (exp_prev if exp_prev is not None else 0.0)
+                de_old = exp_prev - self.params_at(i - 2).exponent if i >= 2 else 0.0
+                theta = de_new / de_old if abs(de_old) > 1e-12 else 1.0
+                theta = min(max(theta, 0.0), 2.0)
+                x_pred = jax.tree_util.tree_map(
+                    lambda a, b: a + theta * (a - b), x, x_prev)
+                rfn = jax.jit(self.make_residual(p))
+                fn_plain = float(_state_norm(rfn(x)[0]))
+                fn_pred = float(_state_norm(rfn(x_pred)[0]))
+                if fn_pred < fn_plain:
+                    x_start = x_pred
+                if monitor:
+                    print(f"##   predictor theta={theta:.3f} "
+                          f"fnorm plain {fn_plain:.3e} secant {fn_pred:.3e} "
+                          f"-> {'secant' if fn_pred < fn_plain else 'plain'}")
+            res = self.solve(x_start, params=p, monitor=monitor,
                              clamp_f32=clamp_f32, recycle_U0=recycle_U)
+            x_prev, exp_prev = x, p.exponent
             x = res.x
             recycle_U = res.recycle_U
             results.append(res)

@@ -366,3 +366,25 @@ def test_solve_family_matches_sequential():
     seq = p.solve(params=fam[2])
     np.testing.assert_allclose(np.asarray(res.x["v"][2]),
                                np.asarray(seq.x["v"]), atol=1e-12)
+
+
+def test_continuation_secant_predictor_guarded():
+    """StokesConfig.cont_predictor="secant" (guarded secant warm-start
+    extrapolation): converges identically to the plain restart-from-previous
+    loop, and the residual-norm guard bounds any cost regression to one
+    rejected extrapolant per step.  Recorded NO-GAIN on this problem family
+    (docs/DESIGN.md #12): Newton's quadratic basin makes warm-start quality
+    a non-bottleneck, so the default stays "none"."""
+    import dataclasses as dc
+
+    base = StokesConfig(exact=2, rheology=1, cont=2, regularization=1e-2,
+                        exponent=2.0)
+    totals, fnorms = {}, {}
+    for pred in ("none", "secant"):
+        p = StokesProblem(Grid((8, 8)), dc.replace(base, cont_predictor=pred))
+        rs = p.solve_continuation()
+        assert all(int(r.reason) > 0 for r in rs), pred
+        totals[pred] = sum(sum(int(i) for i in r.ksp_iters) for r in rs)
+        fnorms[pred] = rs[-1].fnorm
+    assert totals["secant"] <= 1.25 * totals["none"], totals
+    assert fnorms["secant"] <= 10 * max(fnorms["none"], 1e-300), fnorms
