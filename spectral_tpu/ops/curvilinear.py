@@ -80,7 +80,48 @@ class CurvilinearMap:
     def cofactor(self) -> np.ndarray:
         """(dims..., d, d) cofactor field detJ * Jinv[l, j] — the flux
         weights of the conservative (Piola) form: a physical divergence is
-        div_x F = (1/detJ) sum_l d_xi_l (cofactor[l, j] F_j)."""
+        div_x F = (1/detJ) sum_l d_xi_l (cofactor[l, j] F_j).
+
+        FREE-STREAM PRESERVING: the discrete Geometric Conservation Law
+        sum_l D_l cofactor[l, j] == 0 holds to roundoff, so a constant
+        vector field has exactly zero discrete Piola divergence even when
+        the map is NOT resolved by the grid.  In 2-D the cofactor entries
+        are single coordinate derivatives (GCL is automatic); in 3-D the
+        product form detJ*Jinv aliases (degree-2n products truncated to n)
+        and is replaced by the Thomas-Lombard curl form
+            C[l,j] = D_m(x_p D_n x_q) - D_n(x_p D_m x_q),
+        (j,p,q), (l,m,n) cyclic: the mixed D_m D_n x_q terms cancel
+        EXACTLY because tensor-product collocation derivatives on distinct
+        axes commute, and the GCL sum telescopes to zero the same way.
+        d >= 4 falls back to the product form (no Stokes use; aliasing
+        caveat documented)."""
+        d = self.grid.ndim
+        if d == 1:
+            return np.ones(self.grid.dims + (1, 1))
+        x = self.coords
+        # The curl/adjugate forms produce SIGNED detJ * Jinv; the stored
+        # convention (build()) is |detJ| * Jinv, so orientation-reversing
+        # maps need one global sign flip (detJ is one-signed by build()).
+        sgn = np.sign(np.linalg.det(self.Jinv.reshape(-1, d, d)[0]))
+        C = np.zeros(self.grid.dims + (d, d))
+        if d == 2:
+            # adjugate entries are single derivative fields: C[l,j] =
+            # (-1)^(j+l) dx_{1-j}/dxi_{1-l}
+            for l in range(2):
+                for j in range(2):
+                    C[..., l, j] = ((-1.0) ** (j + l)
+                                    * chebdiff_np(x[..., 1 - j], 1 - l))
+            return sgn * C
+        if d == 3:
+            cyc = {0: (1, 2), 1: (2, 0), 2: (0, 1)}
+            for j in range(3):
+                p, q = cyc[j]
+                for l in range(3):
+                    m, n = cyc[l]
+                    C[..., l, j] = (
+                        chebdiff_np(x[..., p] * chebdiff_np(x[..., q], n), m)
+                        - chebdiff_np(x[..., p] * chebdiff_np(x[..., q], m), n))
+            return sgn * C
         return self.detJ[..., None, None] * self.Jinv
 
     def boundary_normal(self) -> np.ndarray:

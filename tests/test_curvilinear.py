@@ -28,6 +28,63 @@ def _u(x):
     return out
 
 
+@pytest.mark.parametrize("dims,phi", [
+    ((12, 11), _phi2),
+    ((9, 8, 7), lambda xi: np.stack(
+        [xi[..., 0] + 0.08 * np.sin(np.pi * xi[..., 0])
+         * np.sin(np.pi * xi[..., 1]) * np.cos(0.5 * np.pi * xi[..., 2]),
+         xi[..., 1] - 0.06 * np.cos(0.5 * np.pi * xi[..., 0])
+         * np.sin(np.pi * xi[..., 2]),
+         xi[..., 2] + 0.05 * np.sin(np.pi * xi[..., 0] * xi[..., 1])],
+        axis=-1)),
+])
+def test_cofactor_discrete_gcl(dims, phi):
+    """Free-stream preservation: the DISCRETE geometric conservation law
+    sum_l D_l cofactor[l, j] == 0 holds to roundoff even for trig maps the
+    grid does not resolve (2-D adjugate / 3-D Thomas-Lombard curl form)."""
+    from spectral_tpu.ops.chebyshev import chebdiff_np
+
+    m = CurvilinearMap.build(Grid(dims), phi)
+    C = m.cofactor
+    d = len(dims)
+    for j in range(d):
+        gcl = sum(chebdiff_np(C[..., l, j], l) for l in range(d))
+        assert np.max(np.abs(gcl)) < 1e-11, (j, np.max(np.abs(gcl)))
+
+
+def test_cofactor_matches_product_form_resolved_map():
+    """On a polynomial map of low enough degree that the cofactor products
+    are grid-resolved, the curl form reproduces detJ * Jinv to roundoff."""
+    def phi(xi):
+        x, y, z = xi[..., 0], xi[..., 1], xi[..., 2]
+        return np.stack([x + 0.05 * y * z, y + 0.04 * x * x,
+                         z - 0.03 * x * y], axis=-1)
+
+    m = CurvilinearMap.build(Grid((11, 10, 9)), phi)
+    ref = m.detJ[..., None, None] * m.Jinv
+    np.testing.assert_allclose(m.cofactor, ref, atol=1e-12)
+
+
+def test_curvilinear_stokes_free_stream_divergence():
+    """A constant velocity field has exactly zero discrete Piola divergence
+    on an UNDER-RESOLVED 3-D curved domain (the GCL property end-to-end
+    through StokesProblem.divergence; product-form cofactors leave O(1e-3)
+    aliasing residue at this size)."""
+    def phi3(xi):
+        x, y, z = xi[..., 0], xi[..., 1], xi[..., 2]
+        bump = 0.1 * np.sin(np.pi * x) * np.sin(np.pi * y) * np.sin(np.pi * z)
+        return np.stack([x + bump, y - bump, z + 0.5 * bump], axis=-1)
+
+    from spectral_tpu.ops.chebyshev import chebdiff_np
+
+    cfg = StokesConfig(exact=1, boundary=0)
+    p = StokesProblem(Grid((8, 8, 8)), cfg, phi=phi3)
+    C = p.cmap.cofactor
+    flux = np.einsum("...li,...i->...l", C, np.ones(p.grid.dims + (3,)))
+    div = sum(chebdiff_np(flux[..., l], l) for l in range(3))
+    assert np.max(np.abs(div)) < 1e-11
+
+
 def test_metric_identity_map():
     """Phi = identity must reproduce the flat metric exactly."""
     g = Grid((10, 9))
