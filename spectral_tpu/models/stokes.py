@@ -66,6 +66,14 @@ class StokesConfig:
     scaleN: float = 1.0
     pcvel: str = "fastdiag"   # -pcvel analog: fastdiag|mg|nodal|jacobi|q1fem|probed
     pcvel_smoother: str = "chebyshev"   # mg/nodal smoother: chebyshev|jacobi|line
+    # traction-block correction (-tbc k): exact dense solve of the TRUE
+    # (spectral, component-coupled) VV-block restricted to the mixed/Neumann
+    # boundary layer, composed multiplicatively after the surrogate sweep.
+    # 0 = off; k >= 1 includes the nm nodes dilated by k-1 neighbor layers.
+    # The cure for the curved-Neumann conditioning wall: the FD surrogate's
+    # one-sided rows cannot track the dense spectral traction rows, so their
+    # error modes dominate the preconditioned spectrum (cond > 1e2).
+    tbc: int = 0
     saddle: int = 0               # -pc_saddle_type: 0 LU, 1 upper, 2 diag, 3 lower
     outer_ksp: KSPConfig = KSPConfig(type="fgmres", rtol=1e-10, max_it=200, restart=50)
     vel_ksp: KSPConfig = KSPConfig(type="gmres", rtol=1e-5, max_it=4, restart=4)
@@ -553,7 +561,75 @@ class StokesProblem:
                          sweeps=sweeps, mask=self.vel_mask, solvers=solvers)
         return self.mask_v(z + omega * (zs - z))
 
+    @cached_property
+    def _tbc_idx(self) -> np.ndarray:
+        """Flat indices (into the (dims..., d) velocity array) of the
+        traction-block DOFs: free velocity components at mixed/Neumann
+        nodes, node set dilated by ``config.tbc - 1`` one-step neighbor
+        layers (all axes — captures the tangential-derivative coupling of
+        the traction rows as well as the inward line)."""
+        nodes = np.asarray(self.nm_mask)
+        for _ in range(max(0, self.config.tbc - 1)):
+            grown = nodes.copy()
+            for ax in range(self.d):
+                sl_lo = [slice(None)] * self.d
+                sl_hi = [slice(None)] * self.d
+                sl_lo[ax] = slice(None, -1)
+                sl_hi[ax] = slice(1, None)
+                grown[tuple(sl_lo)] |= nodes[tuple(sl_hi)]
+                grown[tuple(sl_hi)] |= nodes[tuple(sl_lo)]
+            nodes = grown
+        dofs = nodes[..., None] & np.asarray(self.vel_mask)
+        return np.flatnonzero(dofs.reshape(-1))
+
+    def _tbc_setup(self, lin_state):
+        """Assemble and factor the TRUE VV-block submatrix on the traction
+        boundary layer: column j of A_BB is vv_action(e_j) sampled at the
+        block DOFs (the exact Newton linearization — spectral one-sided
+        traction rows, component coupling, metric terms and all).  One
+        batched lax.map at PC setup; the factorization is a tiny dense LU
+        (m ~ O(boundary nodes))."""
+        idx = jnp.asarray(self._tbc_idx)
+        shape = self.grid.dims + (self.d,)
+        size = int(np.prod(shape))
+
+        def col(i):
+            e = jnp.zeros((size,), self.force["v"].dtype).at[i].set(1.0)
+            return self.vv_action(lin_state, e.reshape(shape)).reshape(-1)[idx]
+
+        A_BB = jax.lax.map(col, idx).T   # (m, m), columns from one-hots
+        lu, piv = jax.scipy.linalg.lu_factor(A_BB)
+        return (lu, piv, lin_state)
+
+    def _tbc_correct(self, tb_state, z, r):
+        """Multiplicative correction z += R^T A_BB^{-1} R (r - A z) with the
+        EXACT residual update (one vv_action): makes the preconditioned
+        operator act as the identity on error modes supported in the
+        traction block — the modes the FD surrogate misrepresents."""
+        lu, piv, lin_state = tb_state
+        idx = jnp.asarray(self._tbc_idx)
+        rz = (r - self.vv_action(lin_state, z)).reshape(-1)
+        dB = jax.scipy.linalg.lu_solve((lu, piv), rz[idx])
+        z = z + jnp.zeros_like(z).reshape(-1).at[idx].add(dB).reshape(z.shape)
+        return self.mask_v(z)
+
     def make_vel_pc(self) -> Callable:
+        """``_make_vel_pc_base`` plus the optional traction-block
+        correction (``config.tbc``) composed multiplicatively on top."""
+        setup, apply = self._make_vel_pc_base()
+        if self.config.tbc <= 0 or self.num_mixed == 0:
+            return setup, apply
+
+        def setup_tbc(lin_state):
+            return (setup(lin_state), self._tbc_setup(lin_state))
+
+        def apply_tbc(vstate, r):
+            inner, tb = vstate
+            return self._tbc_correct(tb, apply(inner, r), r)
+
+        return setup_tbc, apply_tbc
+
+    def _make_vel_pc_base(self) -> Callable:
         """Strong approximate inverse of the FD velocity surrogate
         (MatVVPC solved with hypre in the reference, README:36-40).
 

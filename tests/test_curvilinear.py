@@ -504,6 +504,26 @@ def test_curvilinear_neumann_default_ci_guard():
     assert cond > 1e2, cond
 
 
+def test_curvilinear_neumann_traction_block_correction():
+    """The traction-block correction (``-tbc 1``) BREAKS the curved-Neumann
+    conditioning wall quantified above: an exact dense solve of the true
+    spectral VV block restricted to the mixed/Neumann boundary layer,
+    composed multiplicatively after the MG sweep, removes the error modes
+    the one-sided FD surrogate rows misrepresent.  Measured at 12^2 on
+    bump:0.06: 78 -> 43 outer iterations; at 16^2 (slow A/B): ~1200 -> 76.
+    Beyond the reference, whose answer was 'Neumann destroys conditioning'
+    (README:64-68)."""
+    cfg = StokesConfig(exact=1, boundary=1, pcvel="mg", tbc=1,
+                       outer_ksp=KSPConfig(type="fgmres", rtol=1e-9,
+                                           max_it=400, restart=100))
+    p = StokesProblem(Grid((12, 12)), cfg, phi=named_map_bump06())
+    res = p.solve()
+    assert int(res.reason) > 0
+    assert int(res.iters) <= 3
+    # tbc=0 at this exact config measures 78 (guard test above)
+    assert int(np.sum(np.asarray(res.ksp_iters))) <= 55
+
+
 @pytest.mark.slow
 def test_curvilinear_neumann_metric_traction_surrogate_helps():
     """A/B at identical budgets (fgmres rtol 1e-9, max_it 600): the
