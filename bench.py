@@ -371,8 +371,25 @@ def bench_stokes_curved(n=14, n_coarse=8):
 
     pf, rf = solve_one(n, None)            # flat, matched size
     flat_iters = int(_np.sum(_np.asarray(rf.ksp_iters)))
+
+    # curved NEUMANN with physical-traction rows + traction-block
+    # correction (-traction_p -tbc 1): the regime the reference documents
+    # as "Neumann destroys conditioning" (README:64-68), running at
+    # near-n-independent iterations with spectral accuracy (PARITY
+    # Known deviations — root cause was the pressure-free traction rows)
+    from spectral_tpu.solvers.krylov import KSPConfig
+    cfgN = StokesConfig(exact=1, boundary=1, pcvel="mg", tbc=1,
+                        traction_p=True,
+                        outer_ksp=KSPConfig(type="fgmres", rtol=1e-8,
+                                            max_it=300, restart=100),
+                        newton=NewtonConfig(rtol=1e-4, max_it=25))
+    pN = StokesProblem(Grid((n, n)), cfgN, phi=named_map("bump:0.06"))
+    resN = pN.solve()
+    neumann = (int(_np.sum(_np.asarray(resN.ksp_iters))),
+               bool(resN.reason > 0), float(pN.error_vs_exact(resN.x)))
+
     return (t, iters, bool(res.reason > 0), err,
-            err_coarse, flat_iters)
+            err_coarse, flat_iters, neumann)
 
 
 def main():
@@ -519,7 +536,7 @@ def main():
     try:
         if time.perf_counter() - t_start > 800:
             raise RuntimeError("skipped: bench time budget exhausted")
-        ct, citers, cok, cerr, cerr8, fiters = bench_stokes_curved()
+        ct, citers, cok, cerr, cerr8, fiters, neum = bench_stokes_curved()
         extra.update({
             "stokes_curved14_time_s": round(ct, 3),
             "stokes_curved14_outer_iters": citers,
@@ -528,6 +545,9 @@ def main():
             "stokes_curved8_max_err": cerr8,
             "stokes_curved_err_decay_8to14": round(cerr8 / max(cerr, 1e-300), 1),
             "stokes_flat14_outer_iters": fiters,
+            "stokes_curved_neumann14_outer_iters": neum[0],
+            "stokes_curved_neumann14_converged": neum[1],
+            "stokes_curved_neumann14_max_err": neum[2],
         })
     except Exception as e:
         extra["stokes_curved14_error"] = str(e)[:200]

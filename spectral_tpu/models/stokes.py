@@ -74,6 +74,14 @@ class StokesConfig:
     # one-sided rows cannot track the dense spectral traction rows, so their
     # error modes dominate the preconditioned spectrum (cond > 1e2).
     tbc: int = 0
+    # full physical traction (-traction_p): Neumann rows carry
+    # (eta*eps(u) - p I).n instead of the reference's pressure-free
+    # eta*eps(u).n (StokesMixedApply, stokes.C:1083-1110 — its 'Eeek ...
+    # huge impact on conditioning' comment at :1101 is THIS).  With the
+    # pressure in the traction rows the discrete problem determines the
+    # pressure constant (no null space) and loses the spurious near-null
+    # boundary-pressure modes of the pressure-free form.
+    traction_p: bool = False
     saddle: int = 0               # -pc_saddle_type: 0 LU, 1 upper, 2 diag, 3 lower
     outer_ksp: KSPConfig = KSPConfig(type="fgmres", rtol=1e-10, max_it=200, restart=50)
     vel_ksp: KSPConfig = KSPConfig(type="gmres", rtol=1e-5, max_it=4, restart=4)
@@ -153,14 +161,16 @@ class StokesProblem:
         bf = SE.BOUNDARY_FUNCS[cfg.boundary]
         if self.cmap is None:
             normal_np = g.normal_np
-            types_b, values_b, alpha_b = bf(coords_b, normals_b, exact_fn)
+            types_b, values_b, alpha_b = bf(coords_b, normals_b, exact_fn,
+                                            full_traction=cfg.traction_p)
         else:
             # classification in reference coords; values/tractions physical
             normal_np = self.cmap.boundary_normal()
             types_b, values_b, alpha_b = bf(
                 coords_b, normals_b, exact_fn,
                 phys_coords=self.cmap.coords[bmask],
-                phys_normals=normal_np[bmask])
+                phys_normals=normal_np[bmask],
+                full_traction=cfg.traction_p)
 
         types = np.full(g.dims, -1, dtype=np.int32)
         types[bmask] = types_b
@@ -173,6 +183,10 @@ class StokesProblem:
         neumann_mask = types == SE.BdyType.NEUMANN
         mixed_mask = types == SE.BdyType.MIXED
         nm_mask = neumann_mask | mixed_mask
+        self.neumann_mask = jnp.asarray(neumann_mask)
+        self.num_neumann = int(neumann_mask.sum())
+        # -traction_p rows pin the pressure constant: no null space left
+        self.has_p_null = not (cfg.traction_p and self.num_neumann > 0)
 
         # one-hot of the most-normal component at mixed nodes (stokes.C:836-851)
         in_onehot = np.zeros(g.dims + (d,))
@@ -313,13 +327,24 @@ class StokesProblem:
 
     def pressure_gradient(self, pG):
         """VP block (stokes.C:598-619): reduce pressure order, take the
-        gradient, zero mixed/Neumann rows, mask to global velocity."""
+        gradient, zero mixed/Neumann rows, mask to global velocity.
+
+        With -traction_p the Neumann rows instead carry the pressure's
+        share of the physical traction, scaleM*scaleN*(-pL n): the
+        order-reduced pressure evaluated AT the boundary node enters the
+        traction condition, so boundary-adjacent pressure DOFs are
+        directly constrained (the cure for the pressure-free form's
+        near-null boundary-pressure modes)."""
+        cfg = self.config
         pL = pressure_reduce_order(self.mask_p(pG), self.grid.nodes_1d)
         gp = jnp.stack([self._dif(pL, i) for i in range(self.d)], axis=-1)
         if self.cmap is not None:
             gp = jnp.einsum("...li,...l->...i", self._jinv(gp.dtype), gp,
         precision=jax.lax.Precision.HIGHEST)
         gp = jnp.where(self.nm_mask[..., None], 0.0, gp)
+        if cfg.traction_p and self.num_neumann > 0:
+            rows = cfg.scaleM * cfg.scaleN * (-pL[..., None] * self.normal)
+            gp = jnp.where(self.neumann_mask[..., None], rows, gp)
         return self.mask_v(gp)
 
     def _mixed_rows(self, y, stress, vL):
@@ -413,11 +438,15 @@ class StokesProblem:
     # Null space (StokesRemoveConstantPressure, stokes.C:1006-1025)
     # ------------------------------------------------------------------
     def project_p(self, p):
+        if not self.has_p_null:   # -traction_p pins the constant
+            return self.mask_p(p)
         count = float(self.grid.num_interior)
         mean = jnp.sum(self.mask_p(p)) / count
         return self.mask_p(p - mean)
 
     def null_project(self, x):
+        if not self.has_p_null:
+            return x
         return {"v": x["v"], "p": self.project_p(x["p"])}
 
     # ------------------------------------------------------------------

@@ -120,7 +120,21 @@ def _exact_strain_traction(coords, normals, exact, eps=1e-7):
     return np.einsum("kij,kj->ki", strain, normals)
 
 
-def boundary0(coords, normals, exact, *, phys_coords=None, phys_normals=None):
+def _exact_full_traction(coords, normals, exact):
+    """PHYSICAL traction (eta eps(u) - p I) . n of the exact solution
+    (eta = 1 for the linear exact-solution rheology).  Used when the
+    operator's Neumann rows carry the full traction (-traction_p): unlike
+    the reference's pressure-free rows (stokes.C:1083-1110, and its 'Eeek
+    ... huge impact on conditioning' comment at :1101), these rows SEE the
+    pressure, so the discrete problem determines the pressure constant and
+    loses the spurious near-null boundary-pressure modes."""
+    d = coords.shape[-1]
+    p = exact(coords)[0][..., d]
+    return _exact_strain_traction(coords, normals, exact) - p[:, None] * normals
+
+
+def boundary0(coords, normals, exact, *, phys_coords=None, phys_normals=None,
+              full_traction=False):
     """Dirichlet from the exact solution everywhere (stokes.C:2038-2048)."""
     k, d = coords.shape
     pc = coords if phys_coords is None else phys_coords
@@ -137,9 +151,12 @@ def _surface_mask(coords):
     return (coords[:, d - 1] > 0.999) & inside
 
 
-def boundary1(coords, normals, exact, *, phys_coords=None, phys_normals=None):
+def boundary1(coords, normals, exact, *, phys_coords=None, phys_normals=None,
+              full_traction=False):
     """Neumann (exact traction) on the top surface, Dirichlet elsewhere
-    (stokes.C:2051-2089).  README:64-66 flags this as ill-conditioned."""
+    (stokes.C:2051-2089).  README:64-66 flags this as ill-conditioned.
+    With ``full_traction`` the data is the physical (pressure-including)
+    traction, matching the -traction_p operator rows."""
     k, d = coords.shape
     pc = coords if phys_coords is None else phys_coords
     pn = normals if phys_normals is None else phys_normals
@@ -149,17 +166,21 @@ def boundary1(coords, normals, exact, *, phys_coords=None, phys_normals=None):
     surf = _surface_mask(coords)
     if surf.any():
         types[surf] = BdyType.NEUMANN
-        values[surf] = _exact_strain_traction(pc[surf], pn[surf], exact)
+        traction = _exact_full_traction if full_traction \
+            else _exact_strain_traction
+        values[surf] = traction(pc[surf], pn[surf], exact)
     return types, values, alpha
 
 
-def boundary2(coords, normals, exact, *, phys_coords=None, phys_normals=None):
+def boundary2(coords, normals, exact, *, phys_coords=None, phys_normals=None,
+              full_traction=False):
     """boundary1 + MIXED (sliding, alpha=1, zero flux) at the bed
     (stokes.C:2092-2134).  README:66-67: correctness uncertain upstream."""
     k, d = coords.shape
     types, values, alpha = boundary1(coords, normals, exact,
                                      phys_coords=phys_coords,
-                                     phys_normals=phys_normals)
+                                     phys_normals=phys_normals,
+                                     full_traction=full_traction)
     bed = coords[:, d - 1] < -0.999
     types[bed] = BdyType.MIXED
     values[bed] = 0.0
@@ -167,7 +188,8 @@ def boundary2(coords, normals, exact, *, phys_coords=None, phys_normals=None):
     return types, values, alpha
 
 
-def boundary3(coords, normals, exact, *, phys_coords=None, phys_normals=None):
+def boundary3(coords, normals, exact, *, phys_coords=None, phys_normals=None,
+              full_traction=False):
     """Lid/channel-driven Dirichlet profile (stokes.C:2137-2163)."""
     k, d = coords.shape
     types = np.full(k, BdyType.DIRICHLET, dtype=np.int32)
@@ -181,8 +203,12 @@ def boundary3(coords, normals, exact, *, phys_coords=None, phys_normals=None):
     return types, values, np.zeros(k)
 
 
-def boundary4(coords, normals, exact, *, phys_coords=None, phys_normals=None):
-    """Inflow parabola + OUTFLOW + Neumann lid (stokes.C:2166-2181)."""
+def boundary4(coords, normals, exact, *, phys_coords=None, phys_normals=None,
+              full_traction=False):
+    """Inflow parabola + OUTFLOW + Neumann lid (stokes.C:2166-2181).  The
+    lid/outflow data is model-chosen (zero), not exact-derived, so
+    ``full_traction`` changes only its interpretation: zero FULL traction
+    is the standard do-nothing outflow condition."""
     k, d = coords.shape
     types = np.full(k, BdyType.DIRICHLET, dtype=np.int32)
     values = np.zeros((k, d))

@@ -524,6 +524,29 @@ def test_curvilinear_neumann_traction_block_correction():
     assert int(np.sum(np.asarray(res.ksp_iters))) <= 55
 
 
+def test_curvilinear_traction_p_spectral_accuracy():
+    """Physical traction rows (-traction_p) + the traction-block
+    correction (-tbc 1) on the CURVED Neumann regime: spectral error
+    decay AND nearly n-independent iterations.  Recorded on bump:0.06,
+    exact=1 boundary=1: max-err 4.3e-3 (12^2) -> 1.6e-4 (16^2) -> 3.7e-6
+    (20^2) at 33/37/43 outer iterations — versus ~0.4 stagnant error at
+    78/~1200 outer for the reference-parity pressure-free rows."""
+    errs, outers = {}, {}
+    for n in (12, 16):
+        cfg = StokesConfig(exact=1, boundary=1, pcvel="mg", tbc=1,
+                           traction_p=True,
+                           outer_ksp=KSPConfig(type="fgmres", rtol=1e-10,
+                                               max_it=600, restart=150))
+        p = StokesProblem(Grid((n, n)), cfg, phi=named_map_bump06())
+        res = p.solve()
+        assert int(res.reason) > 0
+        errs[n] = p.error_vs_exact(res.x)
+        outers[n] = int(np.sum(np.asarray(res.ksp_iters)))
+    assert errs[16] < 1e-3, errs
+    assert errs[16] < 0.2 * errs[12], errs
+    assert outers[16] <= 60, outers
+
+
 @pytest.mark.slow
 def test_curvilinear_neumann_metric_traction_surrogate_helps():
     """A/B at identical budgets (fgmres rtol 1e-9, max_it 600): the

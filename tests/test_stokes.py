@@ -317,6 +317,34 @@ def test_neumann_boundary1_converges():
     assert p.error_vs_exact(res.x) < 1e-4
 
 
+def test_traction_p_restores_spectral_accuracy():
+    """Fixing the reference's defect at its ROOT: its Neumann rows carry
+    the pressure-free traction eta*eps(u).n (StokesMixedApply,
+    stokes.C:1083-1110 — the 'Eeek ... huge impact on conditioning'
+    comment at :1101), which leaves the pressure constant NULL and a
+    family of near-null boundary-pressure modes (assembled-Jacobian cond
+    2.7e18 at 12^2, measured); solution error then stagnates at ~0.4
+    regardless of n or solver.  With -traction_p the rows carry the
+    physical traction (eta*eps(u) - p I).n: the pressure constant is
+    determined (no null space) and the error decays spectrally.
+    Recorded flat exact=1 boundary=1 max-err: n=12 8.5e-6 -> n=16 1.4e-7
+    (vs 0.39 stagnant pressure-free)."""
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    errs = {}
+    for n in (12, 16):
+        cfg = StokesConfig(exact=1, boundary=1, traction_p=True,
+                           outer_ksp=KSPConfig(type="fgmres", rtol=1e-10,
+                                               max_it=600, restart=150))
+        p = StokesProblem(Grid((n, n)), cfg)
+        assert not p.has_p_null   # the traction rows pin the constant
+        res = p.solve()
+        assert res.reason > 0
+        errs[n] = p.error_vs_exact(res.x)
+    assert errs[16] < 2e-6, errs
+    assert errs[16] < 0.1 * errs[12], errs
+
+
 def test_mixed_boundary2_converges():
     """Beating the reference where it is broken (README:64-68 'convergence
     is terrible' for mixed BCs): the sliding-bed config at 16^2 converges.
