@@ -161,16 +161,22 @@ class StokesProblem:
         bf = SE.BOUNDARY_FUNCS[cfg.boundary]
         if self.cmap is None:
             normal_np = g.normal_np
-            types_b, values_b, alpha_b = bf(coords_b, normals_b, exact_fn,
-                                            full_traction=cfg.traction_p)
+            out = bf(coords_b, normals_b, exact_fn,
+                     full_traction=cfg.traction_p)
         else:
             # classification in reference coords; values/tractions physical
             normal_np = self.cmap.boundary_normal()
-            types_b, values_b, alpha_b = bf(
-                coords_b, normals_b, exact_fn,
-                phys_coords=self.cmap.coords[bmask],
-                phys_normals=normal_np[bmask],
-                full_traction=cfg.traction_p)
+            out = bf(coords_b, normals_b, exact_fn,
+                     phys_coords=self.cmap.coords[bmask],
+                     phys_normals=normal_np[bmask],
+                     full_traction=cfg.traction_p)
+        # boundary funcs may return an inhomogeneous normal-flux field
+        # (manufactured sliding, boundary 5): v.n = vnormal at MIXED nodes
+        if len(out) == 4:
+            types_b, values_b, alpha_b, vnormal_b = out
+        else:
+            types_b, values_b, alpha_b = out
+            vnormal_b = np.zeros(len(types_b))
 
         types = np.full(g.dims, -1, dtype=np.int32)
         types[bmask] = types_b
@@ -178,6 +184,9 @@ class StokesProblem:
         bc_vel[bmask] = values_b
         alpha = np.zeros(g.dims)
         alpha[bmask] = alpha_b
+        bc_vnormal = np.zeros(g.dims)
+        bc_vnormal[bmask] = vnormal_b
+        self.bc_vnormal = jnp.asarray(bc_vnormal)
 
         dirichlet_mask = types == SE.BdyType.DIRICHLET
         neumann_mask = types == SE.BdyType.NEUMANN
@@ -257,21 +266,29 @@ class StokesProblem:
     def mask_p(self, p):
         return jnp.where(self.p_mask, p, 0.0)
 
-    def recover_mixed(self, v):
+    def recover_mixed(self, v, inhomogeneous=False):
         """StokesMixedVelocity (stokes.C:1133-1156): reconstruct the removed
-        most-normal component for zero normal flux."""
+        most-normal component for the normal-flux constraint.  The
+        RESIDUAL path (``inhomogeneous``) enforces v.n = bc_vnormal
+        (nonzero only for the manufactured sliding boundary 5); the
+        Jacobian path keeps the homogeneous v.n = 0 for perturbations."""
         if self.num_mixed == 0:
             return v
         oh = self.in_onehot
         n = self.normal
         v_excl = v * (1.0 - oh)
         num = jnp.sum(v_excl * n, axis=-1, keepdims=True)
+        if inhomogeneous:
+            num = num - self.bc_vnormal[..., None]
         n_in = jnp.sum(n * oh, axis=-1, keepdims=True)
         vin = -num / jnp.where(jnp.abs(n_in) > 1e-14, n_in, 1.0)
         return jnp.where(self.mixed_mask[..., None], v_excl + oh * vin, v)
 
     def local_velocity(self, vG, with_dirichlet=True):
-        v = self.recover_mixed(self.mask_v(vG))
+        # with_dirichlet marks the residual path: boundary DATA applies
+        # (Dirichlet values AND the inhomogeneous mixed normal flux);
+        # the Jacobian path is homogeneous in both.
+        v = self.recover_mixed(self.mask_v(vG), inhomogeneous=with_dirichlet)
         if with_dirichlet:
             v = jnp.where(self.dirichlet_mask[..., None], self.bc_vel, v)
         return v
@@ -1068,6 +1085,7 @@ class StokesProblem:
         detJ = None if self.cmap is None else self.cmap.detJ
         alpha = np.asarray(self.alpha)
         bc_vel = np.asarray(self.bc_vel)
+        bc_vnormal = np.asarray(self.bc_vnormal)
         E = [_reduce_matrix_np(tuple(float(v) for v in g.nodes_1d[ax]))
              for ax in range(d)]
 
@@ -1088,10 +1106,12 @@ class StokesProblem:
             return p
 
         def recover(v):
+            # residual path: inhomogeneous flux v.n = bc_vnormal (boundary 5)
             if self.num_mixed == 0:
                 return v
             v_excl = v * (1.0 - onehot)
             num = np.sum(v_excl * normal, axis=-1, keepdims=True)
+            num = num - bc_vnormal[..., None]
             n_in = np.sum(normal * onehot, axis=-1, keepdims=True)
             vin = -num / np.where(np.abs(n_in) > 1e-14, n_in, 1.0)
             return np.where(mixed[..., None], v_excl + onehot * vin, v)

@@ -224,6 +224,38 @@ def boundary4(coords, normals, exact, *, phys_coords=None, phys_normals=None,
     return types, values, np.zeros(k)
 
 
+def boundary5(coords, normals, exact, *, phys_coords=None, phys_normals=None,
+              full_traction=False):
+    """Manufactured sliding bed (beyond the reference): boundary2's
+    geometry — Neumann top, MIXED (alpha = 1) bed, Dirichlet sides — with
+    ALL data manufactured from the exact solution, so the mixed-BC
+    machinery is VERIFIABLE: bed rows carry
+    t_j = (eps(u).n)_j + alpha*u_j (the operator's mixed rows are
+    pressure-free regardless of full_traction, matching
+    StokesMixedApply), and the no-penetration constraint becomes the
+    inhomogeneous v.n = u_exact.n.  Upstream's boundary 2 is
+    unverifiable ('correctness uncertain', README:66-67) because its
+    zero bed data is inconsistent with every exact solution.  Returns a
+    4-tuple: (types, values, alpha, vnormal)."""
+    k, d = coords.shape
+    pc = coords if phys_coords is None else phys_coords
+    pn = normals if phys_normals is None else phys_normals
+    types, values, alpha = boundary1(coords, normals, exact,
+                                     phys_coords=phys_coords,
+                                     phys_normals=phys_normals,
+                                     full_traction=full_traction)
+    bed = coords[:, d - 1] < -0.999
+    vnormal = np.zeros(k)
+    if bed.any():
+        types[bed] = BdyType.MIXED
+        alpha[bed] = 1.0
+        u = exact(pc[bed])[0][..., :d]
+        values[bed] = _exact_strain_traction(pc[bed], pn[bed], exact) + u
+        vnormal[bed] = np.einsum("kj,kj->k", u, pn[bed])
+    return types, values, alpha, vnormal
+
+
 BOUNDARY_FUNCS: dict[int, Callable] = {
     0: boundary0, 1: boundary1, 2: boundary2, 3: boundary3, 4: boundary4,
+    5: boundary5,
 }

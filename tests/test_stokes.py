@@ -367,6 +367,35 @@ def test_mixed_boundary2_converges():
     assert res.ksp_iters[0] <= 260, res.ksp_iters
 
 
+def test_boundary5_manufactured_sliding_bed():
+    """VERIFYING the sliding-bed MIXED machinery (beyond the reference):
+    upstream's boundary 2 is unverifiable — its zero bed data (v.n = 0,
+    tangential traction 0) is inconsistent with every exact solution, so
+    README:66-67 records 'correctness uncertain'.  Boundary 5 keeps the
+    same geometry/machinery (MIXED rows, alpha = 1, normal-component
+    elimination via recover_mixed) but manufactures ALL data from the
+    exact solution, including the inhomogeneous no-penetration constraint
+    v.n = u_exact.n.  Spectral decay of the solved error is then a true
+    correctness proof of the mixed path.  Recorded (f64): n=12 7.0e-6 ->
+    n=16 2.6e-9."""
+    from spectral_tpu.solvers.krylov import KSPConfig
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    errs = {}
+    for n in (12, 16):
+        cfg = StokesConfig(exact=1, boundary=5, traction_p=True,
+                           outer_ksp=KSPConfig(type="fgmres", rtol=1e-12,
+                                               max_it=800, restart=200),
+                           newton=NewtonConfig(rtol=1e-10, max_it=20))
+        p = StokesProblem(Grid((n, n)), cfg)
+        assert p.num_mixed > 0       # the bed really is MIXED
+        res = p.solve()
+        assert res.reason > 0
+        errs[n] = p.error_vs_exact(res.x)
+    assert errs[16] < 1e-7, errs
+    assert errs[16] < 1e-2 * errs[12], errs
+
+
 def test_mapped_domain_stokes():
     """Stokes on a non-unit box (the reference's FIXME'd coordinate
     transform): exact solution recovered with spectral accuracy."""
