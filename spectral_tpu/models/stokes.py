@@ -82,6 +82,18 @@ class StokesConfig:
     # pressure constant (no null space) and loses the spurious near-null
     # boundary-pressure modes of the pressure-free form.
     traction_p: bool = False
+    # tangentially-projected sliding rows (-mixed_tang): at MIXED nodes the
+    # retained rows carry P_t (scaleN*traction + alpha*v - value) with
+    # P_t = I - n n^T instead of the reference's full-component rows
+    # (StokesMixedApply, stokes.C:1083-1110).  P_t annihilates the normal
+    # direction, so the pressure's share of the physical traction (-p n)
+    # drops out EXACTLY and the pressure-free viscous traction is no longer
+    # an approximation — the root of upstream's "correctness uncertain"
+    # sliding bed (README:66-67): its full-component rows equate the normal
+    # traction component (which physically carries the pressure) to
+    # pressure-free data.  Auto-enabled by boundary 6 (the manufactured
+    # Navier-slip verification).
+    mixed_tang: bool = False
     saddle: int = 0               # -pc_saddle_type: 0 LU, 1 upper, 2 diag, 3 lower
     outer_ksp: KSPConfig = KSPConfig(type="fgmres", rtol=1e-10, max_it=200, restart=50)
     vel_ksp: KSPConfig = KSPConfig(type="gmres", rtol=1e-5, max_it=4, restart=4)
@@ -222,6 +234,9 @@ class StokesProblem:
         self.normal = jnp.asarray(normal_np)
         self.in_onehot = jnp.asarray(in_onehot)
         self.num_mixed = int(nm_mask.sum())
+        # boundary 6 manufactures tangentially-projected sliding data, so
+        # the operator's mixed rows must use the matching P_t form
+        self.mixed_tang = bool(cfg.mixed_tang or cfg.boundary == 6)
 
     def census(self) -> str:
         """DOF distribution print (stokes.C:891)."""
@@ -366,13 +381,22 @@ class StokesProblem:
 
     def _mixed_rows(self, y, stress, vL):
         """StokesMixedApply (stokes.C:1083-1110): replace Neumann/mixed rows
-        with scaleM*(scaleN * stress.n + alpha * v)."""
+        with scaleM*(scaleN * stress.n + alpha * v).  With ``mixed_tang``
+        the MIXED rows are tangentially projected (P_t = I - n n^T), the
+        pressure-consistent Navier-slip form; Neumann rows keep their full
+        components."""
         if self.num_mixed == 0:
             return y
         cfg = self.config
         traction = jnp.einsum("...jk,...k->...j", stress, self.normal,
         precision=jax.lax.Precision.HIGHEST)
         rows = cfg.scaleM * (cfg.scaleN * traction + self.alpha[..., None] * vL)
+        if self.mixed_tang:
+            n = self.normal
+            load = cfg.scaleN * traction + self.alpha[..., None] * vL
+            tang = load - jnp.sum(load * n, axis=-1, keepdims=True) * n
+            rows = jnp.where(self.mixed_mask[..., None],
+                             cfg.scaleM * tang, rows)
         return jnp.where(self.nm_mask[..., None], rows, y)
 
     def rheology(self, gamma, params: PowerLawParams):
@@ -1139,6 +1163,12 @@ class StokesProblem:
                 traction = np.einsum("...jk,...k->...j", flux, normal)
                 rows = cfg.scaleM * (cfg.scaleN * traction
                                      + alpha[..., None] * vL)
+                if self.mixed_tang:
+                    load = cfg.scaleN * traction + alpha[..., None] * vL
+                    tang = load - np.sum(load * normal, axis=-1,
+                                         keepdims=True) * normal
+                    rows = np.where(mixed[..., None],
+                                    cfg.scaleM * tang, rows)
                 yv = np.where(nm[..., None], rows, yv)
             pL = reduce_order(np.where(p_mask, x["p"], 0.0))
             gp = np.stack([g.apply_dif_weight_np(chebdiff_np(pL, i), i)
@@ -1146,6 +1176,12 @@ class StokesProblem:
             if Jinv is not None:
                 gp = np.einsum("...li,...l->...i", Jinv, gp)
             gp = np.where(nm[..., None], 0.0, gp)
+            if cfg.traction_p and self.num_neumann > 0:
+                # pressure's share of the physical traction on Neumann rows
+                # (mirrors pressure_gradient's -traction_p branch)
+                rows = cfg.scaleM * cfg.scaleN * (-pL[..., None] * normal)
+                gp = np.where(np.asarray(self.neumann_mask)[..., None],
+                              rows, gp)
             Fv = np.where(vel_mask, yv + gp, 0.0) - self.force_np["v"]
             w = vL if CT is None else np.einsum("...li,...i->...l", CT, vL)
             div = np.zeros(g.dims)

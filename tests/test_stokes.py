@@ -207,6 +207,29 @@ def test_stokes_defect_correction():
     assert np.isfinite(r["v"]).all()
 
 
+@pytest.mark.parametrize("boundary,traction_p", [(1, True), (5, True),
+                                                 (2, False), (6, False)])
+def test_residual_np_matches_device(boundary, traction_p):
+    """The host f64 residual (refinement's ground truth) must equal the
+    device residual row-for-row on every BC regime — regression for the
+    round-3 bug where make_residual_np lacked the -traction_p pressure
+    rows, making solve_refined converge to the WRONG problem."""
+    cfg = StokesConfig(exact=1, boundary=boundary, traction_p=traction_p)
+    p = StokesProblem(Grid((8, 8)), cfg)
+    rng = np.random.default_rng(0)
+    x = {"v": jnp.asarray(np.where(np.asarray(p.vel_mask),
+                                   rng.standard_normal(p.grid.dims + (p.d,)),
+                                   0.0)),
+         "p": jnp.asarray(np.where(np.asarray(p.p_mask),
+                                   rng.standard_normal(p.grid.dims), 0.0))}
+    params = p.params_at(p.config.cont)
+    F, _ = p.make_residual(params)(x)
+    Fn = p.make_residual_np(params)(
+        {"v": np.asarray(x["v"]), "p": np.asarray(x["p"])})
+    assert np.abs(np.asarray(F["v"]) - Fn["v"]).max() < 1e-10
+    assert np.abs(np.asarray(F["p"]) - Fn["p"]).max() < 1e-10
+
+
 def test_solution_is_discretely_divergence_free():
     """Physics check: the converged Stokes velocity satisfies the discrete
     continuity equation (F_p row) to solver tolerance."""
@@ -394,6 +417,52 @@ def test_boundary5_manufactured_sliding_bed():
         errs[n] = p.error_vs_exact(res.x)
     assert errs[16] < 1e-7, errs
     assert errs[16] < 1e-2 * errs[12], errs
+
+
+def test_boundary6_navier_slip_spectral_accuracy():
+    """The PHYSICAL sliding condition (ROADMAP round-3 #3 'pressure-aware
+    sliding via tangential projection'): -mixed_tang rows carry
+    P_t(eps(u).n + alpha*u) with P_t = I - n n^T, which annihilates the
+    pressure's share of the traction EXACTLY — so unlike boundary 2's
+    full-component rows ('correctness uncertain' upstream, README:66-67),
+    the pressure-free data is consistent with the exact solution and the
+    solved error must decay spectrally.  Recorded (f64): n=12 7.3e-6 ->
+    n=16 2.8e-9."""
+    from spectral_tpu.solvers.krylov import KSPConfig
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    errs = {}
+    for n in (12, 16):
+        cfg = StokesConfig(exact=1, boundary=6, traction_p=True,
+                           outer_ksp=KSPConfig(type="fgmres", rtol=1e-12,
+                                               max_it=800, restart=200),
+                           newton=NewtonConfig(rtol=1e-10, max_it=20))
+        p = StokesProblem(Grid((n, n)), cfg)
+        assert p.mixed_tang          # auto-enabled by boundary 6
+        assert p.num_mixed > 0
+        res = p.solve()
+        assert res.reason > 0
+        errs[n] = p.error_vs_exact(res.x)
+    assert errs[16] < 1e-7, errs
+    assert errs[16] < 1e-2 * errs[12], errs
+
+
+def test_boundary2_tangential_rows_converge():
+    """Upstream's zero-data sliding bed under the tangentially-projected
+    rows (-mixed_tang): a well-posed Navier-slip problem — the solver
+    converges with iteration counts on par with the full-component form
+    (recorded f64 12^2: 77 vs 80 outer)."""
+    from spectral_tpu.solvers.krylov import KSPConfig
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    cfg = StokesConfig(exact=1, boundary=2, mixed_tang=True,
+                       outer_ksp=KSPConfig(type="fgmres", rtol=1e-10,
+                                           max_it=600, restart=200),
+                       newton=NewtonConfig(rtol=1e-9, max_it=25))
+    p = StokesProblem(Grid((12, 12)), cfg)
+    res = p.solve()
+    assert res.reason > 0
+    assert res.ksp_iters[0] <= 160, res.ksp_iters
 
 
 def test_mapped_domain_stokes():
