@@ -338,6 +338,7 @@ def stokes_main(opts: Options) -> int:
         pcvel_smoother=opts.get_string("pcvel_smoother", "chebyshev"),
         tbc=opts.get_int("tbc", 0),
         traction_p=bool(opts.get_int("traction_p", 0)),
+        mixed_tang=bool(opts.get_int("mixed_tang", 0)),
         saddle=opts.get_int("pc_saddle_type", 0),
         outer_ksp=opts.ksp_config("", KSPConfig(type="fgmres", rtol=1e-5,
                                                 max_it=500, restart=50)),

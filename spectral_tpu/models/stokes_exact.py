@@ -255,7 +255,40 @@ def boundary5(coords, normals, exact, *, phys_coords=None, phys_normals=None,
     return types, values, alpha, vnormal
 
 
+def boundary6(coords, normals, exact, *, phys_coords=None, phys_normals=None,
+              full_traction=False):
+    """Manufactured Navier-slip bed (beyond the reference): boundary2's
+    geometry with the PHYSICAL sliding condition — tangentially projected
+    mixed rows P_t(eps(u).n + alpha*u) = P_t(data) plus the inhomogeneous
+    no-penetration constraint v.n = u_exact.n.  Because P_t = I - n n^T
+    annihilates the normal direction, the pressure's share of the true
+    traction (-p n) drops out exactly, so the pressure-free strain
+    traction used here is NOT an approximation (unlike boundary 2's
+    full-component rows, the root of upstream's 'correctness uncertain',
+    README:66-67).  Requires the operator's -mixed_tang rows
+    (auto-enabled by StokesProblem for this boundary).  Returns a 4-tuple
+    (types, values, alpha, vnormal)."""
+    k, d = coords.shape
+    pc = coords if phys_coords is None else phys_coords
+    pn = normals if phys_normals is None else phys_normals
+    types, values, alpha = boundary1(coords, normals, exact,
+                                     phys_coords=phys_coords,
+                                     phys_normals=phys_normals,
+                                     full_traction=full_traction)
+    bed = coords[:, d - 1] < -0.999
+    vnormal = np.zeros(k)
+    if bed.any():
+        types[bed] = BdyType.MIXED
+        alpha[bed] = 1.0
+        n = pn[bed]
+        u = exact(pc[bed])[0][..., :d]
+        load = _exact_strain_traction(pc[bed], n, exact) + u
+        values[bed] = load - np.einsum("kj,kj->k", load, n)[:, None] * n
+        vnormal[bed] = np.einsum("kj,kj->k", u, n)
+    return types, values, alpha, vnormal
+
+
 BOUNDARY_FUNCS: dict[int, Callable] = {
     0: boundary0, 1: boundary1, 2: boundary2, 3: boundary3, 4: boundary4,
-    5: boundary5,
+    5: boundary5, 6: boundary6,
 }
