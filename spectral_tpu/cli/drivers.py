@@ -334,6 +334,8 @@ def stokes_main(opts: Options) -> int:
         cont=opts.get_int("cont", 1),
         scaleM=opts.get_real("scaleM", 1.0),
         scaleN=opts.get_real("scaleN", 1.0),
+        zeroN=opts.get_int("zeroN", 0),
+        zeroV=opts.get_real("zeroV", 1.0),
         pcvel=_pcvel_option(opts),
         pcvel_smoother=opts.get_string("pcvel_smoother", "chebyshev"),
         tbc=opts.get_int("tbc", 0),

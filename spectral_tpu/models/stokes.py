@@ -64,6 +64,10 @@ class StokesConfig:
     cont: int = 1
     scaleM: float = 1.0
     scaleN: float = 1.0
+    # -zeroN/-zeroV (stokes.C:1420-1432): symmetric filtering of the first
+    # zeroN free velocity dofs in the Q1 FEM velocity PC (pcvel q1fem)
+    zeroN: int = 0
+    zeroV: float = 1.0
     pcvel: str = "fastdiag"   # -pcvel analog: fastdiag|mg|nodal|jacobi|q1fem|probed
     pcvel_smoother: str = "chebyshev"   # mg/nodal smoother: chebyshev|jacobi|line
     # traction-block correction (-tbc k): exact dense solve of the TRUE
@@ -755,7 +759,8 @@ class StokesProblem:
             def setup(lin_state):
                 eta, deta, S = lin_state
                 A = assemble_q1_strain(self.grid, eta, deta, S, self.vel_mask,
-                                       coords=xphys)
+                                       coords=xphys, zeroN=self.config.zeroN,
+                                       zeroV=self.config.zeroV)
                 return (A, eta)
 
             def apply(state, r):
