@@ -369,6 +369,25 @@ def test_curvilinear_stokes_3d():
     assert float(jnp.max(jnp.abs(div))) < 1e-5
 
 
+@pytest.mark.slow
+def test_curvilinear_stokes_3d_power_law():
+    """The last untested cell of the configuration matrix: 3-D curved
+    domain x power-law rheology x continuation (2-D curved power-law and
+    3-D curved linear are default-CI above)."""
+    def phi3(xi):
+        x, y, z = xi[..., 0], xi[..., 1], xi[..., 2]
+        bump = 0.05 * np.sin(np.pi * x) * np.sin(np.pi * y) * np.sin(np.pi * z)
+        return np.stack([x + bump, y - bump, z + 0.5 * bump], axis=-1)
+
+    cfg = StokesConfig(exact=0, boundary=3, rheology=1, exponent=3.0,
+                       regularization=1e-3, cont=2, pcvel="mg")
+    p = StokesProblem(Grid((10, 10, 10)), cfg, phi=phi3)
+    results = p.solve_continuation()
+    assert all(int(r.reason) > 0 for r in results)
+    vmax = float(jnp.max(jnp.abs(results[-1].x["v"])))
+    assert np.isfinite(vmax) and vmax > 1e-2
+
+
 def test_curvilinear_elliptic_solve_refined():
     """Mixed-precision production path on a curved domain: f32 device
     solves with the metric-MG PC + f64 host metric residuals reach
