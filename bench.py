@@ -392,6 +392,37 @@ def bench_stokes_curved(n=14, n_coarse=8):
             err_coarse, flat_iters, neumann)
 
 
+def _wait_for_grant(max_wait: float = 600.0) -> None:
+    """Wait out a WEDGED device grant (left by a recently-killed TPU
+    process) before the in-process backend init.  Probes in throwaway
+    subprocesses: a wedged grant makes init raise quickly there, while
+    this process's backend stays untouched (JAX caches a failed init
+    forever).  A probe that merely BLOCKS is the normal grant wait — on
+    probe timeout we proceed and let the in-process init do that waiting."""
+    import subprocess
+    import sys
+
+    code = "import jax, jax.numpy as jnp; float(jnp.sum(jnp.ones(8)))"
+    t0 = time.monotonic()
+    while True:
+        try:
+            # short timeout: the wedge mode RAISES within seconds; a probe
+            # still alive after 60 s is in the normal blocking grant queue
+            # (killing it there is harmless — it has not executed on-device)
+            r = subprocess.run([sys.executable, "-c", code], timeout=60,
+                               capture_output=True, text=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            return  # legitimately queued for the grant: absorb in-process
+        if time.monotonic() - t0 > max_wait:
+            return  # let the in-process attempt surface the real error
+        err = (r.stderr or "").strip().splitlines()
+        print(f"# device grant unavailable ({err[-1][:120] if err else 'rc!=0'}); "
+              "retrying in 30 s", flush=True)
+        time.sleep(30.0)
+
+
 def main():
     # Persistent XLA compilation cache: the fftw_import_system_wisdom analog
     # (cheb.c:32; SURVEY.md section 5.1).  The solve benches below include
@@ -404,6 +435,11 @@ def main():
     # tunneled bench chip the first op can block for many minutes waiting
     # for the grant, which is dead time, not bench time — counting it
     # against the internal budget starves the late benches for no reason.
+    # A recently-killed TPU process can also leave the grant WEDGED, in
+    # which case backend init RAISES — and JAX caches that failure for the
+    # process lifetime, so the recovery probe must run in a SUBPROCESS
+    # before this process first touches the backend.
+    _wait_for_grant()
     float(jnp.sum(jnp.ones(8)))
 
     t_start = time.perf_counter()
