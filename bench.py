@@ -438,9 +438,25 @@ def main():
     # A recently-killed TPU process can also leave the grant WEDGED, in
     # which case backend init RAISES — and JAX caches that failure for the
     # process lifetime, so the recovery probe must run in a SUBPROCESS
-    # before this process first touches the backend.
-    _wait_for_grant()
-    float(jnp.sum(jnp.ones(8)))
+    # before this process first touches the backend.  The probe can still
+    # race a grant that drops right after it succeeds (observed: probe ok,
+    # main init blocked 25 min then raised UNAVAILABLE); the cached-failure
+    # semantics leave re-exec as the only true in-run recovery.
+    import os
+    import sys
+    try:
+        _wait_for_grant()
+        float(jnp.sum(jnp.ones(8)))
+    except Exception as e:
+        tries = int(os.environ.get("BENCH_GRANT_RETRY", "0"))
+        if tries >= 2:
+            raise
+        print(f"# backend init failed ({str(e)[:120]}); "
+              f"re-exec retry {tries + 1}/2 in 60 s", flush=True)
+        time.sleep(60.0)
+        env = dict(os.environ)
+        env["BENCH_GRANT_RETRY"] = str(tries + 1)
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
     t_start = time.perf_counter()
     gdofs, dt, copy_gelts = bench_cheb_matvec()
