@@ -203,6 +203,12 @@ class StokesProblem:
         bc_vnormal = np.zeros(g.dims)
         bc_vnormal[bmask] = vnormal_b
         self.bc_vnormal = jnp.asarray(bc_vnormal)
+        # f64 numpy master copies for the host residual: the jnp copies
+        # above truncate to f32 in production mode (CLAUDE.md: keep
+        # hi-precision state in numpy)
+        self.bc_vnormal_np = bc_vnormal
+        self.bc_vel_np = bc_vel
+        self.alpha_np = alpha
 
         dirichlet_mask = types == SE.BdyType.DIRICHLET
         neumann_mask = types == SE.BdyType.NEUMANN
@@ -241,6 +247,14 @@ class StokesProblem:
         # boundary 6 manufactures tangentially-projected sliding data, so
         # the operator's mixed rows must use the matching P_t form
         self.mixed_tang = bool(cfg.mixed_tang or cfg.boundary == 6)
+        if cfg.boundary == 5 and self.mixed_tang:
+            raise ValueError(
+                "-boundary 5 manufactures FULL-COMPONENT mixed data; "
+                "-mixed_tang rows would converge to a wrong solution — "
+                "use -boundary 6 for the tangentially-projected form")
+        if cfg.boundary in (5, 6) and (cfg.scaleM != 1.0 or cfg.scaleN != 1.0):
+            raise ValueError(
+                "boundary 5/6 manufactured data assumes scaleM = scaleN = 1")
 
     def census(self) -> str:
         """DOF distribution print (stokes.C:891)."""
@@ -303,11 +317,16 @@ class StokesProblem:
         vin = -num / jnp.where(jnp.abs(n_in) > 1e-14, n_in, 1.0)
         return jnp.where(self.mixed_mask[..., None], v_excl + oh * vin, v)
 
-    def local_velocity(self, vG, with_dirichlet=True):
+    def local_velocity(self, vG, with_dirichlet=True, *, inhomogeneous=None):
         # with_dirichlet marks the residual path: boundary DATA applies
         # (Dirichlet values AND the inhomogeneous mixed normal flux);
-        # the Jacobian path is homogeneous in both.
-        v = self.recover_mixed(self.mask_v(vG), inhomogeneous=with_dirichlet)
+        # the Jacobian path is homogeneous in both.  ``inhomogeneous``
+        # overrides the mixed-flux half independently (the VTK writer
+        # reconstructs the FORCE field with boundary values but must not
+        # impose the velocity constraint v.n = bc_vnormal on it).
+        if inhomogeneous is None:
+            inhomogeneous = with_dirichlet
+        v = self.recover_mixed(self.mask_v(vG), inhomogeneous=inhomogeneous)
         if with_dirichlet:
             v = jnp.where(self.dirichlet_mask[..., None], self.bc_vel, v)
         return v
@@ -394,10 +413,10 @@ class StokesProblem:
         cfg = self.config
         traction = jnp.einsum("...jk,...k->...j", stress, self.normal,
         precision=jax.lax.Precision.HIGHEST)
-        rows = cfg.scaleM * (cfg.scaleN * traction + self.alpha[..., None] * vL)
+        load = cfg.scaleN * traction + self.alpha[..., None] * vL
+        rows = cfg.scaleM * load
         if self.mixed_tang:
             n = self.normal
-            load = cfg.scaleN * traction + self.alpha[..., None] * vL
             tang = load - jnp.sum(load * n, axis=-1, keepdims=True) * n
             rows = jnp.where(self.mixed_mask[..., None],
                              cfg.scaleM * tang, rows)
@@ -1112,9 +1131,12 @@ class StokesProblem:
         Jinv = None if self.cmap is None else self.cmap.Jinv
         CT = None if self.cmap is None else self.cmap.cofactor
         detJ = None if self.cmap is None else self.cmap.detJ
-        alpha = np.asarray(self.alpha)
-        bc_vel = np.asarray(self.bc_vel)
-        bc_vnormal = np.asarray(self.bc_vnormal)
+        # f64 master copies (never the jnp arrays: those are f32 in
+        # production mode and would put this residual on an f32 data floor)
+        alpha = self.alpha_np
+        bc_vel = self.bc_vel_np
+        bc_vnormal = self.bc_vnormal_np
+        neumann = np.asarray(self.neumann_mask)
         E = [_reduce_matrix_np(tuple(float(v) for v in g.nodes_1d[ax]))
              for ax in range(d)]
 
@@ -1166,10 +1188,9 @@ class StokesProblem:
                 yv = yv / detJ[..., None]
             if self.num_mixed:
                 traction = np.einsum("...jk,...k->...j", flux, normal)
-                rows = cfg.scaleM * (cfg.scaleN * traction
-                                     + alpha[..., None] * vL)
+                load = cfg.scaleN * traction + alpha[..., None] * vL
+                rows = cfg.scaleM * load
                 if self.mixed_tang:
-                    load = cfg.scaleN * traction + alpha[..., None] * vL
                     tang = load - np.sum(load * normal, axis=-1,
                                          keepdims=True) * normal
                     rows = np.where(mixed[..., None],
@@ -1185,8 +1206,7 @@ class StokesProblem:
                 # pressure's share of the physical traction on Neumann rows
                 # (mirrors pressure_gradient's -traction_p branch)
                 rows = cfg.scaleM * cfg.scaleN * (-pL[..., None] * normal)
-                gp = np.where(np.asarray(self.neumann_mask)[..., None],
-                              rows, gp)
+                gp = np.where(neumann[..., None], rows, gp)
             Fv = np.where(vel_mask, yv + gp, 0.0) - self.force_np["v"]
             w = vL if CT is None else np.einsum("...li,...i->...l", CT, vL)
             div = np.zeros(g.dims)
@@ -1236,6 +1256,11 @@ class StokesProblem:
 
         def project_np(t):
             p = np.where(p_mask, t["p"], 0.0)
+            if not self.has_p_null:
+                # -traction_p pins the pressure constant: J is nonsingular
+                # on the mean mode, so the refinement must SEE and correct
+                # it, not hide it (mirrors null_project's no-op)
+                return {"v": t["v"], "p": p}
             return {"v": t["v"], "p": p - np.where(p_mask, p.sum() / count, 0.0)}
 
         bnorm = max(float(np.sqrt(sum(np.vdot(v, v).real

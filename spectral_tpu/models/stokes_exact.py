@@ -224,50 +224,13 @@ def boundary4(coords, normals, exact, *, phys_coords=None, phys_normals=None,
     return types, values, np.zeros(k)
 
 
-def boundary5(coords, normals, exact, *, phys_coords=None, phys_normals=None,
-              full_traction=False):
-    """Manufactured sliding bed (beyond the reference): boundary2's
-    geometry — Neumann top, MIXED (alpha = 1) bed, Dirichlet sides — with
-    ALL data manufactured from the exact solution, so the mixed-BC
-    machinery is VERIFIABLE: bed rows carry
-    t_j = (eps(u).n)_j + alpha*u_j (the operator's mixed rows are
-    pressure-free regardless of full_traction, matching
-    StokesMixedApply), and the no-penetration constraint becomes the
-    inhomogeneous v.n = u_exact.n.  Upstream's boundary 2 is
-    unverifiable ('correctness uncertain', README:66-67) because its
-    zero bed data is inconsistent with every exact solution.  Returns a
-    4-tuple: (types, values, alpha, vnormal)."""
-    k, d = coords.shape
-    pc = coords if phys_coords is None else phys_coords
-    pn = normals if phys_normals is None else phys_normals
-    types, values, alpha = boundary1(coords, normals, exact,
-                                     phys_coords=phys_coords,
-                                     phys_normals=phys_normals,
-                                     full_traction=full_traction)
-    bed = coords[:, d - 1] < -0.999
-    vnormal = np.zeros(k)
-    if bed.any():
-        types[bed] = BdyType.MIXED
-        alpha[bed] = 1.0
-        u = exact(pc[bed])[0][..., :d]
-        values[bed] = _exact_strain_traction(pc[bed], pn[bed], exact) + u
-        vnormal[bed] = np.einsum("kj,kj->k", u, pn[bed])
-    return types, values, alpha, vnormal
-
-
-def boundary6(coords, normals, exact, *, phys_coords=None, phys_normals=None,
-              full_traction=False):
-    """Manufactured Navier-slip bed (beyond the reference): boundary2's
-    geometry with the PHYSICAL sliding condition — tangentially projected
-    mixed rows P_t(eps(u).n + alpha*u) = P_t(data) plus the inhomogeneous
-    no-penetration constraint v.n = u_exact.n.  Because P_t = I - n n^T
-    annihilates the normal direction, the pressure's share of the true
-    traction (-p n) drops out exactly, so the pressure-free strain
-    traction used here is NOT an approximation (unlike boundary 2's
-    full-component rows, the root of upstream's 'correctness uncertain',
-    README:66-67).  Requires the operator's -mixed_tang rows
-    (auto-enabled by StokesProblem for this boundary).  Returns a 4-tuple
-    (types, values, alpha, vnormal)."""
+def _manufactured_bed(coords, normals, exact, phys_coords, phys_normals,
+                      full_traction, project):
+    """Shared scaffolding for boundaries 5/6: boundary1's faces with the
+    bed switched to MIXED (alpha = 1) and ALL bed data manufactured from
+    the exact solution — load rows eps(u).n + alpha*u (tangentially
+    projected when ``project``) plus the inhomogeneous no-penetration
+    constraint v.n = u_exact.n.  Returns (types, values, alpha, vnormal)."""
     k, d = coords.shape
     pc = coords if phys_coords is None else phys_coords
     pn = normals if phys_normals is None else phys_normals
@@ -283,9 +246,45 @@ def boundary6(coords, normals, exact, *, phys_coords=None, phys_normals=None,
         n = pn[bed]
         u = exact(pc[bed])[0][..., :d]
         load = _exact_strain_traction(pc[bed], n, exact) + u
-        values[bed] = load - np.einsum("kj,kj->k", load, n)[:, None] * n
+        if project:
+            load = load - np.einsum("kj,kj->k", load, n)[:, None] * n
+        values[bed] = load
         vnormal[bed] = np.einsum("kj,kj->k", u, n)
     return types, values, alpha, vnormal
+
+
+def boundary5(coords, normals, exact, *, phys_coords=None, phys_normals=None,
+              full_traction=False):
+    """Manufactured sliding bed (beyond the reference): boundary2's
+    geometry — Neumann top, MIXED (alpha = 1) bed, Dirichlet sides — with
+    ALL data manufactured from the exact solution, so the mixed-BC
+    machinery is VERIFIABLE: bed rows carry
+    t_j = (eps(u).n)_j + alpha*u_j (the operator's mixed rows are
+    pressure-free regardless of full_traction, matching
+    StokesMixedApply), and the no-penetration constraint becomes the
+    inhomogeneous v.n = u_exact.n.  Upstream's boundary 2 is
+    unverifiable ('correctness uncertain', README:66-67) because its
+    zero bed data is inconsistent with every exact solution.  Returns a
+    4-tuple: (types, values, alpha, vnormal)."""
+    return _manufactured_bed(coords, normals, exact, phys_coords,
+                             phys_normals, full_traction, project=False)
+
+
+def boundary6(coords, normals, exact, *, phys_coords=None, phys_normals=None,
+              full_traction=False):
+    """Manufactured Navier-slip bed (beyond the reference): boundary2's
+    geometry with the PHYSICAL sliding condition — tangentially projected
+    mixed rows P_t(eps(u).n + alpha*u) = P_t(data) plus the inhomogeneous
+    no-penetration constraint v.n = u_exact.n.  Because P_t = I - n n^T
+    annihilates the normal direction, the pressure's share of the true
+    traction (-p n) drops out exactly, so the pressure-free strain
+    traction used here is NOT an approximation (unlike boundary 2's
+    full-component rows, the root of upstream's 'correctness uncertain',
+    README:66-67).  Requires the operator's -mixed_tang rows
+    (auto-enabled by StokesProblem for this boundary).  Returns a 4-tuple
+    (types, values, alpha, vnormal)."""
+    return _manufactured_bed(coords, normals, exact, phys_coords,
+                             phys_normals, full_traction, project=True)
 
 
 BOUNDARY_FUNCS: dict[int, Callable] = {

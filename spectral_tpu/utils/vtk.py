@@ -41,7 +41,12 @@ def write_stokes_vtk(problem, state, filename: str = "stokes.vtk") -> None:
 
     vL = np.asarray(problem.local_velocity(state["v"], with_dirichlet=True))
     pL = np.asarray(pressure_reduce_order(problem.mask_p(state["p"]), g.nodes_1d))
-    fv = np.asarray(problem.local_velocity(problem.force["v"], with_dirichlet=True))
+    # the force is not a velocity: reconstruct its removed mixed component
+    # homogeneously (no v.n = bc_vnormal datum), Dirichlet display values
+    # as upstream (stokes.C:1848-1851 scatters dirichlet into workV[1])
+    fv = np.asarray(problem.local_velocity(problem.force["v"],
+                                           with_dirichlet=True,
+                                           inhomogeneous=False))
     fp = np.asarray(pressure_reduce_order(problem.force["p"], g.nodes_1d))
     _, lin = problem.make_residual(problem.params_at(problem.config.cont))(state)
     eta, deta, S = (np.asarray(v) for v in lin)

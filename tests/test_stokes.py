@@ -466,6 +466,23 @@ def test_boundary6_tbc_collapses_iterations():
     assert p.error_vs_exact(res.x) < 1e-4
 
 
+def test_boundary5_rejects_mismatched_tangential_rows():
+    """-boundary 5 data is full-component; -mixed_tang rows would converge
+    to a WRONG solution silently — must be rejected at setup.  The host
+    residual must also read f64 master copies of the boundary data (the
+    jnp copies truncate to f32 in production mode)."""
+    with pytest.raises(ValueError):
+        StokesProblem(Grid((8, 8)), StokesConfig(exact=1, boundary=5,
+                                                 mixed_tang=True))
+    with pytest.raises(ValueError):
+        StokesProblem(Grid((8, 8)), StokesConfig(exact=1, boundary=6,
+                                                 scaleM=2.0))
+    p = StokesProblem(Grid((8, 8)), StokesConfig(exact=1, boundary=5))
+    assert p.bc_vel_np.dtype == np.float64
+    assert p.bc_vnormal_np.dtype == np.float64
+    assert p.alpha_np.dtype == np.float64
+
+
 def test_boundary2_tangential_rows_converge():
     """Upstream's zero-data sliding bed under the tangentially-projected
     rows (-mixed_tang): a well-posed Navier-slip problem — the solver
