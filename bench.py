@@ -18,9 +18,16 @@ power-law continuation).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
+
+if os.environ.get("BENCH_FORCE_CPU"):
+    # last-resort fallback (see main): the tunneled TPU grant can be down
+    # for hours; a CPU artifact labeled as such beats no artifact
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -446,8 +453,17 @@ def main():
     # the grant right before the main init was observed to leave the main
     # init queued behind the release for 25+ min); the probe runs only on
     # the recovery path, followed by a settle delay for the release.
-    import os
     import sys
+
+    # Bootstrap artifact: if the device never comes up and this process is
+    # killed mid-wait, the driver still reads a well-formed JSON last line
+    # that documents the outage instead of an empty file.
+    print(json.dumps({
+        "metric": "cheb_matvec_gdofs", "value": 0.0, "unit": "GDOF/s",
+        "vs_baseline": 0.0,
+        "error": "bench started; device grant not yet acquired",
+    }), flush=True)
+
     tries = int(os.environ.get("BENCH_GRANT_RETRY", "0"))
     try:
         if tries:
@@ -455,13 +471,19 @@ def main():
             time.sleep(120.0)
         float(jnp.sum(jnp.ones(8)))
     except Exception as e:
-        if tries >= 2:
-            raise
-        print(f"# backend init failed ({str(e)[:120]}); "
-              f"re-exec retry {tries + 1}/2 in 60 s", flush=True)
-        time.sleep(60.0)
         env = dict(os.environ)
-        env["BENCH_GRANT_RETRY"] = str(tries + 1)
+        if tries >= 2:
+            if env.get("BENCH_FORCE_CPU"):
+                raise
+            # final fallback: a CPU-labeled artifact beats no artifact
+            print(f"# backend init failed ({str(e)[:120]}); "
+                  "falling back to CPU", flush=True)
+            env["BENCH_FORCE_CPU"] = "1"
+        else:
+            print(f"# backend init failed ({str(e)[:120]}); "
+                  f"re-exec retry {tries + 1}/2 in 60 s", flush=True)
+            time.sleep(60.0)
+            env["BENCH_GRANT_RETRY"] = str(tries + 1)
         os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
     t_start = time.perf_counter()
@@ -497,8 +519,10 @@ def main():
         extra["pallas_error"] = str(e)[:200]
     try:
         prof = profile_matvec()
-        with open("PROFILE_r03.json", "w") as fh:
-            json.dump(prof, fh, indent=1)
+        if jax.devices()[0].platform != "cpu":
+            # never clobber the committed TPU profile from a CPU fallback
+            with open("PROFILE_r03.json", "w") as fh:
+                json.dump(prof, fh, indent=1)
         extra.update({
             "profile_matvec_wall_ms": prof["per_call_wall_ms"],
             "profile_matvec_kernel_ms": prof["per_call_kernel_ms"],
