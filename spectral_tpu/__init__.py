@@ -26,7 +26,7 @@ from spectral_tpu.ops.chebyshev import cgl_nodes, chebdiff, diffmat
 __version__ = "0.1.0"
 
 __all__ = ["cgl_nodes", "chebdiff", "diffmat", "Grid", "PoissonModel",
-           "EllipticModel", "StokesProblem", "StokesConfig", "HeatModel",
+           "EllipticModel", "StokesProblem", "StokesConfig", "HeatModel", "UnsteadyStokes",
            "CurvilinearPoisson", "CurvilinearMap", "named_map", "cheb_regrid",
            "KSPConfig", "NewtonConfig", "block_gmres", "implicit_gradient",
            "implicit_hvp", "extreme_singular_values", "__version__"]
@@ -38,6 +38,8 @@ _LAZY = {
     "StokesProblem": ("spectral_tpu.models.stokes", "StokesProblem"),
     "StokesConfig": ("spectral_tpu.models.stokes", "StokesConfig"),
     "HeatModel": ("spectral_tpu.models.heat", "HeatModel"),
+    "UnsteadyStokes": ("spectral_tpu.models.stokes_unsteady",
+                       "UnsteadyStokes"),
     "CurvilinearPoisson": ("spectral_tpu.models.curvilinear",
                            "CurvilinearPoisson"),
     "CurvilinearMap": ("spectral_tpu.ops.curvilinear", "CurvilinearMap"),

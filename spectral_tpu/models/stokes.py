@@ -98,6 +98,13 @@ class StokesConfig:
     # pressure-free data.  Auto-enabled by boundary 6 (the manufactured
     # Navier-slip verification).
     mixed_tang: bool = False
+    # mass_shift sigma adds sigma*v to the VV rows of the Jacobian/operator
+    # and shifts the velocity PC surrogates to match — the implicit
+    # theta-scheme step operator of UNSTEADY Stokes (sigma = 1/(theta*dt),
+    # models/stokes_unsteady.py).  The nested Schur solve then runs against
+    # the shifted VV inverse automatically (the Cahouet-Chabard role).
+    # 0 = steady (reference semantics).  Supported pcvel: fastdiag, mg.
+    mass_shift: float = 0.0
     saddle: int = 0               # -pc_saddle_type: 0 LU, 1 upper, 2 diag, 3 lower
     outer_ksp: KSPConfig = KSPConfig(type="fgmres", rtol=1e-10, max_it=200, restart=50)
     vel_ksp: KSPConfig = KSPConfig(type="gmres", rtol=1e-5, max_it=4, restart=4)
@@ -477,6 +484,9 @@ class StokesProblem:
         flux = eta[..., None, None] * Sw + deta[..., None, None] * S0 * z[..., None, None]
         stress = eta[..., None, None] * Sw
         yv = -self._tensor_divergence(flux)
+        if self.config.mass_shift:
+            # before _mixed_rows: traction rows carry no time derivative
+            yv = yv + self.config.mass_shift * wL
         yv = self._mixed_rows(yv, stress, wL)
         return self.mask_v(yv), Sw
 
@@ -518,7 +528,7 @@ class StokesProblem:
     # ------------------------------------------------------------------
     @cached_property
     def _vel_fastdiag(self) -> FastDiagSolver:
-        return FastDiagSolver.build(self.grid)
+        return FastDiagSolver.build(self.grid, shift=self.config.mass_shift)
 
     @cached_property
     def _vel_mg(self):
@@ -529,13 +539,26 @@ class StokesProblem:
             # curvilinear surrogate: -(1/detJ) d_l(eta detJ A_ll d_l .) with
             # the cross terms dropped (shared plumbing, ops.curvilinear)
             from spectral_tpu.ops.curvilinear import metric_surrogate_builder
-            builder = metric_surrogate_builder(self.d)
+            base = metric_surrogate_builder(self.d)
         else:
-            def builder(grid, coeffs):
+            def base(grid, coeffs):
                 eta = coeffs.get("eta")
                 if eta is None:
                     eta = jnp.ones(grid.dims)
                 return velocity_fd_stencil(grid, eta)
+
+        if self.config.mass_shift:
+            sigma = self.config.mass_shift
+
+            def builder(grid, coeffs):
+                # rediscretized shifted surrogate sigma + A per level (same
+                # recipe as the heat model's shifted MG)
+                S = base(grid, coeffs)
+                center = jnp.where(grid.interior_mask, S.center + sigma,
+                                   S.center)
+                return dataclasses.replace(S, center=center)
+        else:
+            builder = base
 
         return Multigrid.build(self.grid, builder=builder,
                                smoother=self.config.pcvel_smoother)
@@ -732,6 +755,11 @@ class StokesProblem:
           rediscretized per level) — the hypre-with-viscosity analog;
         - "jacobi": stencil diagonal.
         """
+        if self.config.mass_shift and self.config.pcvel not in (
+                "fastdiag", "mg"):
+            raise ValueError(
+                f"mass_shift (unsteady Stokes) supports pcvel fastdiag|mg, "
+                f"not {self.config.pcvel!r}")
         if self.config.pcvel == "fastdiag":
             fd = self._vel_fastdiag
             if self.num_mixed:

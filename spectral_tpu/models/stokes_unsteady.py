@@ -1,0 +1,185 @@
+"""Time-dependent (unsteady) Stokes flow — a capability extension.
+
+The reference solves steady creeping flow only; this model composes the
+framework's existing pieces into implicit theta-scheme time stepping for
+
+    v_t - div(eta eps(v)) + grad p = f,    div v = 0,
+    v|boundary = s(t) * bc_vel   (Dirichlet, scalar time modulation),
+
+reusing every ingredient: the spectral strain/divergence blocks and masks
+(models.stokes), the saddle-point preconditioner with nested velocity/Schur
+solves, and the shifted velocity surrogates (``StokesConfig.mass_shift``,
+the same shift/axis hooks the heat model uses).  Because the Schur
+complement is solved against the SHIFTED velocity inverse, the pressure
+preconditioning adapts to the time step automatically — the role the
+Cahouet-Chabard preconditioner plays in classical unsteady Stokes codes.
+
+Scheme (theta in (0, 1]; 0.5 = Crank-Nicolson, 1 = backward Euler), in the
+"q-form" with sigma = 1/(theta*dt) and q = p/theta so the step operator is
+exactly the mass-shifted steady Jacobian:
+
+    [sigma I + VV   VP] [v1]   [sigma v0 - (1-theta)/theta VV v0 + fbar/theta]
+    [PV              0] [q ] = [0                                            ]
+
+Linear (eta = 1) rheology: each step is one preconditioned FGMRES solve of
+the problem's ``jacobian_action``; no Newton loop is needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.grid import Grid
+from spectral_tpu.models.stokes import StokesConfig, StokesProblem
+
+
+@dataclasses.dataclass(frozen=True)
+class UnsteadyStokes:
+    """theta-scheme time integrator over a ``StokesProblem`` domain.
+
+    ``config`` follows the steady conventions (boundary/exact select the
+    spatial data; ``outer_ksp`` is the per-step linear solve); rheology
+    must be linear — the per-step system is solved as one linear saddle
+    solve.  ``phi`` runs the integrator on a curved domain (the strain,
+    Piola divergence and shifted metric-MG surrogates all come from the
+    steady machinery).
+    """
+
+    grid: Grid
+    config: StokesConfig
+    dt: float
+    theta: float = 0.5
+    phi: object = None
+
+    def __post_init__(self):
+        if self.config.rheology not in (0, "linear"):
+            raise ValueError("UnsteadyStokes supports linear rheology only "
+                             "(each step is one linear saddle solve)")
+        if not (0.0 < self.theta <= 1.0):
+            raise ValueError("theta must be in (0, 1]")
+        _ = self.problem  # build eagerly (cached_property under jit caveat)
+        _ = self._step
+
+    @cached_property
+    def sigma(self) -> float:
+        return 1.0 / (self.theta * self.dt)
+
+    @cached_property
+    def problem(self) -> StokesProblem:
+        cfg = dataclasses.replace(self.config, mass_shift=self.sigma)
+        return StokesProblem(self.grid, cfg, phi=self.phi)
+
+    # -- spatial blocks on FULL velocity fields (boundary values baked) ----
+    def _visc_rows(self, vfull):
+        """Masked momentum rows of -div(eps(v)) for a full field (eta = 1),
+        incl. mixed/Neumann row replacement — mirrors make_residual's
+        linear branch."""
+        p = self.problem
+        S = p._strain(vfull)
+        yv = -p._tensor_divergence(S)
+        yv = p._mixed_rows(yv, S, vfull)
+        return p.mask_v(yv)
+
+    def _div_full(self, vfull):
+        """Masked continuity rows for a full field (conservative Piola form
+        on curved domains)."""
+        p = self.problem
+        if p.cmap is not None:
+            CT = jnp.asarray(p.cmap.cofactor, vfull.dtype)
+            w = jnp.einsum("...li,...i->...l", CT, vfull,
+                           precision=jax.lax.Precision.HIGHEST)
+        else:
+            w = vfull
+        div = jnp.zeros(p.grid.dims, vfull.dtype)
+        for i in range(p.d):
+            div = div + p._dif(w[..., i], i)
+        if p.cmap is not None:
+            div = div / jnp.asarray(p.cmap.detJ, div.dtype)
+        return p.mask_p(div)
+
+    def _bc_ext(self, s):
+        p = self.problem
+        return jnp.where(p.dirichlet_mask[..., None], s * p.bc_vel, 0.0)
+
+    @cached_property
+    def _step(self):
+        """Jitted (v0_full, s1, fbar) -> (v1_full, p1, iters, rnorm)."""
+        p, th, sigma = self.problem, self.theta, self.sigma
+        lin_state = (jnp.ones(p.grid.dims), jnp.zeros(p.grid.dims),
+                     jnp.zeros(p.grid.dims + (p.d, p.d)))
+        pc_setup, pc_apply = p.make_pc()
+        pc_state = pc_setup(None, lin_state)
+
+        def step(v0_full, s1, fbar):
+            R = (sigma * v0_full - ((1.0 - th) / th) * self._visc_rows(v0_full)
+                 + fbar / th)
+            bc1 = self._bc_ext(s1)
+            b = {"v": p.mask_v(R - sigma * bc1) - self._visc_rows(bc1),
+                 "p": -self._div_full(bc1)}
+            res = p.config.outer_ksp.solve(
+                lambda w: p.jacobian_action(None, lin_state, w), b,
+                M=lambda r: pc_apply(pc_state, r),
+                null_project=p.null_project)
+            v1_full = bc1 + p.mask_v(res.x["v"])
+            q = p.mask_p(res.x["p"])
+            return v1_full, th * q, res.iters, res.rnorm
+
+        return jax.jit(step)
+
+    def step(self, v0_full, s1: float, fbar):
+        """Advance one step.  ``v0_full`` is the full velocity field at t0
+        (boundary values included), ``s1`` the boundary modulation at t1,
+        ``fbar`` the theta-weighted momentum forcing
+        theta*f(t1) + (1-theta)*f(t0) (masked rows)."""
+        return self._step(v0_full, jnp.asarray(s1), fbar)
+
+    def rollout(self, v0_full, times, s_of_t, f_of_t):
+        """Integrate over ``times`` (t0..tN): returns (v_full, p, iters).
+
+        ``s_of_t(t) -> float`` modulates the Dirichlet data; ``f_of_t(t)``
+        returns the masked momentum forcing.  Forcing/boundary data are
+        evaluated host-side per step (arbitrary time dependence); the solve
+        itself is the single jitted step above.
+        """
+        v, pres, its = v0_full, None, []
+        for t0, t1 in zip(times[:-1], times[1:]):
+            fbar = self.theta * f_of_t(t1) + (1.0 - self.theta) * f_of_t(t0)
+            v, pres, it, _ = self.step(v, s_of_t(t1), fbar)
+            its.append(int(it))
+        return v, pres, its
+
+    # -- manufactured time-dependent solution (test/demo oracle) -----------
+    def manufactured(self, omega: float = 1.0):
+        """u(x,t) = cos(omega t) u0(x), p(x,t) = cos(omega t) p0(x) with
+        (u0, p0) the problem's exact steady solution; the forcing is built
+        from the DISCRETE operators, so the semi-discrete momentum rows are
+        satisfied exactly and the measured error is pure time-integration
+        error (plus the spectrally small discrete divergence of u0).
+
+        Returns (v0_full, s_of_t, f_of_t, u_full_of_t, p_of_t).
+        """
+        p = self.problem
+        u0 = jnp.where(p.dirichlet_mask[..., None], p.bc_vel, p.exact_v)
+        p0 = p.exact_p
+        visc_u0 = self._visc_rows(u0) + p.pressure_gradient(p0)
+        u0_rows = p.mask_v(u0)
+
+        def s_of_t(t):
+            return float(np.cos(omega * t))
+
+        def f_of_t(t):
+            return (-omega * np.sin(omega * t)) * u0_rows + \
+                np.cos(omega * t) * visc_u0
+
+        def u_full_of_t(t):
+            return np.cos(omega * t) * u0
+
+        def p_of_t(t):
+            return np.cos(omega * t) * p0
+
+        return u0, s_of_t, f_of_t, u_full_of_t, p_of_t

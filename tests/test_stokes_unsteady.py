@@ -1,0 +1,87 @@
+"""Unsteady Stokes (models/stokes_unsteady.py): theta-scheme integration of
+time-dependent creeping flow — a capability extension (the reference is
+steady-only).  Oracles: a steady state must be a FIXED POINT of the step,
+and against the manufactured u0(x)cos(t) solution the end-time error must
+shrink at the scheme's order (2nd for Crank-Nicolson, 1st for backward
+Euler)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectral_tpu.grid import Grid
+from spectral_tpu.models.stokes import StokesConfig
+from spectral_tpu.models.stokes_unsteady import UnsteadyStokes
+from spectral_tpu.solvers.krylov import KSPConfig
+
+CFG = StokesConfig(exact=1, boundary=0, pcvel="fastdiag",
+                   outer_ksp=KSPConfig(type="fgmres", rtol=1e-10,
+                                       max_it=300, restart=100))
+
+
+def test_steady_state_is_fixed_point():
+    """With time-independent data the exact steady solution must be
+    reproduced by one step to solver tolerance (the full saddle solve with
+    the mass-shifted operator and shifted-fastdiag velocity PC)."""
+    m = UnsteadyStokes(Grid((12, 12)), CFG, dt=0.1, theta=0.5)
+    u0, s, f, _, _ = m.manufactured(omega=0.0)
+    v1, p1, it, _ = m.step(u0, 1.0, f(0.0))
+    assert float(jnp.max(jnp.abs(v1 - u0))) < 1e-7
+    assert int(it) < 40
+
+
+def test_crank_nicolson_is_second_order():
+    """Recorded: errors 5.6e-6 / 1.4e-6 / 3.5e-7 at dt = 0.1/0.05/0.025 —
+    ratios 4.00 / 3.99."""
+    errs = {}
+    for dt in (0.1, 0.05):
+        m = UnsteadyStokes(Grid((12, 12)), CFG, dt=dt, theta=0.5)
+        u0, s, f, u_t, _ = m.manufactured(omega=1.0)
+        times = np.arange(0.0, 0.5 + 1e-12, dt)
+        v, _, _ = m.rollout(u0, times, s, f)
+        errs[dt] = float(jnp.max(jnp.abs(v - u_t(times[-1]))))
+    ratio = errs[0.1] / errs[0.05]
+    assert 3.0 < ratio < 5.0, (errs, ratio)
+
+
+def test_backward_euler_is_first_order():
+    """theta = 1: recorded ratio 2.003 at dt = 0.1 -> 0.05."""
+    errs = {}
+    for dt in (0.1, 0.05):
+        m = UnsteadyStokes(Grid((12, 12)), CFG, dt=dt, theta=1.0)
+        u0, s, f, u_t, _ = m.manufactured(omega=1.0)
+        times = np.arange(0.0, 0.5 + 1e-12, dt)
+        v, _, _ = m.rollout(u0, times, s, f)
+        errs[dt] = float(jnp.max(jnp.abs(v - u_t(times[-1]))))
+    ratio = errs[0.1] / errs[0.05]
+    assert 1.6 < ratio < 2.5, (errs, ratio)
+
+
+def test_curved_domain_unsteady():
+    """Curved domain: the strain/Piola blocks and the SHIFTED metric-MG
+    velocity surrogate compose into the time step (recorded: err 2.6e-4
+    after 5 CN steps at dt 0.05, ~13 outer iterations per step, discrete
+    divergence 3e-7)."""
+    from spectral_tpu.ops.curvilinear import named_map
+
+    cfg = StokesConfig(exact=1, boundary=0, pcvel="mg",
+                       outer_ksp=KSPConfig(type="fgmres", rtol=1e-9,
+                                           max_it=400, restart=100))
+    m = UnsteadyStokes(Grid((12, 12)), cfg, dt=0.05, theta=0.5,
+                       phi=named_map("bump:0.05"))
+    u0, s, f, u_t, _ = m.manufactured(omega=1.0)
+    times = np.arange(0.0, 0.25 + 1e-12, 0.05)
+    v, _, its = m.rollout(u0, times, s, f)
+    assert float(jnp.max(jnp.abs(v - u_t(times[-1])))) < 2e-3
+    assert float(jnp.max(jnp.abs(m._div_full(v)))) < 1e-5
+    assert max(its) <= 40
+
+
+def test_config_guards():
+    """Power-law rheology and unsupported velocity PCs are rejected."""
+    with pytest.raises(ValueError):
+        UnsteadyStokes(Grid((8, 8)),
+                       StokesConfig(exact=1, rheology=1), dt=0.1)
+    with pytest.raises(ValueError):
+        m = UnsteadyStokes(Grid((8, 8)),
+                           StokesConfig(exact=1, pcvel="q1fem"), dt=0.1)
