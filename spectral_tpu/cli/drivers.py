@@ -569,3 +569,52 @@ def heat_main(opts: Options) -> int:
     print(f"Norm of error vs analytic decay {err:e}")
     _print_unused(opts)
     return 0 if err < 1.0 else 2
+
+
+def unsteady_stokes_main(opts: Options) -> int:
+    """Time-dependent Stokes driver (capability extension; no reference
+    analog — the reference is steady-only):
+
+    spectral-tpu ustokes -dim 12,12 -dt 0.05 -nsteps 10 [-theta 0.5]
+        [-omega 1.0] [-exact 1] [-pcvel fastdiag|mg] [-map bump:0.05]
+
+    Integrates the manufactured solution u0(x) cos(omega t) (u0 = the
+    steady exact solution) and reports the end-time error, which is pure
+    time-integration error of the theta scheme.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.stokes import StokesConfig
+    from spectral_tpu.models.stokes_unsteady import UnsteadyStokes
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    dims = opts.get_int_array("dim", (12, 12))
+    dt = opts.get_real("dt", 0.05)
+    nsteps = opts.get_int("nsteps", 10)
+    theta = opts.get_real("theta", 0.5)
+    omega = opts.get_real("omega", 1.0)
+    map_spec = opts.get_string("map", "")
+    phi = None
+    if map_spec:
+        from spectral_tpu.ops.curvilinear import named_map
+        phi = named_map(map_spec)
+    cfg = StokesConfig(
+        exact=opts.get_int("exact", 1), boundary=0,
+        pcvel=opts.get_string("pcvel", "mg" if map_spec else "fastdiag"),
+        outer_ksp=opts.ksp_config("", KSPConfig(type="fgmres", rtol=1e-9,
+                                                max_it=400, restart=100)))
+    print(f"Unsteady Stokes  dim = [{','.join(map(str, dims))}]  dt = {dt}"
+          f"  theta = {theta}  omega = {omega}  steps = {nsteps}"
+          + (f"  map = {map_spec}" if map_spec else ""))
+    m = UnsteadyStokes(Grid(dims), cfg, dt=dt, theta=theta, phi=phi)
+    print(m.problem.census())
+    u0, s_of_t, f_of_t, u_of_t, _ = m.manufactured(omega=omega)
+    times = np.arange(nsteps + 1) * dt
+    v, _, its = m.rollout(u0, times, s_of_t, f_of_t)
+    err = float(jnp.max(jnp.abs(v - u_of_t(times[-1]))))
+    print(f"Outer iterations per step: min {min(its)}  max {max(its)}")
+    print(f"Norm of error            : abs = {err:e} (time-integration)")
+    _print_unused(opts)
+    return 0 if np.isfinite(err) and err < 1e-2 else 2

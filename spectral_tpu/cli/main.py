@@ -56,7 +56,11 @@ def main(argv: list[str] | None = None) -> int:
     if cmd == "heat":
         from spectral_tpu.cli.drivers import heat_main
         return heat_main(opts)
-    print(f"unknown driver {cmd!r}; one of: elliptic stokes poisson cheb heat")
+    if cmd == "ustokes":
+        from spectral_tpu.cli.drivers import unsteady_stokes_main
+        return unsteady_stokes_main(opts)
+    print(f"unknown driver {cmd!r}; "
+          "one of: elliptic stokes poisson cheb heat ustokes")
     return 1
 
 

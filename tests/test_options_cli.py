@@ -92,6 +92,16 @@ def test_heat_cli(capsys):
     assert err < 1e-3
 
 
+def test_unsteady_stokes_cli(capsys):
+    from spectral_tpu.cli.drivers import unsteady_stokes_main
+
+    rc = unsteady_stokes_main(Options("-dim 10,10 -dt 0.05 -nsteps 4".split()))
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    err = float(out.split("abs = ")[1].split()[0])
+    assert err < 1e-4
+
+
 def test_stokes_cli_curved_domain(capsys):
     """-map runs the full curvilinear metric path end-to-end (annulus
     sector; velocity PC auto-defaults to metric-aware MG)."""
