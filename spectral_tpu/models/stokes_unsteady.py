@@ -21,8 +21,11 @@ exactly the mass-shifted steady Jacobian:
     [sigma I + VV   VP] [v1]   [sigma v0 - (1-theta)/theta VV v0 + fbar/theta]
     [PV              0] [q ] = [0                                            ]
 
-Linear (eta = 1) rheology: each step is one preconditioned FGMRES solve of
-the problem's ``jacobian_action``; no Newton loop is needed.
+Linear rheology: each step is one preconditioned FGMRES solve of the
+problem's ``jacobian_action``.  Power-law rheology: each step is a Newton
+solve of the theta-discretized nonlinear residual, whose exact Jacobian IS
+the mass-shifted steady Jacobian at the current state — time-dependent
+non-Newtonian creeping flow, well beyond the steady-only reference.
 """
 
 from __future__ import annotations
@@ -57,13 +60,15 @@ class UnsteadyStokes:
     phi: object = None
 
     def __post_init__(self):
-        if self.config.rheology not in (0, "linear"):
-            raise ValueError("UnsteadyStokes supports linear rheology only "
-                             "(each step is one linear saddle solve)")
         if not (0.0 < self.theta <= 1.0):
             raise ValueError("theta must be in (0, 1]")
         _ = self.problem  # build eagerly (cached_property under jit caveat)
-        _ = self._step
+        if self._linear:
+            _ = self._step
+
+    @property
+    def _linear(self) -> bool:
+        return self.config.rheology in (0, "linear")
 
     @cached_property
     def sigma(self) -> float:
@@ -75,15 +80,22 @@ class UnsteadyStokes:
         return StokesProblem(self.grid, cfg, phi=self.phi)
 
     # -- spatial blocks on FULL velocity fields (boundary values baked) ----
-    def _visc_rows(self, vfull):
-        """Masked momentum rows of -div(eps(v)) for a full field (eta = 1),
-        incl. mixed/Neumann row replacement — mirrors make_residual's
-        linear branch."""
+    def _momentum_rows(self, vfull, params=None):
+        """Masked momentum rows of -div(eta(eps) eps(v)) for a full field,
+        incl. mixed/Neumann row replacement, plus the linearization state
+        (eta, deta, eps) — mirrors make_residual's viscous block."""
         p = self.problem
+        params = params or p.params_at(p.config.cont)
         S = p._strain(vfull)
-        yv = -p._tensor_divergence(S)
-        yv = p._mixed_rows(yv, S, vfull)
-        return p.mask_v(yv)
+        gamma = 0.5 * jnp.sum(S * S, axis=(-1, -2))
+        eta, deta = p.rheology(gamma, params)
+        flux = eta[..., None, None] * S
+        yv = -p._tensor_divergence(flux)
+        yv = p._mixed_rows(yv, flux, vfull)
+        return p.mask_v(yv), (eta, deta, S)
+
+    def _visc_rows(self, vfull, params=None):
+        return self._momentum_rows(vfull, params)[0]
 
     def _div_full(self, vfull):
         """Masked continuity rows for a full field (conservative Piola form
@@ -131,12 +143,45 @@ class UnsteadyStokes:
 
         return jax.jit(step)
 
+    def _step_newton(self, v0_full, s1, fbar, x0=None):
+        """Nonlinear (power-law) step: Newton on the theta-discretized
+        residual in the q-form — its exact Jacobian is the problem's
+        mass-shifted ``jacobian_action`` at the current linearization
+        state, so the whole steady Newton/PC stack is reused verbatim."""
+        from spectral_tpu.solvers.newton import newton_solve
+
+        p, th, sigma = self.problem, self.theta, self.sigma
+        params = p.params_at(p.config.cont)
+        N0, _ = self._momentum_rows(v0_full, params)
+        bc1 = self._bc_ext(s1)
+
+        def residual(x):
+            v1_full = bc1 + p.mask_v(x["v"])
+            N1, lin_state = self._momentum_rows(v1_full, params)
+            Fv = (p.mask_v(sigma * (v1_full - v0_full)) + N1
+                  + ((1.0 - th) / th) * N0 - fbar / th
+                  + p.pressure_gradient(x["p"]))
+            Fp = p.project_p(self._div_full(v1_full))
+            return {"v": Fv, "p": Fp}, lin_state
+
+        pc_setup, pc_apply = p.make_pc()
+        x0 = x0 or {"v": p.mask_v(v0_full), "p": jnp.zeros(p.grid.dims)}
+        res = newton_solve(residual, x0,
+                           jacobian_action=p.jacobian_action,
+                           pc_setup=pc_setup, pc_apply=pc_apply,
+                           ksp=p.config.outer_ksp, config=p.config.newton)
+        v1_full = bc1 + p.mask_v(res.x["v"])
+        q = p.mask_p(res.x["p"])
+        return v1_full, th * q, sum(res.ksp_iters), res.fnorm
+
     def step(self, v0_full, s1: float, fbar):
         """Advance one step.  ``v0_full`` is the full velocity field at t0
         (boundary values included), ``s1`` the boundary modulation at t1,
         ``fbar`` the theta-weighted momentum forcing
         theta*f(t1) + (1-theta)*f(t0) (masked rows)."""
-        return self._step(v0_full, jnp.asarray(s1), fbar)
+        if self._linear:
+            return self._step(v0_full, jnp.asarray(s1), fbar)
+        return self._step_newton(v0_full, jnp.asarray(s1), fbar)
 
     def rollout(self, v0_full, times, s_of_t, f_of_t):
         """Integrate over ``times`` (t0..tN): returns (v_full, p, iters).
@@ -164,17 +209,21 @@ class UnsteadyStokes:
         Returns (v0_full, s_of_t, f_of_t, u_full_of_t, p_of_t).
         """
         p = self.problem
+        params = p.params_at(p.config.cont)
         u0 = jnp.where(p.dirichlet_mask[..., None], p.bc_vel, p.exact_v)
         p0 = p.exact_p
-        visc_u0 = self._visc_rows(u0) + p.pressure_gradient(p0)
+        gradp0 = p.pressure_gradient(p0)
         u0_rows = p.mask_v(u0)
+        visc = jax.jit(lambda v: self._visc_rows(v, params))
 
         def s_of_t(t):
             return float(np.cos(omega * t))
 
         def f_of_t(t):
+            # N is nonlinear in general: evaluate at the SCALED field
+            c = np.cos(omega * t)
             return (-omega * np.sin(omega * t)) * u0_rows + \
-                np.cos(omega * t) * visc_u0
+                visc(c * u0) + c * gradp0
 
         def u_full_of_t(t):
             return np.cos(omega * t) * u0

@@ -77,11 +77,36 @@ def test_curved_domain_unsteady():
     assert max(its) <= 40
 
 
+def test_power_law_unsteady():
+    """Non-Newtonian time dependence: each step is a Newton solve of the
+    theta-discretized residual whose exact Jacobian is the mass-shifted
+    steady Jacobian.  Oracles: (a) steady power-law state is a fixed point
+    of the step; (b) CN order holds for the nonlinear scheme."""
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    cfg = StokesConfig(exact=1, boundary=0, rheology=1, exponent=3.0,
+                       regularization=1e-1, pcvel="mg",
+                       outer_ksp=KSPConfig(type="fgmres", rtol=1e-9,
+                                           max_it=400, restart=100),
+                       newton=NewtonConfig(rtol=1e-10, max_it=12))
+    m = UnsteadyStokes(Grid((10, 10)), cfg, dt=0.1, theta=0.5)
+    u0, s, f, u_t, _ = m.manufactured(omega=0.0)
+    v1, p1, its, fnorm = m.step(u0, 1.0, f(0.0))
+    assert float(jnp.max(jnp.abs(v1 - u0))) < 1e-6
+
+    errs = {}
+    for dt in (0.1, 0.05):
+        m = UnsteadyStokes(Grid((10, 10)), cfg, dt=dt, theta=0.5)
+        u0, s, f, u_t, _ = m.manufactured(omega=1.0)
+        times = np.arange(0.0, 0.3 + 1e-12, dt)
+        v, _, _ = m.rollout(u0, times, s, f)
+        errs[dt] = float(jnp.max(jnp.abs(v - u_t(times[-1]))))
+    ratio = errs[0.1] / errs[0.05]
+    assert 3.0 < ratio < 5.5, (errs, ratio)
+
+
 def test_config_guards():
-    """Power-law rheology and unsupported velocity PCs are rejected."""
+    """Unsupported velocity PCs under mass_shift are rejected."""
     with pytest.raises(ValueError):
         UnsteadyStokes(Grid((8, 8)),
-                       StokesConfig(exact=1, rheology=1), dt=0.1)
-    with pytest.raises(ValueError):
-        m = UnsteadyStokes(Grid((8, 8)),
-                           StokesConfig(exact=1, pcvel="q1fem"), dt=0.1)
+                       StokesConfig(exact=1, pcvel="q1fem"), dt=0.1)
