@@ -118,9 +118,9 @@ class UnsteadyStokes:
         p = self.problem
         return jnp.where(p.dirichlet_mask[..., None], s * p.bc_vel, 0.0)
 
-    @cached_property
-    def _step(self):
-        """Jitted (v0_full, s1, fbar) -> (v1_full, p1, iters, rnorm)."""
+    def _step_fn(self):
+        """(v0_full, s1, fbar) -> (v1_full, p1, iters, rnorm), traceable
+        (shared by the jitted single step and the scanned rollout)."""
         p, th, sigma = self.problem, self.theta, self.sigma
         lin_state = (jnp.ones(p.grid.dims), jnp.zeros(p.grid.dims),
                      jnp.zeros(p.grid.dims + (p.d, p.d)))
@@ -141,7 +141,11 @@ class UnsteadyStokes:
             q = p.mask_p(res.x["p"])
             return v1_full, th * q, res.iters, res.rnorm
 
-        return jax.jit(step)
+        return step
+
+    @cached_property
+    def _step(self):
+        return jax.jit(self._step_fn())
 
     def _step_newton(self, v0_full, s1, fbar, x0=None):
         """Nonlinear (power-law) step: Newton on the theta-discretized
@@ -197,6 +201,31 @@ class UnsteadyStokes:
             v, pres, it, _ = self.step(v, s_of_t(t1), fbar)
             its.append(int(it))
         return v, pres, its
+
+    def rollout_scan(self, v0_full, s_values, fbars):
+        """Fully-jitted linear rollout: the WHOLE time integration compiles
+        to one XLA computation (`lax.scan` over precomputed per-step data
+        — the framework's "training loop" shape, like HeatModel.rollout).
+
+        ``s_values``: (nsteps,) boundary modulations at t1..tN;
+        ``fbars``: (nsteps, dims..., d) theta-weighted forcings.
+        Returns (v_full_final, p_final, iters_per_step)."""
+        if not self._linear:
+            raise ValueError("rollout_scan is the linear fast path; "
+                             "use rollout for power-law rheology")
+        step = self._step_fn()
+
+        @jax.jit
+        def run(v0, ss, fbs):
+            def body(v, inp):
+                s1, fb = inp
+                v1, p1, it, _ = step(v, s1, fb)
+                return v1, (p1, it)
+
+            v, (ps, its) = jax.lax.scan(body, v0, (ss, fbs))
+            return v, ps[-1], its
+
+        return run(v0_full, jnp.asarray(s_values), fbars)
 
     # -- manufactured time-dependent solution (test/demo oracle) -----------
     def manufactured(self, omega: float = 1.0):

@@ -77,6 +77,21 @@ def test_curved_domain_unsteady():
     assert max(its) <= 40
 
 
+def test_rollout_scan_matches_stepped():
+    """The fully-jitted lax.scan rollout (one XLA computation for the whole
+    integration) reproduces the host-stepped rollout."""
+    m = UnsteadyStokes(Grid((10, 10)), CFG, dt=0.05, theta=0.5)
+    u0, s, f, u_t, _ = m.manufactured(omega=1.0)
+    times = np.arange(0.0, 0.25 + 1e-12, 0.05)
+    v_ref, _, _ = m.rollout(u0, times, s, f)
+    ss = jnp.asarray([s(t) for t in times[1:]])
+    fbars = jnp.stack([m.theta * f(t1) + (1 - m.theta) * f(t0)
+                       for t0, t1 in zip(times[:-1], times[1:])])
+    v_scan, _, its = m.rollout_scan(u0, ss, fbars)
+    assert float(jnp.max(jnp.abs(v_scan - v_ref))) < 1e-10
+    assert its.shape == (len(times) - 1,)
+
+
 def test_power_law_unsteady():
     """Non-Newtonian time dependence: each step is a Newton solve of the
     theta-discretized residual whose exact Jacobian is the mass-shifted
