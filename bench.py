@@ -425,8 +425,10 @@ def _wait_for_grant(max_wait: float = 600.0) -> None:
         if time.monotonic() - t0 > max_wait:
             return  # let the in-process attempt surface the real error
         err = (r.stderr or "").strip().splitlines()
+        # diagnostics go to STDERR: the driver reads the last STDOUT line,
+        # which must stay well-formed JSON (the bootstrap line in main)
         print(f"# device grant unavailable ({err[-1][:120] if err else 'rc!=0'}); "
-              "retrying in 30 s", flush=True)
+              "retrying in 30 s", flush=True, file=sys.stderr)
         time.sleep(30.0)
 
 
@@ -466,7 +468,7 @@ def main():
 
     tries = int(os.environ.get("BENCH_GRANT_RETRY", "0"))
     try:
-        if tries:
+        if tries and not os.environ.get("BENCH_FORCE_CPU"):
             _wait_for_grant()
             time.sleep(120.0)
         float(jnp.sum(jnp.ones(8)))
@@ -475,13 +477,16 @@ def main():
         if tries >= 2:
             if env.get("BENCH_FORCE_CPU"):
                 raise
-            # final fallback: a CPU-labeled artifact beats no artifact
+            # final fallback: a CPU-labeled artifact beats no artifact.
+            # Clear the retry counter so the CPU run skips the grant wait.
             print(f"# backend init failed ({str(e)[:120]}); "
-                  "falling back to CPU", flush=True)
+                  "falling back to CPU", flush=True, file=sys.stderr)
             env["BENCH_FORCE_CPU"] = "1"
+            env.pop("BENCH_GRANT_RETRY", None)
         else:
             print(f"# backend init failed ({str(e)[:120]}); "
-                  f"re-exec retry {tries + 1}/2 in 60 s", flush=True)
+                  f"re-exec retry {tries + 1}/2 in 60 s", flush=True,
+                  file=sys.stderr)
             time.sleep(60.0)
             env["BENCH_GRANT_RETRY"] = str(tries + 1)
         os.execve(sys.executable, [sys.executable] + sys.argv, env)

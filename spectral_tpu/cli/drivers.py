@@ -593,6 +593,8 @@ def unsteady_stokes_main(opts: Options) -> int:
     dims = opts.get_int_array("dim", (12, 12))
     dt = opts.get_real("dt", 0.05)
     nsteps = opts.get_int("nsteps", 10)
+    if nsteps < 1:
+        raise SystemExit("-nsteps must be >= 1")
     theta = opts.get_real("theta", 0.5)
     omega = opts.get_real("omega", 1.0)
     map_spec = opts.get_string("map", "")

@@ -435,6 +435,19 @@ class StokesProblem:
     # ------------------------------------------------------------------
     # Residual and Jacobian blocks
     # ------------------------------------------------------------------
+    def _viscous_rows(self, vfull, params: PowerLawParams):
+        """(masked momentum rows, lin_state) of -div(eta(eps) eps) at a FULL
+        velocity field, incl. the mixed/Neumann traction-row replacement —
+        the viscous block shared by make_residual and the unsteady model
+        (models/stokes_unsteady.py), so the two cannot drift."""
+        S = self._strain(vfull)
+        gamma = 0.5 * jnp.sum(S * S, axis=(-1, -2))
+        eta, deta = self.rheology(gamma, params)
+        flux = eta[..., None, None] * S
+        yv = -self._tensor_divergence(flux)
+        yv = self._mixed_rows(yv, flux, vfull)
+        return self.mask_v(yv), (eta, deta, S)
+
     def make_residual(self, params: PowerLawParams, monitor_eta: bool = False):
         """StokesFunction (stokes.C:679-758) as x -> (F, lin_state).
 
@@ -444,17 +457,12 @@ class StokesProblem:
 
         def residual(xG):
             vL = self.local_velocity(xG["v"], with_dirichlet=True)
-            S = self._strain(vL)
-            gamma = 0.5 * jnp.sum(S * S, axis=(-1, -2))
-            eta, deta = self.rheology(gamma, params)
+            rows, (eta, deta, S) = self._viscous_rows(vL, params)
             if monitor_eta:
                 jax.debug.print(
                     "Minimum eta = {mn:.3e}   Maximum eta = {mx:.3e}",
                     mn=jnp.min(eta), mx=jnp.max(eta))
-            flux = eta[..., None, None] * S
-            yv = -self._tensor_divergence(flux)
-            yv = self._mixed_rows(yv, flux, vL)
-            Fv = self.mask_v(yv) + self.pressure_gradient(xG["p"])
+            Fv = rows + self.pressure_gradient(xG["p"])
             if self.cmap is None:
                 # div v == trace of the already-computed strain: the same
                 # per-axis dot products, so this saves the d transforms of a

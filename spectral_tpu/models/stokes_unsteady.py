@@ -46,11 +46,13 @@ class UnsteadyStokes:
     """theta-scheme time integrator over a ``StokesProblem`` domain.
 
     ``config`` follows the steady conventions (boundary/exact select the
-    spatial data; ``outer_ksp`` is the per-step linear solve); rheology
-    must be linear — the per-step system is solved as one linear saddle
-    solve.  ``phi`` runs the integrator on a curved domain (the strain,
-    Piola divergence and shifted metric-MG surrogates all come from the
-    steady machinery).
+    spatial data; ``outer_ksp`` is the per-step linear solve).  Linear
+    rheology steps by one saddle solve; power-law by a per-step Newton
+    solve (``config.newton``).  Boundaries must be Dirichlet-type: the
+    Neumann/mixed traction rows carry no time derivative, so the unsteady
+    row algebra does not apply to them (guarded).  ``phi`` runs the
+    integrator on a curved domain (the strain, Piola divergence and
+    shifted metric-MG surrogates all come from the steady machinery).
     """
 
     grid: Grid
@@ -63,6 +65,11 @@ class UnsteadyStokes:
         if not (0.0 < self.theta <= 1.0):
             raise ValueError("theta must be in (0, 1]")
         _ = self.problem  # build eagerly (cached_property under jit caveat)
+        if self.problem.num_mixed:
+            raise ValueError(
+                "UnsteadyStokes requires Dirichlet-type boundaries: "
+                "Neumann/mixed traction rows carry no time derivative, so "
+                "the mass-shifted step algebra does not apply to them")
         if self._linear:
             _ = self._step
 
@@ -81,18 +88,11 @@ class UnsteadyStokes:
 
     # -- spatial blocks on FULL velocity fields (boundary values baked) ----
     def _momentum_rows(self, vfull, params=None):
-        """Masked momentum rows of -div(eta(eps) eps(v)) for a full field,
-        incl. mixed/Neumann row replacement, plus the linearization state
-        (eta, deta, eps) — mirrors make_residual's viscous block."""
+        """Masked momentum rows + linearization state: the SHARED steady
+        viscous block (StokesProblem._viscous_rows), so the step residual
+        and the mass-shifted Jacobian cannot drift apart."""
         p = self.problem
-        params = params or p.params_at(p.config.cont)
-        S = p._strain(vfull)
-        gamma = 0.5 * jnp.sum(S * S, axis=(-1, -2))
-        eta, deta = p.rheology(gamma, params)
-        flux = eta[..., None, None] * S
-        yv = -p._tensor_divergence(flux)
-        yv = p._mixed_rows(yv, flux, vfull)
-        return p.mask_v(yv), (eta, deta, S)
+        return p._viscous_rows(vfull, params or p.params_at(p.config.cont))
 
     def _visc_rows(self, vfull, params=None):
         return self._momentum_rows(vfull, params)[0]
@@ -165,7 +165,12 @@ class UnsteadyStokes:
             Fv = (p.mask_v(sigma * (v1_full - v0_full)) + N1
                   + ((1.0 - th) / th) * N0 - fbar / th
                   + p.pressure_gradient(x["p"]))
-            Fp = p.project_p(self._div_full(v1_full))
+            if p.cmap is None:
+                # div == strain trace (bitwise on Cartesian grids): reuse
+                # the tensor _momentum_rows already computed
+                Fp = p.project_p(p._div_from_strain(lin_state[2]))
+            else:
+                Fp = p.project_p(self._div_full(v1_full))
             return {"v": Fv, "p": Fp}, lin_state
 
         pc_setup, pc_apply = p.make_pc()
@@ -173,7 +178,8 @@ class UnsteadyStokes:
         res = newton_solve(residual, x0,
                            jacobian_action=p.jacobian_action,
                            pc_setup=pc_setup, pc_apply=pc_apply,
-                           ksp=p.config.outer_ksp, config=p.config.newton)
+                           ksp=p.config.outer_ksp, config=p.config.newton,
+                           null_project=p.null_project)
         v1_full = bc1 + p.mask_v(res.x["v"])
         q = p.mask_p(res.x["p"])
         return v1_full, th * q, sum(res.ksp_iters), res.fnorm
@@ -213,17 +219,19 @@ class UnsteadyStokes:
         if not self._linear:
             raise ValueError("rollout_scan is the linear fast path; "
                              "use rollout for power-law rheology")
-        step = self._step_fn()
+        step = self._step  # cached jitted step (PC built once)
 
         @jax.jit
         def run(v0, ss, fbs):
-            def body(v, inp):
+            def body(carry, inp):
+                v, _ = carry
                 s1, fb = inp
                 v1, p1, it, _ = step(v, s1, fb)
-                return v1, (p1, it)
+                return (v1, p1), it
 
-            v, (ps, its) = jax.lax.scan(body, v0, (ss, fbs))
-            return v, ps[-1], its
+            p0 = jnp.zeros(self.problem.grid.dims, v0.dtype)
+            (v, pl), its = jax.lax.scan(body, (v0, p0), (ss, fbs))
+            return v, pl, its
 
         return run(v0_full, jnp.asarray(s_values), fbars)
 
