@@ -147,6 +147,28 @@ class UnsteadyStokes:
     def _step(self):
         return jax.jit(self._step_fn())
 
+    def _step_residual(self, x, v0_full, params, s1, fbar, N0=None):
+        """theta-discretized step residual in the q-form, (F, lin_state):
+        jax-traceable in x, v0_full AND params (the transient adjoint vjp's
+        it in all three).  ``N0`` optionally injects the precomputed
+        previous-state viscous rows (the Newton loop hoists them)."""
+        p, th, sigma = self.problem, self.theta, self.sigma
+        bc1 = self._bc_ext(s1)
+        v1_full = bc1 + p.mask_v(x["v"])
+        N1, lin_state = p._viscous_rows(v1_full, params)
+        if N0 is None:
+            N0 = p._viscous_rows(v0_full, params)[0]
+        Fv = (p.mask_v(sigma * (v1_full - v0_full)) + N1
+              + ((1.0 - th) / th) * N0 - fbar / th
+              + p.pressure_gradient(x["p"]))
+        if p.cmap is None:
+            # div == strain trace (bitwise on Cartesian grids): reuse
+            # the tensor _viscous_rows already computed
+            Fp = p.project_p(p._div_from_strain(lin_state[2]))
+        else:
+            Fp = p.project_p(self._div_full(v1_full))
+        return {"v": Fv, "p": Fp}, lin_state
+
     def _step_newton(self, v0_full, s1, fbar, x0=None):
         """Nonlinear (power-law) step: Newton on the theta-discretized
         residual in the q-form — its exact Jacobian is the problem's
@@ -154,24 +176,13 @@ class UnsteadyStokes:
         state, so the whole steady Newton/PC stack is reused verbatim."""
         from spectral_tpu.solvers.newton import newton_solve
 
-        p, th, sigma = self.problem, self.theta, self.sigma
+        p, th = self.problem, self.theta
         params = p.params_at(p.config.cont)
         N0, _ = self._momentum_rows(v0_full, params)
         bc1 = self._bc_ext(s1)
 
         def residual(x):
-            v1_full = bc1 + p.mask_v(x["v"])
-            N1, lin_state = self._momentum_rows(v1_full, params)
-            Fv = (p.mask_v(sigma * (v1_full - v0_full)) + N1
-                  + ((1.0 - th) / th) * N0 - fbar / th
-                  + p.pressure_gradient(x["p"]))
-            if p.cmap is None:
-                # div == strain trace (bitwise on Cartesian grids): reuse
-                # the tensor _momentum_rows already computed
-                Fp = p.project_p(p._div_from_strain(lin_state[2]))
-            else:
-                Fp = p.project_p(self._div_full(v1_full))
-            return {"v": Fv, "p": Fp}, lin_state
+            return self._step_residual(x, v0_full, params, s1, fbar, N0=N0)
 
         pc_setup, pc_apply = p.make_pc()
         x0 = x0 or {"v": p.mask_v(v0_full), "p": jnp.zeros(p.grid.dims)}
@@ -193,20 +204,79 @@ class UnsteadyStokes:
             return self._step(v0_full, jnp.asarray(s1), fbar)
         return self._step_newton(v0_full, jnp.asarray(s1), fbar)
 
-    def rollout(self, v0_full, times, s_of_t, f_of_t):
-        """Integrate over ``times`` (t0..tN): returns (v_full, p, iters).
+    def rollout(self, v0_full, times, s_of_t, f_of_t, keep_trajectory=False):
+        """Integrate over ``times`` (t0..tN): returns (v_full, p, iters)
+        — or (trajectory, p, iters) with the full [v_0..v_N] list when
+        ``keep_trajectory`` (the transient adjoint's forward sweep).
 
         ``s_of_t(t) -> float`` modulates the Dirichlet data; ``f_of_t(t)``
         returns the masked momentum forcing.  Forcing/boundary data are
         evaluated host-side per step (arbitrary time dependence); the solve
         itself is the single jitted step above.
         """
-        v, pres, its = v0_full, None, []
+        v, pres, its, traj = v0_full, None, [], [v0_full]
         for t0, t1 in zip(times[:-1], times[1:]):
             fbar = self.theta * f_of_t(t1) + (1.0 - self.theta) * f_of_t(t0)
             v, pres, it, _ = self.step(v, s_of_t(t1), fbar)
             its.append(int(it))
+            if keep_trajectory:
+                traj.append(v)
+        if keep_trajectory:
+            return traj, pres, its
         return v, pres, its
+
+    def adjoint_gradient(self, qoi, traj, times, s_of_t, f_of_t, *,
+                         params=None, ksp=None):
+        """Discrete transient adjoint: d/dparams qoi(v_N) through every
+        implicit theta step — ONE transposed mass-shifted saddle solve per
+        step (reverse sweep), preconditioned by the framework's
+        ``make_pc(adjoint=True)``, with the parameter and prior-state
+        contractions as vjps of the SAME step residual the forward Newton
+        solves.  Cost is independent of the parameter count (reverse mode);
+        ``jax.grad`` alone cannot do this through ``lax.while_loop`` Krylov
+        solvers (see solvers/adjoint.py).
+
+        ``traj``: [v_0..v_N] from ``rollout(..., keep_trajectory=True)``.
+        Boundary/forcing data are treated as params-independent; ``qoi``
+        maps the final full velocity field to a scalar.
+
+        Returns (grad_params, iters_per_step_reversed).
+        """
+        p, th = self.problem, self.theta
+        params = params if params is not None else p.params_at(p.config.cont)
+        ksp = ksp or p.config.outer_ksp
+        pc_setup, pc_apply = p.make_pc(adjoint=True)
+        zero_p = jnp.zeros(p.grid.dims, traj[-1].dtype)
+
+        w = jax.grad(qoi)(traj[-1])
+        gtheta = jax.tree_util.tree_map(
+            lambda a: jnp.zeros_like(jnp.asarray(a, jnp.result_type(float))),
+            params)
+        its = []
+        for k in range(len(traj) - 1, 0, -1):
+            v1_full, v0_full = traj[k], traj[k - 1]
+            s1 = s_of_t(times[k])
+            fbar = th * f_of_t(times[k]) + (1.0 - th) * f_of_t(times[k - 1])
+            # q is a placeholder: G is linear in q, so dG/dz, dG/dv0 and
+            # dG/dparams at the true v1 are exact regardless of its value
+            z_star = {"v": p.mask_v(v1_full), "p": zero_p}
+            G = lambda z, v0, th_: self._step_residual(z, v0, th_, s1,
+                                                       fbar)[0]
+            lin_state = self._step_residual(z_star, v0_full, params,
+                                            s1, fbar)[1]
+            _, vjp_z = jax.vjp(lambda z: G(z, v0_full, params), z_star)
+            pc_state = pc_setup(None, lin_state)
+            rhs = {"v": p.mask_v(w), "p": zero_p}
+            res = ksp.solve(lambda lam: vjp_z(lam)[0], rhs,
+                            M=lambda r: pc_apply(pc_state, r),
+                            null_project=p.null_project)
+            its.append(int(res.iters))
+            _, vjp_v0th = jax.vjp(lambda v0, th_: G(z_star, v0, th_),
+                                  v0_full, params)
+            dv0, dth = vjp_v0th(res.x)
+            gtheta = jax.tree_util.tree_map(lambda a, b: a - b, gtheta, dth)
+            w = -dv0
+        return gtheta, its
 
     def rollout_scan(self, v0_full, s_values, fbars):
         """Fully-jitted linear rollout: the WHOLE time integration compiles
