@@ -418,3 +418,34 @@ def test_pencil_pipelined_stokes_solve():
     # the iteration counts above are the exact invariant)
     np.testing.assert_allclose(np.asarray(r_sh.x["v"]),
                                np.asarray(r_ref.x["v"]), atol=1e-8)
+
+
+def test_sharded_unsteady_stokes_step_matches_single_device():
+    """The unsteady time step (mass-shifted saddle solve) under GSPMD: a
+    full step on a mesh-sharded previous state reproduces the
+    single-device step and keeps its iteration count (iteration-count
+    invariance is the sharded-solver contract)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spectral_tpu.models.stokes import StokesConfig
+    from spectral_tpu.models.stokes_unsteady import UnsteadyStokes
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    mesh = _mesh4()
+    cfg = StokesConfig(exact=1, boundary=0, pcvel="fastdiag",
+                       outer_ksp=KSPConfig(type="fgmres", rtol=1e-10,
+                                           max_it=200, restart=100))
+    m = UnsteadyStokes(Grid((12, 12)), cfg, dt=0.05, theta=0.5)
+    u0, s, f, _, _ = m.manufactured(omega=1.0)
+    fbar = 0.5 * f(0.05) + 0.5 * f(0.0)
+    v_ref, p_ref, it_ref, _ = m.step(u0, s(0.05), fbar)
+
+    shard_v = NamedSharding(mesh, P("x", None, None))
+    u0s = jax.device_put(u0, shard_v)
+    fbs = jax.device_put(fbar, shard_v)
+    with mesh:
+        v, p1, it, _ = m.step(u0s, s(0.05), fbs)
+        jax.block_until_ready(v)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p_ref), atol=1e-9)
+    assert int(it) == int(it_ref)
