@@ -581,6 +581,10 @@ def main():
             "unit": "GDOF/s",
             "vs_baseline": round(gdofs / target, 4),
             "device": jax.devices()[0].device_kind,
+            # set on the last-resort CPU fallback: these numbers are NOT
+            # chip numbers (see BASELINE.md round-3 chip table instead)
+            **({"tpu_unavailable": True}
+               if os.environ.get("BENCH_FORCE_CPU") else {}),
             "hbm_bw_spec_gbps": round(bw_spec, 1),
             "hbm_bw_triad_gbps": round(bw_triad, 1),
             "copy_samepattern_gelts": round(copy_gelts, 2),
