@@ -1020,6 +1020,11 @@ class StokesProblem:
         clamping the standalone curved 20^2 solve degraded the error from
         5e-5 to 2e-2 while saving 26 iterations)."""
         cfg = self.config
+        if cfg.mass_shift:
+            raise ValueError(
+                "mass_shift is the UNSTEADY step operator (the steady "
+                "residual carries no mass term — use "
+                "models/stokes_unsteady.UnsteadyStokes for time stepping)")
         params = params or self.params_at(cfg.cont)
         residual_raw = self.make_residual(params, monitor_eta=monitor)
 
