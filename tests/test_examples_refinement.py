@@ -109,3 +109,13 @@ def test_solver_tuning_demo(capsys):
     main()
     out = capsys.readouterr().out
     assert "solver_tuning_demo OK" in out
+
+
+@pytest.mark.slow
+def test_transient_fit_demo():
+    """Transient-adjoint parameter estimation demo recovers the true
+    hardness from a final-time observation (secant on the exact adjoint
+    gradient; recorded: error ~1e-2 within 10 iterations)."""
+    from examples.transient_fit_demo import main
+
+    assert main(["-n", "8", "-iters", "10"]) == 0
