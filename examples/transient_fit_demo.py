@@ -8,7 +8,7 @@ models/stokes_unsteady.py::adjoint_gradient) — the exact misfit gradient at
 a cost independent of the parameter count.  No reference analog (the
 reference has neither time stepping nor derivatives of solves).
 
-Run: python examples/transient_fit_demo.py [-n 8] [-steps 8] [-platform cpu]
+Run: python examples/transient_fit_demo.py [-n 8] [-steps 2] [-platform cpu]
 """
 
 from __future__ import annotations
@@ -35,7 +35,7 @@ def main(argv=None) -> int:
     from spectral_tpu.solvers.newton import NewtonConfig
 
     n = opts.get_int("n", 8)
-    steps = opts.get_int("steps", 8)
+    steps = opts.get_int("steps", 2)
     x64 = jax.config.read("jax_enable_x64")
     rtol = 1e-11 if x64 else 1e-5
     cfg0 = StokesConfig(
@@ -46,7 +46,7 @@ def main(argv=None) -> int:
         newton=NewtonConfig(rtol=rtol, max_it=20))
     grid = Grid((n, n))
     dt = 0.1
-    times = np.arange(3) * dt
+    times = np.arange(steps + 1) * dt
 
     def model_at(hardness: float) -> UnsteadyStokes:
         return UnsteadyStokes(grid,
@@ -82,7 +82,10 @@ def main(argv=None) -> int:
         if g_prev is None:
             step = 0.1 if g < 0 else -0.1         # bootstrap the secant
         else:
-            step = -g * (h - h_prev) / (g - g_prev)
+            denom = g - g_prev
+            if abs(denom) < 1e-30:   # f32 gradient quantization near optimum
+                break
+            step = -g * (h - h_prev) / denom
         h_prev, g_prev = h, g
         h = h + step
     err = abs(h - true_h)

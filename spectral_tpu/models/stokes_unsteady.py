@@ -260,21 +260,22 @@ class UnsteadyStokes:
             # q is a placeholder: G is linear in q, so dG/dz, dG/dv0 and
             # dG/dparams at the true v1 are exact regardless of its value
             z_star = {"v": p.mask_v(v1_full), "p": zero_p}
-            G = lambda z, v0, th_: self._step_residual(z, v0, th_, s1,
-                                                       fbar)[0]
-            lin_state = self._step_residual(z_star, v0_full, params,
-                                            s1, fbar)[1]
-            _, vjp_z = jax.vjp(lambda z: G(z, v0_full, params), z_star)
+            G = lambda z, v0, params_: self._step_residual(
+                z, v0, params_, s1, fbar)[0]
+            _, vjp_z, lin_state = jax.vjp(
+                lambda z: self._step_residual(z, v0_full, params, s1, fbar),
+                z_star, has_aux=True)
             pc_state = pc_setup(None, lin_state)
             rhs = {"v": p.mask_v(w), "p": zero_p}
             res = ksp.solve(lambda lam: vjp_z(lam)[0], rhs,
                             M=lambda r: pc_apply(pc_state, r),
                             null_project=p.null_project)
             its.append(int(res.iters))
-            _, vjp_v0th = jax.vjp(lambda v0, th_: G(z_star, v0, th_),
-                                  v0_full, params)
-            dv0, dth = vjp_v0th(res.x)
-            gtheta = jax.tree_util.tree_map(lambda a, b: a - b, gtheta, dth)
+            _, vjp_v0p = jax.vjp(lambda v0, params_: G(z_star, v0, params_),
+                                 v0_full, params)
+            dv0, dparams = vjp_v0p(res.x)
+            gtheta = jax.tree_util.tree_map(lambda a, b: a - b, gtheta,
+                                            dparams)
             w = -dv0
         return gtheta, its
 
