@@ -589,6 +589,7 @@ def unsteady_stokes_main(opts: Options) -> int:
     from spectral_tpu.models.stokes import StokesConfig
     from spectral_tpu.models.stokes_unsteady import UnsteadyStokes
     from spectral_tpu.solvers.krylov import KSPConfig
+    from spectral_tpu.solvers.newton import NewtonConfig
 
     dims = opts.get_int_array("dim", (12, 12))
     dt = opts.get_real("dt", 0.05)
@@ -604,9 +605,16 @@ def unsteady_stokes_main(opts: Options) -> int:
         phi = named_map(map_spec)
     cfg = StokesConfig(
         exact=opts.get_int("exact", 1), boundary=0,
+        rheology=opts.get_int("rheology", 0),
+        hardness=opts.get_real("hardness", 1.0),
+        exponent=opts.get_real("exponent", 1.0),
+        regularization=opts.get_real("eps", 1.0),
+        gamma0=opts.get_real("gamma0", 1.0),
         pcvel=opts.get_string("pcvel", "mg" if map_spec else "fastdiag"),
         outer_ksp=opts.ksp_config("", KSPConfig(type="fgmres", rtol=1e-9,
-                                                max_it=400, restart=100)))
+                                                max_it=400, restart=100)),
+        newton=opts.newton_config(NewtonConfig(rtol=_default_snes_rtol(),
+                                               max_it=25)))
     print(f"Unsteady Stokes  dim = [{','.join(map(str, dims))}]  dt = {dt}"
           f"  theta = {theta}  omega = {omega}  steps = {nsteps}"
           + (f"  map = {map_spec}" if map_spec else ""))
@@ -614,7 +622,15 @@ def unsteady_stokes_main(opts: Options) -> int:
     print(m.problem.census())
     u0, s_of_t, f_of_t, u_of_t, _ = m.manufactured(omega=omega)
     times = np.arange(nsteps + 1) * dt
-    v, _, its = m.rollout(u0, times, s_of_t, f_of_t)
+    if m._linear and not opts.has("no_scan"):
+        # linear fast path: the whole integration is ONE lax.scan dispatch
+        ss = jnp.asarray([s_of_t(t) for t in times[1:]])
+        fbars = jnp.stack([theta * f_of_t(t1) + (1.0 - theta) * f_of_t(t0)
+                           for t0, t1 in zip(times[:-1], times[1:])])
+        v, _, its = m.rollout_scan(u0, ss, fbars)
+        its = [int(i) for i in np.asarray(its)]
+    else:
+        v, _, its = m.rollout(u0, times, s_of_t, f_of_t)
     err = float(jnp.max(jnp.abs(v - u_of_t(times[-1]))))
     print(f"Outer iterations per step: min {min(its)}  max {max(its)}")
     print(f"Norm of error            : abs = {err:e} (time-integration)")
