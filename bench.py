@@ -399,39 +399,6 @@ def bench_stokes_curved(n=14, n_coarse=8):
             err_coarse, flat_iters, neumann)
 
 
-def _wait_for_grant(max_wait: float = 600.0) -> None:
-    """Wait out a WEDGED device grant (left by a recently-killed TPU
-    process) before the in-process backend init.  Probes in throwaway
-    subprocesses: a wedged grant makes init raise quickly there, while
-    this process's backend stays untouched (JAX caches a failed init
-    forever).  A probe that merely BLOCKS is the normal grant wait — on
-    probe timeout we proceed and let the in-process init do that waiting."""
-    import subprocess
-    import sys
-
-    code = "import jax, jax.numpy as jnp; float(jnp.sum(jnp.ones(8)))"
-    t0 = time.monotonic()
-    while True:
-        try:
-            # short timeout: the wedge mode RAISES within seconds; a probe
-            # still alive after 60 s is in the normal blocking grant queue
-            # (killing it there is harmless — it has not executed on-device)
-            r = subprocess.run([sys.executable, "-c", code], timeout=60,
-                               capture_output=True, text=True)
-            if r.returncode == 0:
-                return
-        except subprocess.TimeoutExpired:
-            return  # legitimately queued for the grant: absorb in-process
-        if time.monotonic() - t0 > max_wait:
-            return  # let the in-process attempt surface the real error
-        err = (r.stderr or "").strip().splitlines()
-        # diagnostics go to STDERR: the driver reads the last STDOUT line,
-        # which must stay well-formed JSON (the bootstrap line in main)
-        print(f"# device grant unavailable ({err[-1][:120] if err else 'rc!=0'}); "
-              "retrying in 30 s", flush=True, file=sys.stderr)
-        time.sleep(30.0)
-
-
 def main():
     # Persistent XLA compilation cache: the fftw_import_system_wisdom analog
     # (cheb.c:32; SURVEY.md section 5.1).  The solve benches below include
@@ -466,11 +433,13 @@ def main():
         "error": "bench started; device grant not yet acquired",
     }), flush=True)
 
+    # No pre-init probing: a probe subprocess that takes and releases the
+    # grant leaves the NEXT process's init queued behind the release for
+    # up to ~25 min (measured — probes succeeded instantly while the main
+    # init kept failing).  The only safe client is one patient process:
+    # init directly, and on failure sleep long and re-exec fresh.
     tries = int(os.environ.get("BENCH_GRANT_RETRY", "0"))
     try:
-        if tries and not os.environ.get("BENCH_FORCE_CPU"):
-            _wait_for_grant()
-            time.sleep(120.0)
         float(jnp.sum(jnp.ones(8)))
     except Exception as e:
         env = dict(os.environ)
@@ -485,9 +454,9 @@ def main():
             env.pop("BENCH_GRANT_RETRY", None)
         else:
             print(f"# backend init failed ({str(e)[:120]}); "
-                  f"re-exec retry {tries + 1}/2 in 60 s", flush=True,
+                  f"re-exec retry {tries + 1}/2 in 300 s", flush=True,
                   file=sys.stderr)
-            time.sleep(60.0)
+            time.sleep(300.0)   # let any prior holder's release land
             env["BENCH_GRANT_RETRY"] = str(tries + 1)
         os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
