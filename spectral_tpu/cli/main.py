@@ -5,6 +5,8 @@
         -ksp_type fgmres -dim 20,20,20 -ksp_rtol 1e-10
     spectral-tpu poisson -m 16 -n 16
     spectral-tpu cheb -m1 9 -m 8 -n 7 -p 6 -d 1
+    spectral-tpu heat -dim 16,16 -dt 0.01 -nsteps 20
+    spectral-tpu ustokes -dim 12,12 -dt 0.05 -nsteps 10 -rheology 1 -exponent 3
 
 Option names and output format follow the reference drivers (elliptic.C,
 stokes.C, poisson.c, cheb.c); solver options use the same prefix namespacing
