@@ -627,12 +627,18 @@ def unsteady_stokes_main(opts: Options) -> int:
         ss = jnp.asarray([s_of_t(t) for t in times[1:]])
         fbars = jnp.stack([theta * f_of_t(t1) + (1.0 - theta) * f_of_t(t0)
                            for t0, t1 in zip(times[:-1], times[1:])])
-        v, _, its = m.rollout_scan(u0, ss, fbars)
+        v, pres, its = m.rollout_scan(u0, ss, fbars)
         its = [int(i) for i in np.asarray(its)]
     else:
-        v, _, its = m.rollout(u0, times, s_of_t, f_of_t)
+        v, pres, its = m.rollout(u0, times, s_of_t, f_of_t)
     err = float(jnp.max(jnp.abs(v - u_of_t(times[-1]))))
     print(f"Outer iterations per step: min {min(its)}  max {max(its)}")
     print(f"Norm of error            : abs = {err:e} (time-integration)")
+    if opts.has("output_vtk"):
+        from spectral_tpu.utils.vtk import write_stokes_vtk
+        write_stokes_vtk(m.problem,
+                         {"v": m.problem.mask_v(v), "p": pres},
+                         "ustokes.vtk", bc_scale=s_of_t(times[-1]))
+        print("Wrote ustokes.vtk")
     _print_unused(opts)
     return 0 if np.isfinite(err) and err < 1e-2 else 2

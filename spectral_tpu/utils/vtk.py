@@ -26,8 +26,13 @@ def _fmt_rows(arr: np.ndarray, per_line: int) -> str:
         return "\n".join(" ".join(f"{v:20e}" for v in row) + " " for row in flat)
 
 
-def write_stokes_vtk(problem, state, filename: str = "stokes.vtk") -> None:
-    """Write the final state like ``-output_vtk`` (stokes.C:238-241)."""
+def write_stokes_vtk(problem, state, filename: str = "stokes.vtk", *,
+                     bc_scale: float = 1.0) -> None:
+    """Write the final state like ``-output_vtk`` (stokes.C:238-241).
+
+    ``bc_scale`` scales the reconstructed Dirichlet display values — the
+    unsteady driver passes its boundary modulation s(T) so the written
+    boundary matches the integrated state (steady states use 1)."""
     import jax.numpy as jnp
 
     from spectral_tpu.ops.extrapolation import pressure_reduce_order
@@ -40,6 +45,9 @@ def write_stokes_vtk(problem, state, filename: str = "stokes.vtk") -> None:
     nodes = g.size
 
     vL = np.asarray(problem.local_velocity(state["v"], with_dirichlet=True))
+    if bc_scale != 1.0:
+        dm = np.asarray(problem.dirichlet_mask)[..., None]
+        vL = np.where(dm, bc_scale * np.asarray(problem.bc_vel), vL)
     pL = np.asarray(pressure_reduce_order(problem.mask_p(state["p"]), g.nodes_1d))
     # the force is not a velocity: reconstruct its removed mixed component
     # homogeneously (no v.n = bc_vnormal datum), Dirichlet display values
