@@ -290,9 +290,12 @@ class UnsteadyStokes:
         if not self._linear:
             raise ValueError("rollout_scan is the linear fast path; "
                              "use rollout for power-law rheology")
+        run = jax.jit(self._scan_rollout_fn())
+        return run(v0_full, jnp.asarray(s_values), fbars)
+
+    def _scan_rollout_fn(self):
         step = self._step  # cached jitted step (PC built once)
 
-        @jax.jit
         def run(v0, ss, fbs):
             def body(carry, inp):
                 v, _ = carry
@@ -304,7 +307,23 @@ class UnsteadyStokes:
             (v, pl), its = jax.lax.scan(body, (v0, p0), (ss, fbs))
             return v, pl, its
 
-        return run(v0_full, jnp.asarray(s_values), fbars)
+        return run
+
+    def family_rollout(self, v0s, s_values, fbars):
+        """Data-parallel batch of INDEPENDENT unsteady integrations
+        (distinct initial conditions / boundary modulations / forcings over
+        the shared operator+PC): one jitted ``vmap``-of-``scan`` — the
+        unsteady analog of ``StokesProblem.solve_family``, and the shape
+        that fills the TPU at small per-member grids.  Under a ``dp`` mesh
+        axis the batch shards across chips.
+
+        ``v0s``: (B, dims..., d); ``s_values``: (B, nsteps);
+        ``fbars``: (B, nsteps, dims..., d).  Returns (v_finals, p_finals,
+        iters[B, nsteps])."""
+        if not self._linear:
+            raise ValueError("family_rollout is the linear fast path")
+        run = jax.jit(jax.vmap(self._scan_rollout_fn()))
+        return run(v0s, jnp.asarray(s_values), fbars)
 
     # -- manufactured time-dependent solution (test/demo oracle) -----------
     def manufactured(self, omega: float = 1.0):

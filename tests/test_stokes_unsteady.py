@@ -120,6 +120,34 @@ def test_power_law_unsteady():
     assert 3.0 < ratio < 5.5, (errs, ratio)
 
 
+def test_family_rollout_matches_members():
+    """vmapped batch of independent integrations (distinct forcing
+    frequencies): each family member matches its own sequential
+    rollout_scan bitwise-closely at identical iteration counts."""
+    m = UnsteadyStokes(Grid((10, 10)), CFG, dt=0.05, theta=0.5)
+    times = np.arange(0.0, 0.2 + 1e-12, 0.05)
+    omegas = (0.5, 1.0, 2.0)
+    v0s, sss, fbs, refs = [], [], [], []
+    for om in omegas:
+        u0, s, f, _, _ = m.manufactured(omega=om)
+        ss = jnp.asarray([s(t) for t in times[1:]])
+        fb = jnp.stack([m.theta * f(t1) + (1 - m.theta) * f(t0)
+                        for t0, t1 in zip(times[:-1], times[1:])])
+        v0s.append(u0)
+        sss.append(ss)
+        fbs.append(fb)
+        refs.append(m.rollout_scan(u0, ss, fb))
+    vs, ps, its = m.family_rollout(jnp.stack(v0s), jnp.stack(sss),
+                                   jnp.stack(fbs))
+    for b in range(len(omegas)):
+        v_ref, p_ref, it_ref = refs[b]
+        np.testing.assert_allclose(np.asarray(vs[b]), np.asarray(v_ref),
+                                   atol=1e-11)
+        np.testing.assert_allclose(np.asarray(ps[b]), np.asarray(p_ref),
+                                   atol=1e-11)
+        assert np.array_equal(np.asarray(its[b]), np.asarray(it_ref))
+
+
 def test_transient_adjoint_matches_finite_differences():
     """Discrete transient adjoint (reverse sweep of transposed mass-shifted
     saddle solves): d qoi(v_T)/d(PowerLawParams) through 3 implicit CN
