@@ -290,8 +290,16 @@ class UnsteadyStokes:
         if not self._linear:
             raise ValueError("rollout_scan is the linear fast path; "
                              "use rollout for power-law rheology")
-        run = jax.jit(self._scan_rollout_fn())
-        return run(v0_full, jnp.asarray(s_values), fbars)
+        return self._scan_rollout(v0_full, jnp.asarray(s_values), fbars)
+
+    @cached_property
+    def _scan_rollout(self):
+        # cached jitted runner: a fresh closure per call would retrace
+        return jax.jit(self._scan_rollout_fn())
+
+    @cached_property
+    def _family_scan_rollout(self):
+        return jax.jit(jax.vmap(self._scan_rollout_fn()))
 
     def _scan_rollout_fn(self):
         step = self._step  # cached jitted step (PC built once)
@@ -322,8 +330,7 @@ class UnsteadyStokes:
         iters[B, nsteps])."""
         if not self._linear:
             raise ValueError("family_rollout is the linear fast path")
-        run = jax.jit(jax.vmap(self._scan_rollout_fn()))
-        return run(v0s, jnp.asarray(s_values), fbars)
+        return self._family_scan_rollout(v0s, jnp.asarray(s_values), fbars)
 
     # -- manufactured time-dependent solution (test/demo oracle) -----------
     def manufactured(self, omega: float = 1.0):
