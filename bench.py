@@ -447,11 +447,11 @@ def main():
             if env.get("BENCH_FORCE_CPU"):
                 raise
             # final fallback: a CPU-labeled artifact beats no artifact.
-            # Clear the retry counter so the CPU run skips the grant wait.
+            # Keep tries at 2 so a failing CPU init raises immediately
+            # instead of cycling two more 300 s retries.
             print(f"# backend init failed ({str(e)[:120]}); "
                   "falling back to CPU", flush=True, file=sys.stderr)
             env["BENCH_FORCE_CPU"] = "1"
-            env.pop("BENCH_GRANT_RETRY", None)
         else:
             print(f"# backend init failed ({str(e)[:120]}); "
                   f"re-exec retry {tries + 1}/2 in 300 s", flush=True,

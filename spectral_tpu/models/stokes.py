@@ -1064,6 +1064,11 @@ class StokesProblem:
           x0: one state (broadcast) or a stacked batch.
         Returns NewtonFamilyResult (leading axis = family member).
         """
+        if self.config.mass_shift:
+            raise ValueError(
+                "mass_shift is the UNSTEADY step operator (the steady "
+                "residual carries no mass term — use "
+                "models/stokes_unsteady.UnsteadyStokes for time stepping)")
         from spectral_tpu.solvers.newton import newton_solve_family
 
         thetas = jax.tree_util.tree_map(

@@ -64,6 +64,8 @@ class UnsteadyStokes:
     def __post_init__(self):
         if not (0.0 < self.theta <= 1.0):
             raise ValueError("theta must be in (0, 1]")
+        if not self.dt > 0.0:
+            raise ValueError("dt must be > 0")
         _ = self.problem  # build eagerly (cached_property under jit caveat)
         if self.problem.num_mixed:
             raise ValueError(
@@ -131,7 +133,10 @@ class UnsteadyStokes:
             R = (sigma * v0_full - ((1.0 - th) / th) * self._visc_rows(v0_full)
                  + fbar / th)
             bc1 = self._bc_ext(s1)
-            b = {"v": p.mask_v(R - sigma * bc1) - self._visc_rows(bc1),
+            # the unknowns' boundary coupling is entirely the NONLOCAL
+            # viscous/divergence action of the bc extension (the mass term
+            # is diagonal, so it contributes nothing to interior rows)
+            b = {"v": p.mask_v(R) - self._visc_rows(bc1),
                  "p": -self._div_full(bc1)}
             res = p.config.outer_ksp.solve(
                 lambda w: p.jacobian_action(None, lin_state, w), b,
@@ -169,31 +174,68 @@ class UnsteadyStokes:
             Fp = p.project_p(self._div_full(v1_full))
         return {"v": Fv, "p": Fp}, lin_state
 
+    @cached_property
+    def _newton_step_jit(self):
+        """ONE compiled object for the whole power-law time step: a
+        ``lax.while_loop`` Newton (bt line search, the problem's Newton
+        tolerances) around the mass-shifted saddle solve, with the
+        per-step data (v0, s1, fbar, x0) as traced arguments — the
+        host-loop ``newton_solve`` would re-trace/re-compile the nested
+        saddle PC at EVERY time step (its jitted step is a fresh closure
+        per call)."""
+        from spectral_tpu.solvers.newton import _line_search_bt, _norm
+
+        p, ncfg, ksp = self.problem, self.config.newton, self.config.outer_ksp
+        params = p.params_at(p.config.cont)
+        pc_setup, pc_apply = p.make_pc()
+
+        def run(v0_full, s1, fbar, x0):
+            N0 = p._viscous_rows(v0_full, params)[0]
+
+            def residual(x):
+                return self._step_residual(x, v0_full, params, s1, fbar,
+                                           N0=N0)
+
+            F0, lst0 = residual(x0)
+            fnorm0 = _norm(F0)
+            floor = jnp.maximum(ncfg.rtol * fnorm0, ncfg.atol)
+
+            def cond(c):
+                it, x, F, lst, fnorm, ok, its = c
+                return (ok & (fnorm > floor) & (it < ncfg.max_it)
+                        & jnp.isfinite(fnorm))
+
+            def body(c):
+                it, x, F, lst, fnorm, ok, its = c
+                pc_state = pc_setup(x, lst)
+                lres = ksp.solve(lambda w: p.jacobian_action(x, lst, w), F,
+                                 M=lambda r: pc_apply(pc_state, r),
+                                 null_project=p.null_project)
+                xn, Fn, lstn, fnn, ls_ok = _line_search_bt(
+                    residual, x, lres.x, fnorm, ncfg)
+                return (it + 1, xn, Fn, lstn, fnn, ls_ok,
+                        its + jnp.asarray(lres.iters, jnp.int32))
+
+            c0 = (jnp.asarray(0, jnp.int32), x0, F0, lst0, fnorm0,
+                  jnp.asarray(True), jnp.asarray(0, jnp.int32))
+            _, x, _, _, fnorm, _, its = jax.lax.while_loop(cond, body, c0)
+            return x, fnorm, its
+
+        return jax.jit(run)
+
     def _step_newton(self, v0_full, s1, fbar, x0=None):
         """Nonlinear (power-law) step: Newton on the theta-discretized
         residual in the q-form — its exact Jacobian is the problem's
         mass-shifted ``jacobian_action`` at the current linearization
-        state, so the whole steady Newton/PC stack is reused verbatim."""
-        from spectral_tpu.solvers.newton import newton_solve
-
+        state, so the whole steady saddle/PC stack is reused verbatim."""
         p, th = self.problem, self.theta
-        params = p.params_at(p.config.cont)
-        N0, _ = self._momentum_rows(v0_full, params)
-        bc1 = self._bc_ext(s1)
-
-        def residual(x):
-            return self._step_residual(x, v0_full, params, s1, fbar, N0=N0)
-
-        pc_setup, pc_apply = p.make_pc()
-        x0 = x0 or {"v": p.mask_v(v0_full), "p": jnp.zeros(p.grid.dims)}
-        res = newton_solve(residual, x0,
-                           jacobian_action=p.jacobian_action,
-                           pc_setup=pc_setup, pc_apply=pc_apply,
-                           ksp=p.config.outer_ksp, config=p.config.newton,
-                           null_project=p.null_project)
-        v1_full = bc1 + p.mask_v(res.x["v"])
-        q = p.mask_p(res.x["p"])
-        return v1_full, th * q, sum(res.ksp_iters), res.fnorm
+        if x0 is None:
+            x0 = {"v": p.mask_v(v0_full),
+                  "p": jnp.zeros(p.grid.dims, v0_full.dtype)}
+        x, fnorm, its = self._newton_step_jit(v0_full, s1, fbar, x0)
+        v1_full = self._bc_ext(s1) + p.mask_v(x["v"])
+        q = p.mask_p(x["p"])
+        return v1_full, th * q, int(its), float(fnorm)
 
     def step(self, v0_full, s1: float, fbar):
         """Advance one step.  ``v0_full`` is the full velocity field at t0
@@ -262,6 +304,10 @@ class UnsteadyStokes:
             z_star = {"v": p.mask_v(v1_full), "p": zero_p}
             G = lambda z, v0, params_: self._step_residual(
                 z, v0, params_, s1, fbar)[0]
+            # two SEPARATE vjps by design: the z-only vjp keeps every
+            # Krylov iteration's backward pass free of the v0/params
+            # branches (a joint vjp would drag them through each matvec);
+            # the (v0, params) vjp runs exactly once per step below
             _, vjp_z, lin_state = jax.vjp(
                 lambda z: self._step_residual(z, v0_full, params, s1, fbar),
                 z_star, has_aux=True)
