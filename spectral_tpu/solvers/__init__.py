@@ -4,7 +4,7 @@ from spectral_tpu.solvers.types import ConvergedReason, SolveResult
 from spectral_tpu.solvers.adjoint import implicit_gradient, implicit_hvp
 from spectral_tpu.solvers.fas import FASSolver
 from spectral_tpu.solvers.krylov import (KSPConfig, ksp_solve, gmres, fgmres,
-                                         cg, block_gmres)
+                                         cg, block_gmres, chebyshev, minres)
 
 __all__ = [
     "implicit_gradient",
@@ -17,5 +17,7 @@ __all__ = [
     "fgmres",
     "cg",
     "block_gmres",
+    "chebyshev",
+    "minres",
     "FASSolver",
 ]

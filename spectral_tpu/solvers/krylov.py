@@ -10,7 +10,9 @@ jit-compatible function on pytrees:
 - ``fgmres``  : flexible GMRES, right preconditioning (PETSc KSPFGMRES) —
                 required when the PC contains inner Krylov solves
 - ``cg``      : preconditioned conjugate gradients
-- ``richardson``, ``preonly`` : as in PETSc
+- ``minres``  : preconditioned MINRES for symmetric indefinite systems
+- ``chebyshev`` : inner-product-free semi-iteration (in-jit eigen estimate)
+- ``richardson``, ``preonly``, ``bcgs`` : as in PETSc
 
 Design notes (TPU):
 - Orthogonalization is CGS2 (classical Gram-Schmidt, two passes) expressed as
@@ -669,6 +671,200 @@ def richardson(A: Operator, b, x0=None, *, M: Optional[Operator] = None,
     return SolveResult(unravel(s[0]), s[2], s[4], s[3], s[5])
 
 
+def chebyshev(A: Operator, b, x0=None, *, M: Optional[Operator] = None,
+              emin: float | None = None, emax: float | None = None,
+              est_steps: int = 12, eig_ratio: float = 1.0 / 30.0,
+              eig_safety: float = 1.1,
+              rtol=1e-5, atol=1e-50, dtol=1e4, max_it=10000,
+              null_project=None, history_len=HISTORY_LEN) -> SolveResult:
+    """Chebyshev semi-iteration (PETSc KSPCHEBYSHEV) for SPD-preconditioned
+    spectra in ``[emin, emax]``.
+
+    The only inner product per iteration is the convergence-test norm: the
+    three-term recurrence needs none, so every step is one operator + one PC
+    apply of pure elementwise work — the classic smoother/accelerator for
+    bandwidth-bound hardware (the same recurrence smooths the multigrid
+    hierarchy, ops/multigrid.py).  When bounds are not supplied they are
+    estimated inside the jitted solve by ``est_steps`` power iterations on
+    the preconditioned operator (PETSc's ``-ksp_chebyshev_esteig`` analog;
+    deterministic start, no host sync): ``emax = eig_safety * lambda_est``,
+    ``emin = emax * eig_ratio`` — the standard AMG-smoother heuristic that
+    targets the upper part of the spectrum.  Pass explicit bounds for the
+    accelerator (full-spectrum) regime.
+    """
+    Af, bf, x0f, Mf, Pf, unravel = _flatten_system(A, b, x0, M, null_project)
+    history_len = _hist_len(history_len, max_it)
+    dtype = bf.dtype
+    op = lambda v: Mf(Pf(Af(v)))
+
+    if emax is None:
+        # Power iteration, deterministic start (ops/multigrid.py heuristic).
+        v = jnp.ones_like(bf)
+        v = v / _norm(v)
+
+        def pbody(_, carry):
+            v, _lam = carry
+            w = op(v)
+            lam = _norm(w)
+            return w / jnp.maximum(lam, _TINY), lam
+
+        _, lam_max = jax.lax.fori_loop(
+            0, est_steps, pbody, (v, jnp.asarray(1.0, dtype)))
+        e_hi = eig_safety * jnp.maximum(lam_max, _TINY)
+        e_lo = e_hi * eig_ratio
+    else:
+        e_hi = jnp.asarray(emax, dtype)
+        e_lo = jnp.asarray(emax * eig_ratio if emin is None else emin, dtype)
+
+    theta = 0.5 * (e_hi + e_lo)
+    delta = jnp.maximum(0.5 * (e_hi - e_lo), _TINY)
+    sigma1 = theta / delta
+
+    r0 = Pf(bf - Af(x0f))
+    beta0 = _norm(r0)
+    rnorm0 = jnp.maximum(beta0, _TINY)
+    hist = jnp.full((history_len,), -1.0, dtype).at[0].set(beta0)
+    reason0 = jnp.where(beta0 <= atol, int(ConvergedReason.CONVERGED_ATOL),
+                        int(ConvergedReason.ITERATING)).astype(jnp.int32)
+    d0 = Mf(r0) / theta
+    rho0 = 1.0 / sigma1
+    s0 = (x0f, r0, d0, jnp.asarray(rho0, dtype),
+          jnp.asarray(0, jnp.int32), beta0, reason0, hist)
+
+    def cond(s):
+        return s[6] == int(ConvergedReason.ITERATING)
+
+    def body(s):
+        x, r, d, rho, it, rnorm, reason, hist = s
+        x = x + d
+        r = r - Pf(Af(d))
+        rnorm = _norm(r)
+        it = it + 1
+        hist = hist.at[jnp.minimum(it, history_len - 1)].set(rnorm)
+        tol = jnp.maximum(rtol * rnorm0, atol)
+        reason = jnp.where(
+            ~jnp.isfinite(rnorm), int(ConvergedReason.DIVERGED_NANORINF),
+            jnp.where(rnorm <= tol,
+                      jnp.where(rnorm <= atol, int(ConvergedReason.CONVERGED_ATOL),
+                                int(ConvergedReason.CONVERGED_RTOL)),
+                      jnp.where(it >= max_it, int(ConvergedReason.DIVERGED_ITS),
+                                jnp.where(rnorm >= dtol * rnorm0,
+                                          int(ConvergedReason.DIVERGED_DTOL),
+                                          int(ConvergedReason.ITERATING)))))
+        z = Mf(r)
+        rho_new = 1.0 / (2.0 * sigma1 - rho)
+        d = rho_new * rho * d + (2.0 * rho_new / delta) * z
+        return (x, r, d, rho_new, it, rnorm, reason.astype(jnp.int32), hist)
+
+    s = jax.lax.while_loop(cond, body, s0)
+    return SolveResult(unravel(s[0]), s[4], s[6], s[5], s[7])
+
+
+class _MinresState(NamedTuple):
+    x: jax.Array
+    r1: jax.Array      # Lanczos v_{k-1} scaled by beta_{k-1}
+    r2: jax.Array      # Lanczos v_k scaled by beta_k (unpreconditioned)
+    y: jax.Array       # M r2
+    w: jax.Array       # solution-update direction w_k
+    w2: jax.Array      # w_{k-1}
+    oldb: jax.Array
+    beta: jax.Array
+    dbar: jax.Array
+    epsln: jax.Array
+    phibar: jax.Array  # sqrt(r^T M r): the monitored (M-norm) residual
+    cs: jax.Array
+    sn: jax.Array
+    it: jax.Array
+    reason: jax.Array
+    hist: jax.Array
+
+
+def minres(A: Operator, b, x0=None, *, M: Optional[Operator] = None,
+           rtol=1e-5, atol=1e-50, dtol=1e4, max_it=10000,
+           null_project=None, history_len=HISTORY_LEN) -> SolveResult:
+    """Preconditioned MINRES (Paige-Saunders; PETSc KSPMINRES) for SYMMETRIC
+    — possibly indefinite — operators with an SPD preconditioner: the
+    natural choice for the Stokes saddle system under a block-diagonal SPD
+    PC, with 3-term recurrences (O(n) memory) where GMRES stores a basis.
+    Monitors ``sqrt(r^T M r)`` (the M-norm PETSc monitors under left PC);
+    the returned ``rnorm`` is the recomputed TRUE unpreconditioned residual
+    norm."""
+    Af, bf, x0f, Mf, Pf, unravel = _flatten_system(A, b, x0, M, null_project)
+    history_len = _hist_len(history_len, max_it)
+    dtype = bf.dtype
+    op = lambda v: Pf(Af(v))
+
+    r1 = Pf(bf - Af(x0f))
+    y0 = Mf(r1)
+    beta1sq = jnp.vdot(r1, y0).real.astype(dtype)
+    # <r, Mr> < 0 means M is not SPD; flag rather than sqrt a negative.
+    beta1 = jnp.sqrt(jnp.maximum(beta1sq, 0.0))
+    phibar0 = jnp.maximum(beta1, _TINY)
+    hist = jnp.full((history_len,), -1.0, dtype).at[0].set(beta1)
+    reason0 = jnp.where(
+        beta1sq < 0.0, int(ConvergedReason.DIVERGED_INDEFINITE_PC),
+        jnp.where(beta1 <= atol, int(ConvergedReason.CONVERGED_ATOL),
+                  int(ConvergedReason.ITERATING))).astype(jnp.int32)
+    z = jnp.zeros_like(bf)
+    one = jnp.asarray(1.0, dtype)
+    zero = jnp.asarray(0.0, dtype)
+    s0 = _MinresState(x0f, r1, r1, y0, z, z, zero, beta1, zero, zero,
+                      beta1, -one, zero, jnp.asarray(0, jnp.int32),
+                      reason0, hist)
+
+    def cond(s):
+        return s.reason == int(ConvergedReason.ITERATING)
+
+    def body(s):
+        safe = lambda d: jnp.where(jnp.abs(d) > _TINY, d, 1.0)
+        v = s.y / safe(s.beta)
+        y = op(v)
+        y = jnp.where(s.it >= 1, y - (s.beta / safe(s.oldb)) * s.r1, y)
+        alfa = jnp.vdot(v, y).real.astype(dtype)
+        y = y - (alfa / safe(s.beta)) * s.r2
+        r1, r2 = s.r2, y
+        y = Mf(r2)
+        oldb = s.beta
+        betasq = jnp.vdot(r2, y).real.astype(dtype)
+        beta = jnp.sqrt(jnp.maximum(betasq, 0.0))
+        # previous rotation
+        oldeps = s.epsln
+        delta = s.cs * s.dbar + s.sn * alfa
+        gbar = s.sn * s.dbar - s.cs * alfa
+        epsln = s.sn * beta
+        dbar = -s.cs * beta
+        # next rotation
+        gamma = jnp.maximum(jnp.sqrt(gbar * gbar + beta * beta), _TINY)
+        cs = gbar / gamma
+        sn = beta / gamma
+        phi = cs * s.phibar
+        phibar = sn * s.phibar
+        w1 = s.w2
+        w2 = s.w
+        w = (v - oldeps * w1 - delta * w2) / gamma
+        x = s.x + phi * w
+        it = s.it + 1
+        hist = s.hist.at[jnp.minimum(it, history_len - 1)].set(phibar)
+        tol = jnp.maximum(rtol * phibar0, atol)
+        reason = jnp.where(
+            ~jnp.isfinite(phibar) | (betasq < 0.0),
+            jnp.where(betasq < 0.0, int(ConvergedReason.DIVERGED_INDEFINITE_PC),
+                      int(ConvergedReason.DIVERGED_NANORINF)),
+            jnp.where(phibar <= tol,
+                      jnp.where(phibar <= atol, int(ConvergedReason.CONVERGED_ATOL),
+                                int(ConvergedReason.CONVERGED_RTOL)),
+                      jnp.where(it >= max_it, int(ConvergedReason.DIVERGED_ITS),
+                                jnp.where(phibar >= dtol * phibar0,
+                                          int(ConvergedReason.DIVERGED_DTOL),
+                                          int(ConvergedReason.ITERATING)))))
+        return _MinresState(x, r1, r2, y, w, w2, oldb, beta, dbar, epsln,
+                            phibar, cs, sn, it, reason.astype(jnp.int32), hist)
+
+    s = jax.lax.while_loop(cond, body, s0)
+    rnorm_true = _norm(Pf(bf - Af(s.x)))
+    return SolveResult(unravel(s.x), s.it, s.reason, rnorm_true, s.hist)
+
+
 def preonly(A: Operator, b, x0=None, *, M: Optional[Operator] = None,
             null_project=None, history_len=HISTORY_LEN, **_) -> SolveResult:
     """Apply the preconditioner once (PETSc KSPPREONLY, e.g. -svel_ksp_type preonly)."""
@@ -742,6 +938,8 @@ _KSP_TYPES = {
     "bcgs": bicgstab,
     "bicgstab": bicgstab,
     "richardson": richardson,
+    "chebyshev": chebyshev,
+    "minres": minres,
     "preonly": preonly,
 }
 
@@ -762,6 +960,10 @@ class KSPConfig:
     max_it: int = 10000
     restart: int = 30
     history_len: int = HISTORY_LEN
+    # chebyshev spectrum bounds (None = in-jit power-iteration estimate,
+    # the -ksp_chebyshev_esteig analog)
+    emin: Optional[float] = None
+    emax: Optional[float] = None
 
     def solve(self, A: Operator, b, x0=None, *, M=None, null_project=None) -> SolveResult:
         fn = _KSP_TYPES[self.type]
@@ -771,6 +973,8 @@ class KSPConfig:
                           max_it=self.max_it)
         if self.type in ("gmres", "fgmres"):
             kwargs.update(restart=self.restart)
+        if self.type == "chebyshev":
+            kwargs.update(emin=self.emin, emax=self.emax)
         return fn(A, b, x0, **kwargs)
 
     def solve_recycled(self, A: Operator, b, x0=None, *, M=None,

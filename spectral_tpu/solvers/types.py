@@ -31,6 +31,7 @@ class ConvergedReason(enum.IntEnum):
     DIVERGED_NANORINF = -5
     DIVERGED_LINE_SEARCH = -6
     DIVERGED_TR_DELTA = -7      # trust-region radius collapsed
+    DIVERGED_INDEFINITE_PC = -8  # minres: <r, Mr> < 0 (PC not SPD)
 
     @staticmethod
     def describe(code: int) -> str:

@@ -340,3 +340,137 @@ def test_recycling_deflation_outlier_spectrum():
         rr = np.linalg.norm(np.asarray(b - A(res.x))) / np.linalg.norm(np.asarray(b))
         assert rr < 1e-5, rr
     assert tot_rec < 0.75 * tot_plain, (tot_rec, tot_plain)
+
+
+def test_chebyshev_spd_auto_bounds():
+    """KSPCHEBYSHEV with the in-jit power-iteration eigen estimate: on an SPD
+    Jacobi-preconditioned system the semi-iteration converges with NO inner
+    products in the recurrence (the TPU-friendly accelerator; PETSc
+    -ksp_chebyshev_esteig analog)."""
+    from spectral_tpu.solvers.krylov import chebyshev
+
+    rng = np.random.default_rng(11)
+    n = 80
+    d = np.linspace(1.0, 40.0, n)
+    Anp = np.diag(d) + 0.0
+    off = rng.standard_normal((n, n)) * 0.05
+    Anp += off + off.T
+    A = lambda x: jnp.asarray(Anp) @ x
+    xstar = jnp.asarray(rng.standard_normal(n))
+    b = A(xstar)
+    M = pc_jacobi(jnp.asarray(np.diag(Anp)))
+    res = chebyshev(A, b, M=M, rtol=1e-10, max_it=2000)
+    assert int(res.reason) == ConvergedReason.CONVERGED_RTOL
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(xstar), atol=1e-7)
+
+
+def test_chebyshev_explicit_bounds_beats_auto_ratio():
+    """With EXACT spectrum bounds chebyshev runs in accelerator (full
+    spectrum) mode and needs far fewer iterations than the smoother-heuristic
+    default (emin = emax/30)."""
+    from spectral_tpu.solvers.krylov import chebyshev
+
+    rng = np.random.default_rng(12)
+    n = 60
+    d = np.linspace(1.0, 10.0, n)
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    Anp = (Q * d) @ Q.T
+    A = lambda x: jnp.asarray(Anp) @ x
+    xstar = jnp.asarray(rng.standard_normal(n))
+    b = A(xstar)
+    res_exact = chebyshev(A, b, emin=1.0, emax=10.0, rtol=1e-8, max_it=5000)
+    res_auto = chebyshev(A, b, rtol=1e-8, max_it=5000)
+    assert int(res_exact.reason) > 0 and int(res_auto.reason) > 0
+    assert int(res_exact.iters) < int(res_auto.iters)
+    np.testing.assert_allclose(np.asarray(res_exact.x), np.asarray(xstar),
+                               atol=1e-5)
+
+
+def test_chebyshev_ksp_config_and_options():
+    """-ksp_type chebyshev -ksp_chebyshev_eigenvalues emin,emax through the
+    options database reaches the solver."""
+    from spectral_tpu.utils.options import Options
+
+    A, Anp, xstar = _spd_system(n=40, seed=5)
+    b = A(xstar)
+    opts = Options(["-ksp_type", "chebyshev",
+                    "-ksp_chebyshev_eigenvalues", "1.0,50.0",
+                    "-ksp_rtol", "1e-9", "-ksp_max_it", "4000"])
+    ksp = opts.ksp_config()
+    assert ksp.type == "chebyshev" and ksp.emin == 1.0 and ksp.emax == 50.0
+    res = ksp.solve(A, b)
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(xstar), atol=1e-5)
+
+
+def test_minres_symmetric_indefinite():
+    """MINRES solves a symmetric INDEFINITE system (where cg's rz recurrence
+    is invalid) to the same answer as gmres, with O(n) memory."""
+    from spectral_tpu.solvers.krylov import minres
+
+    rng = np.random.default_rng(13)
+    n = 70
+    d = np.concatenate([np.linspace(-8.0, -1.0, 25), np.linspace(1.0, 9.0, 45)])
+    Q = np.linalg.qr(rng.standard_normal((n, n)))[0]
+    Anp = (Q * d) @ Q.T
+    A = lambda x: jnp.asarray(Anp) @ x
+    xstar = jnp.asarray(rng.standard_normal(n))
+    b = A(xstar)
+    res = minres(A, b, rtol=1e-10, max_it=500)
+    assert int(res.reason) == ConvergedReason.CONVERGED_RTOL
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(xstar), atol=1e-6)
+    # true residual is reported
+    rr = float(res.rnorm) / float(jnp.linalg.norm(b))
+    assert rr < 1e-8
+
+
+def test_minres_spd_preconditioner_indefinite_operator():
+    """Block-diagonal SPD PC on a saddle-like symmetric indefinite operator:
+    the Stokes use case in miniature.  MINRES converges and matches the
+    direct solve; the same solve through KSPConfig(type='minres') agrees."""
+    from spectral_tpu.solvers.krylov import minres
+
+    rng = np.random.default_rng(14)
+    nv, npp = 50, 20
+    n = nv + npp
+    Bv = rng.standard_normal((nv, nv))
+    Av = Bv @ Bv.T + nv * np.eye(nv)      # SPD velocity block
+    Bm = rng.standard_normal((npp, nv))
+    K = np.block([[Av, Bm.T], [Bm, np.zeros((npp, npp))]])
+    A = lambda x: jnp.asarray(K) @ x
+    xstar = jnp.asarray(rng.standard_normal(n))
+    b = A(xstar)
+    # SPD block-diagonal PC: diag(Av)^-1 on v, identity mass on p
+    dinv = np.concatenate([1.0 / np.diag(Av), np.ones(npp)])
+    M = lambda r: jnp.asarray(dinv) * r
+    res = minres(A, b, M=M, rtol=1e-11, max_it=800)
+    assert int(res.reason) > 0
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(xstar), atol=1e-5)
+    res2 = KSPConfig(type="minres", rtol=1e-11, max_it=800).solve(A, b, M=M)
+    assert int(res2.reason) > 0
+    np.testing.assert_allclose(np.asarray(res2.x), np.asarray(res.x), atol=1e-9)
+
+
+def test_minres_indefinite_pc_flagged():
+    """A PC with <r, Mr> < 0 is reported as DIVERGED_INDEFINITE_PC, not as a
+    NaN crash."""
+    from spectral_tpu.solvers.krylov import minres
+
+    n = 30
+    A = lambda x: 2.0 * x
+    b = jnp.ones(n)
+    M = lambda r: -r                      # negative definite "PC"
+    res = minres(A, b, M=M, rtol=1e-8, max_it=100)
+    assert int(res.reason) == ConvergedReason.DIVERGED_INDEFINITE_PC
+
+
+def test_minres_jit_compatible():
+    from spectral_tpu.solvers.krylov import chebyshev, minres
+
+    A, Anp, xstar = _spd_system(n=40, seed=7)
+    b = A(xstar)
+    xm = jax.jit(lambda bb: minres(A, bb, rtol=1e-10, max_it=300).x)(b)
+    xc = jax.jit(lambda bb: chebyshev(A, bb, emin=1.0, emax=50.0,
+                                      rtol=1e-8, max_it=4000).x)(b)
+    np.testing.assert_allclose(np.asarray(xm), np.asarray(xstar), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(xc), np.asarray(xstar), atol=1e-4)
