@@ -27,6 +27,7 @@ __version__ = "0.1.0"
 
 __all__ = ["cgl_nodes", "chebdiff", "diffmat", "Grid", "PoissonModel",
            "EllipticModel", "StokesProblem", "StokesConfig", "HeatModel", "UnsteadyStokes",
+           "ConvectionModel", "ConvectionConfig",
            "CurvilinearPoisson", "CurvilinearMap", "named_map", "cheb_regrid",
            "KSPConfig", "NewtonConfig", "block_gmres", "implicit_gradient",
            "implicit_hvp", "extreme_singular_values", "__version__"]
@@ -40,6 +41,9 @@ _LAZY = {
     "HeatModel": ("spectral_tpu.models.heat", "HeatModel"),
     "UnsteadyStokes": ("spectral_tpu.models.stokes_unsteady",
                        "UnsteadyStokes"),
+    "ConvectionModel": ("spectral_tpu.models.convection", "ConvectionModel"),
+    "ConvectionConfig": ("spectral_tpu.models.convection",
+                         "ConvectionConfig"),
     "CurvilinearPoisson": ("spectral_tpu.models.curvilinear",
                            "CurvilinearPoisson"),
     "CurvilinearMap": ("spectral_tpu.ops.curvilinear", "CurvilinearMap"),

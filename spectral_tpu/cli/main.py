@@ -7,6 +7,7 @@
     spectral-tpu cheb -m1 9 -m 8 -n 7 -p 6 -d 1
     spectral-tpu heat -dim 16,16 -dt 0.01 -nsteps 20
     spectral-tpu ustokes -dim 12,12 -dt 0.05 -nsteps 10 -rheology 1 -exponent 3
+    spectral-tpu convection -dim 16,16 -ra 1e4 -bc freeslip -sides insulated
 
 Option names and output format follow the reference drivers (elliptic.C,
 stokes.C, poisson.c, cheb.c); solver options use the same prefix namespacing
@@ -61,8 +62,11 @@ def main(argv: list[str] | None = None) -> int:
     if cmd == "ustokes":
         from spectral_tpu.cli.drivers import unsteady_stokes_main
         return unsteady_stokes_main(opts)
+    if cmd == "convection":
+        from spectral_tpu.cli.drivers import convection_main
+        return convection_main(opts)
     print(f"unknown driver {cmd!r}; "
-          "one of: elliptic stokes poisson cheb heat ustokes")
+          "one of: elliptic stokes poisson cheb heat ustokes convection")
     return 1
 
 

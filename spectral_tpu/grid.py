@@ -137,6 +137,32 @@ class Grid:
         return v * np.asarray(w).reshape(shape)
 
     @cached_property
+    def quad_weights_1d_np(self) -> tuple[np.ndarray, ...]:
+        """Per-axis Clenshaw-Curtis weights on the PHYSICAL nodes: the
+        reference weights divided by the chain-rule factor d(xi)/d(x)
+        (dx = d(xi) / w_dif), valid for affine intervals and general maps
+        alike.  Exact for the nodal interpolant along each axis."""
+        from spectral_tpu.ops.chebyshev import cc_weights_np
+        out = []
+        for ax, n in enumerate(self.dims):
+            w = cc_weights_np(n)
+            wd = self.dif_weight_np(ax)
+            if wd is not None:
+                w = w / np.asarray(wd)
+            out.append(w)
+        return tuple(out)
+
+    @cached_property
+    def quad_weights_np(self) -> np.ndarray:
+        """Tensor-product quadrature weights over the full grid (f64)."""
+        W = np.ones(self.dims)
+        for ax, w in enumerate(self.quad_weights_1d_np):
+            shape = [1] * self.ndim
+            shape[ax] = len(w)
+            W = W * w.reshape(shape)
+        return W
+
+    @cached_property
     def coords_np(self) -> np.ndarray:
         """(dims..., d) coordinate array (the c->coord vector, stokes.C:292-302)."""
         mesh = np.meshgrid(*self.nodes_1d, indexing="ij")

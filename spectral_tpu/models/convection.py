@@ -1,0 +1,305 @@
+"""Boussinesq thermal convection at infinite Prandtl number — the coupled
+flagship application (Rayleigh-Benard / mantle-convection class).
+
+The reference solves isolated elliptic and Stokes systems; this model
+composes the framework's existing machinery into the canonical coupled
+problem those systems exist to serve (the reference's power-law Stokes is
+the momentum half of exactly this application):
+
+    -div(eta eps(v)) + grad p = Ra T ghat,   div v = 0        (momentum)
+    T_t + v . grad T = Laplace T + q                          (energy)
+
+nondimensionalized on the unit box [0, 1]^d (Grid intervals), thermal
+diffusion time, temperature drop Delta T = 1 (hot bottom T = 1, cold top
+T = 0), eta = 2 so the viscous operator is the standard 2 eps(v) form.
+Infinite Prandtl (creeping flow): the velocity is an INSTANTANEOUS
+functional of the temperature — each time step solves the linear Stokes
+saddle system with buoyancy RHS (warm-started, nested Schur PC from
+models.stokes), then advances the energy equation by the theta scheme with
+AB2-extrapolated explicit advection (IMEX: diffusion implicit via the
+shifted fast-diagonalization solve of models.heat, advection explicit) —
+second order in dt for theta = 1/2.
+
+Every ingredient is reused: StokesProblem supplies the saddle operator,
+masks, nested velocity/Schur preconditioner and null-space projection;
+HeatModel supplies the implicit diffusion step; ops.chebyshev supplies the
+spectral advection derivatives and the Clenshaw-Curtis quadrature behind
+the Nusselt-number / rms-velocity diagnostics.  The whole coupled step is
+one jittable function, so a rollout compiles to a single lax.scan.
+
+Verification strategy (tests/test_convection.py): conductive-state
+preservation (buoyancy of T = 1 - y is a pressure gradient), subcritical
+decay vs supercritical onset of convection, dt self-convergence at order 2,
+and the steady-state power-balance identity Nu_top = Nu_bottom = 1 +
+<v_y T> which holds only if the coupled discrete operators are consistent.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spectral_tpu.grid import Grid
+from spectral_tpu.models.heat import HeatModel
+from spectral_tpu.models.rheology import PowerLawParams
+from spectral_tpu.models.stokes import StokesConfig, StokesProblem
+from spectral_tpu.ops.chebyshev import chebdiff
+from spectral_tpu.solvers.krylov import KSPConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvectionConfig:
+    """Rayleigh number and solver knobs for the coupled step.
+
+    ``velocity_bc``: 'noslip' (rigid walls, v = 0, boundary 0 machinery) or
+    'freeslip' (v.n = 0 + zero tangential traction: the MIXED machinery of
+    stokes.C:1083-1130 with alpha = 0 and tangential projection — the
+    Blankenbach benchmark regime).
+    """
+
+    Ra: float = 1e4
+    dt: float = 1e-3
+    theta: float = 0.5
+    velocity_bc: str = "noslip"
+    # sidewall temperature: 'conducting' (Dirichlet conductive profile) or
+    # 'insulated' (zero-flux rows on every horizontal axis — the
+    # Blankenbach benchmark regime, HeatModel.neumann_axes)
+    side_bc: str = "conducting"
+    pcvel: str = "fastdiag"
+    stokes_ksp: KSPConfig = KSPConfig(type="fgmres", rtol=1e-6, max_it=80,
+                                      restart=40)
+    temp_ksp: KSPConfig = KSPConfig(type="cg", rtol=1e-8, max_it=60)
+
+
+class ConvectionModel:
+    """Coupled Stokes + energy stepping on the unit box."""
+
+    def __init__(self, grid: Grid, config: ConvectionConfig = ConvectionConfig()):
+        if grid.intervals is None or any(
+                abs(a) > 1e-12 or abs(b - 1.0) > 1e-12
+                for a, b in grid.intervals):
+            raise ValueError(
+                "ConvectionModel is nondimensionalized on the unit box: "
+                "pass Grid(dims, intervals=((0,1),)*d) "
+                "(ConvectionModel.unit_box)")
+        self.grid = grid
+        self.config = config
+        self.d = grid.ndim
+        self.vax = grid.ndim - 1      # vertical = last axis
+        if config.velocity_bc == "noslip":
+            boundary = 0
+        elif config.velocity_bc == "freeslip":
+            boundary = 7              # free-slip box (stokes_exact.boundary7)
+        else:
+            raise ValueError(f"unknown velocity_bc {config.velocity_bc!r}")
+        # eta = 2 makes the viscous rows the standard -div(2 eps(v)):
+        # power-law rheology with exponent 1 is EXACTLY eta = hardness
+        # (rheology.py) — linear physics through the nonlinear plumbing.
+        scfg = StokesConfig(exact=0, boundary=boundary, rheology=1,
+                            hardness=2.0, exponent=1.0, pcvel=config.pcvel,
+                            outer_ksp=config.stokes_ksp)
+        self.stokes = StokesProblem(grid, scfg)
+        self._params = PowerLawParams(2.0, 1.0, 1.0, 1.0)
+        # frozen linearization state of the LINEAR operator (eta = 2,
+        # deta = 0): build once from the zero state
+        zero = self.stokes.zero_state()
+        _, self._lin0 = self.stokes.make_residual(self._params)(zero)
+        pc_setup, pc_apply = self.stokes.make_pc()
+        self._pc_state = pc_setup(zero, self._lin0)
+        self._pc_apply = pc_apply
+        # implicit diffusion sub-step (shifted fastdiag = exact surrogate;
+        # insulated sides use the Neumann-eliminated variant)
+        if config.side_bc == "insulated":
+            nm_axes = tuple(range(self.d - 1))
+        elif config.side_bc == "conducting":
+            nm_axes = ()
+        else:
+            raise ValueError(f"unknown side_bc {config.side_bc!r}")
+        self.heat = HeatModel(grid, dt=config.dt, theta=config.theta,
+                              ksp=config.temp_ksp, neumann_axes=nm_axes)
+        # conductive profile T = 1 - y and its boundary trace
+        y = grid.coords_np[..., self.vax]
+        self._T_cond_np = 1.0 - y
+        self.T_cond = jnp.asarray(self._T_cond_np)
+        self.bc_T = jnp.asarray(np.where(grid.boundary_mask_np,
+                                         self._T_cond_np, 0.0))
+        # vertical unit vector for the buoyancy RHS
+        e = np.zeros(self.d)
+        e[self.vax] = 1.0
+        self._evert = jnp.asarray(e)
+        self._W = jnp.asarray(grid.quad_weights_np)   # volume quadrature
+        # surface quadrature over the horizontal axes (top/bottom slices)
+        Wh = np.ones(grid.dims[:-1])
+        for ax, w in enumerate(grid.quad_weights_1d_np[:-1]):
+            shape = [1] * (self.d - 1)
+            shape[ax] = len(w)
+            Wh = Wh * w.reshape(shape)
+        self._Wh = jnp.asarray(Wh)
+
+    @classmethod
+    def unit_box(cls, dims, config: ConvectionConfig = ConvectionConfig()):
+        g = Grid(tuple(dims), intervals=((0.0, 1.0),) * len(dims))
+        return cls(g, config)
+
+    # ------------------------------------------------------------------
+    # Coupled step pieces (all jittable)
+    # ------------------------------------------------------------------
+    def buoyancy_rhs(self, T):
+        """Saddle-system RHS {Ra T ghat, 0} on the free velocity dofs.
+
+        Mixed (free-slip) rows are TRACTION rows, not momentum rows: their
+        RHS is the zero traction datum, never the volumetric buoyancy
+        (exactly how _setup_exact_and_force fills force at nm nodes)."""
+        bv = self.config.Ra * T[..., None] * self._evert
+        bv = jnp.where(self.stokes.nm_mask[..., None], 0.0, bv)
+        return {"v": self.stokes.mask_v(bv),
+                "p": jnp.zeros_like(T)}
+
+    def solve_stokes(self, T, x0):
+        """Instantaneous Stokes solve for the buoyancy field of T."""
+        A = partial(self.stokes.jacobian_action, None, self._lin0)
+        M = partial(self._pc_apply, self._pc_state)
+        return self.config.stokes_ksp.solve(
+            A, self.buoyancy_rhs(T), x0,
+            M=M, null_project=self.stokes.null_project)
+
+    def velocity_full(self, x):
+        """Full-grid velocity including reconstructed mixed components
+        (free-slip walls store only the tangential dofs)."""
+        return self.stokes.local_velocity(x["v"], with_dirichlet=True)
+
+    def advection(self, v_full, T):
+        """N = v . grad T on the interior (boundary rows are Dirichlet)."""
+        g = self.grid
+        N = jnp.zeros_like(T)
+        for ax in range(self.d):
+            dT = g.apply_dif_weight(chebdiff(T, ax), ax)
+            N = N + v_full[..., ax] * dT
+        return g.zero_boundary(N)
+
+    def step(self, T, N_prev, x_prev, q=None):
+        """One IMEX step: Stokes solve, AB2 advection, theta diffusion.
+
+        Returns (T_next, N, x) where N is this step's advection term (the
+        next step's N_prev) and x the saddle solution (the next warm start).
+        """
+        res = self.solve_stokes(T, x_prev)
+        x = res.x
+        N = self.advection(self.velocity_full(x), T)
+        N_mid = 1.5 * N - 0.5 * N_prev          # t_{n+1/2} extrapolation
+        f = -N_mid if q is None else q - N_mid
+        T_next = self.heat.step(T, f, self.bc_T)
+        return T_next, N, x
+
+    def init_carry(self, T0):
+        """Initial (T, N, x) carry: one cold Stokes solve at t = 0."""
+        x0 = self.stokes.zero_state()
+        res = self.solve_stokes(T0, x0)
+        N0 = self.advection(self.velocity_full(res.x), T0)
+        return T0, N0, res.x
+
+    @cached_property
+    def _rollout_jit(self):
+        def run(T, N, x, nsteps):
+            def body(carry, _):
+                Tc, Nc, xc = carry
+                Tn, Nn, xn = self.step(Tc, Nc, xc)
+                return (Tn, Nn, xn), ()
+            carry, _ = jax.lax.scan(body, (T, N, x), None, length=nsteps)
+            return carry
+        return jax.jit(run, static_argnums=3)
+
+    def rollout(self, T0, nsteps: int):
+        """nsteps coupled steps as one compiled scan; returns (T, N, x)."""
+        T0 = jnp.asarray(T0)
+        carry = self.init_carry(T0)
+        return self._rollout_jit(*carry, nsteps)
+
+    def march_to_steady(self, T0, max_steps: int = 5000, tol: float = 1e-6,
+                        chunk: int = 25, monitor: bool = False):
+        """March until || dT/dt ||_inf < tol (chunked compiled scans).
+
+        Returns (T, x, info) with info = {steps, rate, nu_top, nu_bottom,
+        vrms, converged}.
+        """
+        T = jnp.asarray(T0)
+        T_prev = T
+        carry = self.init_carry(T)
+        steps = 0
+        rate = np.inf
+        while steps < max_steps:
+            carry = self._rollout_jit(*carry, chunk)
+            steps += chunk
+            T = carry[0]
+            rate = float(jnp.max(jnp.abs(T - T_prev))) / (chunk * self.config.dt)
+            if monitor:
+                print(f"  step {steps:5d}  |dT/dt| = {rate:.3e}  "
+                      f"Nu = {float(self.nusselt_top(T)):.6f}")
+            if not np.isfinite(rate):
+                break       # blow-up (CFL of the explicit advection): stop
+            if rate < tol:
+                break
+            T_prev = T
+        T, _, x = carry
+        info = {"steps": steps, "rate": rate,
+                "nu_top": float(self.nusselt_top(T)),
+                "nu_bottom": float(self.nusselt_bottom(T)),
+                "vrms": float(self.vrms(x)),
+                "converged": rate < tol}
+        return T, x, info
+
+    # ------------------------------------------------------------------
+    # Diagnostics (unit-box nondimensionalization: conductive flux = 1)
+    # ------------------------------------------------------------------
+    def _dTdy(self, T):
+        return self.grid.apply_dif_weight(chebdiff(T, self.vax), self.vax)
+
+    def nusselt_top(self, T):
+        """Nu = -<dT/dy> over the cold top surface (CGL index 0: reference
+        +1 maps to y = 1)."""
+        flux = -jnp.take(self._dTdy(T), 0, axis=self.vax)
+        return jnp.sum(flux * self._Wh) / jnp.sum(self._Wh)
+
+    def nusselt_bottom(self, T):
+        flux = -jnp.take(self._dTdy(T), -1, axis=self.vax)
+        return jnp.sum(flux * self._Wh) / jnp.sum(self._Wh)
+
+    def nusselt_volume(self, T, x):
+        """Power-balance form Nu = 1 + <v_y T> (steady-state identity)."""
+        vy = self.velocity_full(x)[..., self.vax]
+        return 1.0 + jnp.sum(vy * T * self._W) / jnp.sum(self._W)
+
+    def vrms(self, x):
+        v = self.velocity_full(x)
+        v2 = jnp.sum(v * v, axis=-1)
+        return jnp.sqrt(jnp.sum(v2 * self._W) / jnp.sum(self._W))
+
+    # ------------------------------------------------------------------
+    # Initial states
+    # ------------------------------------------------------------------
+    def conductive_state(self, amp: float = 0.0, modes=None,
+                         kind: str = "roll") -> jnp.ndarray:
+        """T = 1 - y plus a perturbation of amplitude ``amp``.
+
+        kind='roll': amp * prod_h cos(k pi x_h) * sin(k pi y) — the
+        single-convection-roll mode for modes (1,..,1): antisymmetric in
+        each horizontal axis, zero-flux at the sidewalls (the insulated
+        regime's consistent seed; a symmetric sin perturbation converges
+        to the TWO-roll state instead).  kind='sin': amp * prod sin, which
+        vanishes on the whole boundary (the conducting-sidewall seed)."""
+        T = self._T_cond_np.copy()
+        if amp:
+            modes = modes or (1,) * self.d
+            pert = np.ones(self.grid.dims)
+            for ax in range(self.d):
+                xi = self.grid.coords_np[..., ax]
+                if kind == "roll" and ax != self.vax:
+                    pert = pert * np.cos(modes[ax] * np.pi * xi)
+                else:
+                    pert = pert * np.sin(modes[ax] * np.pi * xi)
+            T = T + amp * pert
+        return jnp.asarray(T)

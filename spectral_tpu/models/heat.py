@@ -46,18 +46,37 @@ class HeatModel:
     theta: float = 0.5
     ksp: KSPConfig = KSPConfig(type="cg", rtol=1e-10, max_it=100)
     phi: object = None
+    # insulated (zero-flux) axes: BOTH end faces of each listed axis carry
+    # the spectral outward-derivative row dT/dn = 0 instead of Dirichlet;
+    # the PC is the Neumann-eliminated fast diagonalization (exact on its
+    # surrogate, ops/fastdiag.py).  Nodes shared with a Dirichlet face keep
+    # the Dirichlet row; nodes shared by two insulated faces (3-D edges)
+    # keep an identity row.  The insulated-sidewall regime of
+    # models/convection.py (Blankenbach benchmark).
+    neumann_axes: tuple = ()
 
     def __post_init__(self):
         # build the PC eagerly: a cached_property first touched inside a jit
         # trace would cache tracer constants (see grid.py note)
         _ = self.cmap
-        if self.cmap is not None and self.ksp.type == "cg":
-            # the metric operator is nonsymmetric — CG (the flat-domain
-            # default) is invalid on curved domains; switch to GMRES with
-            # the same tolerances
+        if self.neumann_axes:
+            if self.cmap is not None:
+                raise NotImplementedError(
+                    "insulated axes on curved domains: the metric MG "
+                    "surrogate has no Neumann rows yet")
+            if len(self.neumann_axes) >= self.grid.ndim:
+                raise ValueError("at least one axis must stay Dirichlet "
+                                 "(all-Neumann diffusion is singular)")
+        nonsym = self.cmap is not None or self.neumann_axes
+        if nonsym and self.ksp.type == "cg":
+            # the metric operator / the one-sided Neumann rows are
+            # nonsymmetric — CG (the flat-domain default) is invalid;
+            # switch to GMRES with the same tolerances
             object.__setattr__(self, "ksp",
                                dataclasses.replace(self.ksp, type="gmres"))
         _ = self._pc_apply
+        if self.neumann_axes:
+            _ = self._nm_masks
 
     @cached_property
     def cmap(self):
@@ -80,10 +99,47 @@ class HeatModel:
             y = y + g.apply_dif_weight(chebdiff(du, ax), ax)
         return g.zero_boundary(y)
 
+    @cached_property
+    def _nm_masks(self):
+        """(lo_mask, hi_mask) per insulated axis: nodes EXCLUSIVE to that
+        end face (not shared with any other face), plus the combined
+        any-Neumann-row mask (numpy bools, jnp-wrapped lazily)."""
+        g = self.grid
+        face_count = np.zeros(g.dims, dtype=np.int32)
+        for ax in range(g.ndim):
+            sl0 = [slice(None)] * g.ndim
+            sl1 = [slice(None)] * g.ndim
+            sl0[ax], sl1[ax] = 0, -1
+            face_count[tuple(sl0)] += 1
+            face_count[tuple(sl1)] += 1
+        masks = {}
+        any_nm = np.zeros(g.dims, dtype=bool)
+        for ax in self.neumann_axes:
+            for end, lbl in ((0, "lo"), (-1, "hi")):
+                m = np.zeros(g.dims, dtype=bool)
+                sl = [slice(None)] * g.ndim
+                sl[ax] = end
+                m[tuple(sl)] = True
+                m &= face_count == 1
+                masks[(ax, lbl)] = jnp.asarray(m)
+                any_nm |= m
+        return masks, jnp.asarray(any_nm)
+
     def implicit_operator(self, u: jax.Array) -> jax.Array:
-        """A = 1/dt - theta * Laplace on the interior (identity boundary)."""
+        """A = 1/dt - theta * Laplace on the interior; identity boundary
+        rows, except insulated faces which carry dT/dn (outward spectral
+        derivative)."""
+        g = self.grid
         y = u / self.dt - self.theta * self.laplacian(u)
-        return jnp.where(self.grid.boundary_mask, u, y)
+        y = jnp.where(g.boundary_mask, u, y)
+        if self.neumann_axes:
+            masks, _ = self._nm_masks
+            for ax in self.neumann_axes:
+                du = g.apply_dif_weight(chebdiff(u, ax), ax)
+                # index 0 = reference +1 (outward +ax), last = -ax
+                y = jnp.where(masks[(ax, "lo")], du, y)
+                y = jnp.where(masks[(ax, "hi")], -du, y)
+        return y
 
     @cached_property
     def _pc_apply(self):
@@ -93,7 +149,8 @@ class HeatModel:
             # axis_scale=2*theta
             fd = FastDiagSolver.build(
                 self.grid, shift=1.0 / self.dt,
-                axis_scale=np.full(self.grid.ndim, 2.0 * self.theta))
+                axis_scale=np.full(self.grid.ndim, 2.0 * self.theta),
+                neumann_axes=tuple(self.neumann_axes))
             return fd.apply
         # curved domain: one MG V-cycle on the shifted anisotropic metric
         # stencil 1/dt + theta * (-(1/detJ) d_l(A_ll d_l .))
@@ -117,12 +174,21 @@ class HeatModel:
         return lambda r: mg.vcycle(state, r)
 
     def step(self, u: jax.Array, f: jax.Array, dirichlet: jax.Array) -> jax.Array:
-        """One theta-scheme step (jittable): solve A u_next = rhs."""
+        """One theta-scheme step (jittable): solve A u_next = rhs.
+
+        Insulated faces carry the zero-flux row (rhs 0) and keep the
+        current value as the initial guess instead of the Dirichlet datum.
+        """
         g = self.grid
         uL = g.set_boundary(u, dirichlet)
+        if self.neumann_axes:
+            _, any_nm = self._nm_masks
+            uL = jnp.where(any_nm, u, uL)
         rhs = uL / self.dt + (1.0 - self.theta) * self.laplacian(uL) + \
             g.zero_boundary(f)
         rhs = jnp.where(g.boundary_mask, dirichlet, rhs)
+        if self.neumann_axes:
+            rhs = jnp.where(any_nm, 0.0, rhs)
         res = self.ksp.solve(self.implicit_operator, rhs,
                              x0=uL, M=self._pc_apply)
         return res.x

@@ -251,9 +251,10 @@ class StokesProblem:
         self.normal = jnp.asarray(normal_np)
         self.in_onehot = jnp.asarray(in_onehot)
         self.num_mixed = int(nm_mask.sum())
-        # boundary 6 manufactures tangentially-projected sliding data, so
+        # boundary 6 manufactures tangentially-projected sliding data and
+        # boundary 7 (free-slip box) imposes zero TANGENTIAL traction, so
         # the operator's mixed rows must use the matching P_t form
-        self.mixed_tang = bool(cfg.mixed_tang or cfg.boundary == 6)
+        self.mixed_tang = bool(cfg.mixed_tang or cfg.boundary in (6, 7))
         if cfg.boundary == 5 and self.mixed_tang:
             raise ValueError(
                 "-boundary 5 manufactures FULL-COMPONENT mixed data; "

@@ -287,7 +287,30 @@ def boundary6(coords, normals, exact, *, phys_coords=None, phys_normals=None,
                              phys_normals, full_traction, project=True)
 
 
+def boundary7(coords, normals, exact, *, phys_coords=None, phys_normals=None,
+              full_traction=False):
+    """Free-slip box (beyond the reference): every face is MIXED with
+    alpha = 0 and zero data — v.n = 0 (normal component eliminated by the
+    mixed machinery, stokes.C:836-851) plus zero TANGENTIAL traction via
+    the tangentially-projected rows (-mixed_tang, auto-enabled): P_t
+    annihilates the pressure's -p n share of the traction exactly, so the
+    impermeable stress-free wall is imposed without the pressure entering
+    the boundary rows.  Corners/edges (nodes on >= 2 faces, where the
+    normal is ambiguous and free-slip on both faces forces v = 0) are
+    Dirichlet zero.  The Rayleigh-Benard / Blankenbach benchmark regime
+    (models/convection.py)."""
+    k, d = coords.shape
+    # face count from the index-based reference normal (grid.normal_np):
+    # one nonzero component on a face, >= 2 at edges/corners — robust on
+    # interval-mapped grids where coords are physical, not [-1, 1]
+    nfaces = (np.abs(normals) > 1e-12).sum(axis=1)
+    types = np.full(k, BdyType.MIXED, dtype=np.int32)
+    types[nfaces >= 2] = BdyType.DIRICHLET
+    values = np.zeros((k, d))
+    return types, values, np.zeros(k)
+
+
 BOUNDARY_FUNCS: dict[int, Callable] = {
     0: boundary0, 1: boundary1, 2: boundary2, 3: boundary3, 4: boundary4,
-    5: boundary5, 6: boundary6,
+    5: boundary5, 6: boundary6, 7: boundary7,
 }

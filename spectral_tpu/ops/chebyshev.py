@@ -84,6 +84,31 @@ def cgl_nodes(n: int, dtype=None) -> jax.Array:
     return jnp.asarray(cgl_nodes_np(n), dtype=dtype)
 
 
+def cc_weights_np(n: int) -> np.ndarray:
+    """Clenshaw-Curtis quadrature weights on the n CGL nodes of [-1, 1].
+
+    Integrates the degree-(n-1) nodal interpolant exactly: w_k = the
+    integral of the k-th cardinal function, via the closed cosine-series
+    form.  Ordered like ``cgl_nodes_np`` (x_0 = +1 ... x_{n-1} = -1);
+    symmetric, positive, sums to 2.  Used by the integral diagnostics
+    (Nusselt number, rms velocity, mean subtraction) of the coupled
+    models — the reference has no quadrature layer (its diagnostics are
+    pointwise norms only, e.g. stokes.C:222-234).
+    """
+    if n < 2:
+        raise ValueError(f"need at least 2 nodes, got {n}")
+    N = n - 1
+    k = np.arange(n, dtype=np.float64)
+    w = np.ones(n)
+    for j in range(1, N // 2 + 1):
+        b = 1.0 if 2 * j == N else 2.0
+        w -= b * np.cos(2.0 * j * k * np.pi / N) / (4.0 * j * j - 1.0)
+    w *= 2.0 / N
+    w[0] *= 0.5
+    w[-1] *= 0.5
+    return w
+
+
 # ---------------------------------------------------------------------------
 # Host-side (numpy, float64) reference transform: plan construction + oracle
 # ---------------------------------------------------------------------------

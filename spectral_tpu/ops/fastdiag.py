@@ -52,18 +52,46 @@ class FastDiagSolver:
     Vinv: tuple[jax.Array, ...]
     lam_sum: jax.Array            # interior-shaped sum of eigenvalues
     shift_const: float = 0.0      # solve (A + shift) — used by MG coarse levels
+    # zero-flux axes: per-axis (h_lo, f_lo, h_hi, f_hi) elimination data or
+    # None (Dirichlet).  See ``build(neumann_axes=...)``.
+    neumann_fold: tuple = ()
 
     @staticmethod
     def build(grid: Grid, dtype=None, shift: float = 0.0,
-              axis_scale: np.ndarray | None = None) -> "FastDiagSolver":
+              axis_scale: np.ndarray | None = None,
+              neumann_axes: tuple[int, ...] = ()) -> "FastDiagSolver":
         """Diagonalize each axis' interior tridiagonal (host-side, float64).
 
         axis_scale: optional per-axis multiplier of T_j (e.g. a separable
         approximation of a variable coefficient).
+
+        neumann_axes: axes whose BOTH end faces carry a zero-flux row
+        (T_end - T_adj)/h = r (outward-derivative sign at either end)
+        instead of Dirichlet identity.  The end values are eliminated
+        EXACTLY: the adjacent interior row absorbs the coupling
+        (c_1 += lo_1, c_m += up_m before diagonalization), the apply folds
+        the end residuals into the interior RHS and reconstructs the end
+        values afterwards — the solver stays the exact inverse of its
+        surrogate (the insulated-sidewall regime of models/convection.py).
+        Nodes on two Neumann faces or on a Neumann+Dirichlet edge keep the
+        identity row (pass-through).
         """
         Vs, Vis, lams = [], [], []
+        folds = []
         for ax in range(grid.ndim):
-            T = _interior_tridiag_np(grid.nodes_1d[ax])
+            z = grid.nodes_1d[ax]
+            T = _interior_tridiag_np(z)
+            s_ax = 1.0 if axis_scale is None else float(axis_scale[ax])
+            if ax in neumann_axes:
+                lo, c, up = fd1d_coeffs(z)
+                T[0, 0] += lo[1]
+                T[-1, -1] += up[-2]
+                h_lo = abs(z[0] - z[1])
+                h_hi = abs(z[-1] - z[-2])
+                folds.append((h_lo, s_ax * lo[1] * h_lo,
+                              h_hi, s_ax * up[-2] * h_hi))
+            else:
+                folds.append(None)
             if axis_scale is not None:
                 T = T * float(axis_scale[ax])
             w, V = np.linalg.eig(T)
@@ -79,7 +107,8 @@ class FastDiagSolver:
             shape[ax] = len(w)
             lam = lam + w.reshape(shape)
         return FastDiagSolver(grid, tuple(Vs), tuple(Vis),
-                              jnp.asarray(lam + shift, dtype), shift)
+                              jnp.asarray(lam + shift, dtype), shift,
+                              tuple(folds))
 
     def _apply_axis(self, M: jax.Array, x: jax.Array, axis: int) -> jax.Array:
         xm = jnp.moveaxis(x, axis, -1)
@@ -103,11 +132,43 @@ class FastDiagSolver:
         return w
 
     def apply(self, r: jax.Array) -> jax.Array:
-        """Full-grid preconditioner apply: interior exact solve, boundary identity."""
+        """Full-grid preconditioner apply: interior exact solve, boundary
+        identity — except zero-flux (neumann_axes) faces, whose residual is
+        folded into the adjacent interior row and whose value is
+        reconstructed from the eliminated end row (still an EXACT solve of
+        the surrogate)."""
         d = self.grid.ndim
-        inner = tuple([slice(1, -1)] * d) + tuple([slice(None)] * (r.ndim - d))
-        z = self.solve_interior(r[inner]).astype(r.dtype)
-        return r.at[inner].set(z)
+        trail = tuple([slice(None)] * (r.ndim - d))
+        inner = tuple([slice(1, -1)] * d) + trail
+        ri = r[inner]
+        nm = [(ax, f) for ax, f in enumerate(self.neumann_fold)
+              if f is not None]
+
+        def face(arr, ax, end):
+            """End slice along ax, interior along the other grid axes."""
+            idx = [slice(1, -1)] * d
+            idx[ax] = 0 if end == 0 else -1
+            return tuple(idx) + trail
+
+        def edge(ax, end):
+            """First/last interior slice along ax inside the interior block."""
+            idx = [slice(None)] * d
+            idx[ax] = 0 if end == 0 else -1
+            return tuple(idx) + trail
+
+        for ax, (h_lo, f_lo, h_hi, f_hi) in nm:
+            r_lo = r[face(r, ax, 0)]
+            r_hi = r[face(r, ax, 1)]
+            ri = ri.at[edge(ax, 0)].add(-f_lo * r_lo)
+            ri = ri.at[edge(ax, 1)].add(-f_hi * r_hi)
+        z = self.solve_interior(ri).astype(r.dtype)
+        out = r.at[inner].set(z)
+        for ax, (h_lo, f_lo, h_hi, f_hi) in nm:
+            r_lo = r[face(r, ax, 0)]
+            r_hi = r[face(r, ax, 1)]
+            out = out.at[face(r, ax, 0)].set(z[edge(ax, 0)] + h_lo * r_lo)
+            out = out.at[face(r, ax, 1)].set(z[edge(ax, 1)] + h_hi * r_hi)
+        return out
 
     def __call__(self, r: jax.Array) -> jax.Array:
         return self.apply(r)

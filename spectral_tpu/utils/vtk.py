@@ -27,12 +27,14 @@ def _fmt_rows(arr: np.ndarray, per_line: int) -> str:
 
 
 def write_stokes_vtk(problem, state, filename: str = "stokes.vtk", *,
-                     bc_scale: float = 1.0) -> None:
+                     bc_scale: float = 1.0, extra_scalars=None) -> None:
     """Write the final state like ``-output_vtk`` (stokes.C:238-241).
 
     ``bc_scale`` scales the reconstructed Dirichlet display values — the
     unsteady driver passes its boundary modulation s(T) so the written
-    boundary matches the integrated state (steady states use 1)."""
+    boundary matches the integrated state (steady states use 1).
+    ``extra_scalars``: optional {name: full-grid array} appended as
+    additional SCALARS fields (e.g. the convection driver's temperature)."""
     import jax.numpy as jnp
 
     from spectral_tpu.ops.extrapolation import pressure_reduce_order
@@ -91,3 +93,6 @@ def write_stokes_vtk(problem, state, filename: str = "stokes.vtk", *,
                                  for j in range(3))
                 blocks.append(rows + "\n")
             f.write("\n".join(blocks))
+        for name, field in (extra_scalars or {}).items():
+            f.write(f"\nSCALARS {name} double 1\nLOOKUP_TABLE default\n")
+            f.write(_fmt_rows(np.asarray(field).reshape(nodes), 1) + "\n")

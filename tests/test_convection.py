@@ -1,0 +1,221 @@
+"""Coupled Boussinesq convection (models/convection.py): the flagship
+composition of the Stokes saddle solver and the implicit heat step.
+
+Validation strategy (no reference analog — the reference solves the
+momentum half only): conductive-state preservation, subcritical decay vs
+supercritical onset, free-slip wall conditions, exact Neumann
+fast-diagonalization, insulated-heat exactness + temporal order, the
+steady-state power-balance identity Nu_top = Nu_bottom = 1 + <v_y T>, and
+(slow) the published Blankenbach et al. (1989) case 1a benchmark values.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectral_tpu.grid import Grid
+from spectral_tpu.models.convection import ConvectionConfig, ConvectionModel
+from spectral_tpu.models.heat import HeatModel
+from spectral_tpu.solvers.krylov import KSPConfig
+
+
+def test_cc_weights_integrate_polynomials_exactly():
+    from spectral_tpu.ops.chebyshev import cc_weights_np, cgl_nodes_np
+    n = 13
+    w = cc_weights_np(n)
+    x = cgl_nodes_np(n)
+    assert w.sum() == pytest.approx(2.0, abs=1e-14)
+    assert (w > 0).all()
+    for k in range(n):  # exact for the degree-(n-1) interpolant
+        exact = 2.0 / (k + 1) if k % 2 == 0 else 0.0
+        assert np.dot(w, x**k) == pytest.approx(exact, abs=1e-12)
+
+
+def test_grid_quad_weights_interval():
+    g = Grid((9, 11), intervals=((0.0, 2.0), (1.0, 4.0)))
+    W = g.quad_weights_np
+    assert W.sum() == pytest.approx(6.0, abs=1e-12)      # area
+    x = g.coords_np[..., 0]
+    assert (W * x).sum() == pytest.approx(3.0 * 2.0, abs=1e-12)  # int x dA
+
+
+def test_fastdiag_neumann_exact_inverse():
+    """The Neumann-eliminated fastdiag is the EXACT inverse of its dense
+    surrogate (zero-flux x faces, Dirichlet y faces, shifted/scaled)."""
+    from spectral_tpu.ops.fastdiag import FastDiagSolver
+    from spectral_tpu.ops.stencil import fd1d_coeffs
+
+    g = Grid((9, 7), intervals=((0.0, 1.0), (0.0, 1.0)))
+    shift, s = 37.0, 1.0
+    fd = FastDiagSolver.build(g, shift=shift, axis_scale=np.array([s, s]),
+                              neumann_axes=(0,))
+    nx, ny = g.dims
+    zx, zy = g.nodes_1d
+    lox, cx, upx = fd1d_coeffs(zx)
+    loy, cy, upy = fd1d_coeffs(zy)
+    A = np.zeros((nx * ny, nx * ny))
+
+    def idx(i, j):
+        return i * ny + j
+
+    for i in range(nx):
+        for j in range(ny):
+            k = idx(i, j)
+            if j in (0, ny - 1):
+                A[k, k] = 1.0
+            elif i == 0:
+                h = abs(zx[0] - zx[1])
+                A[k, k], A[k, idx(1, j)] = 1 / h, -1 / h
+            elif i == nx - 1:
+                h = abs(zx[-1] - zx[-2])
+                A[k, k], A[k, idx(nx - 2, j)] = 1 / h, -1 / h
+            else:
+                A[k, k] = shift + s * (cx[i] + cy[j])
+                A[k, idx(i - 1, j)] = s * lox[i]
+                A[k, idx(i + 1, j)] = s * upx[i]
+                A[k, idx(i, j - 1)] = s * loy[j]
+                A[k, idx(i, j + 1)] = s * upy[j]
+    r = np.random.default_rng(0).standard_normal((nx, ny))
+    r[:, 0] = 0.0   # homogeneous-Dirichlet convention of the fastdiag apply
+    r[:, -1] = 0.0
+    z = np.asarray(fd.apply(jnp.asarray(r)))
+    z_dense = np.linalg.solve(A, r.ravel()).reshape(nx, ny)
+    assert np.max(np.abs(z - z_dense)) < 1e-12
+
+
+def test_insulated_heat_exact_solution_and_order():
+    """cos(pi x) sin(pi y) e^{-2 pi^2 t} solves the heat equation with
+    zero-flux x walls and zero Dirichlet top/bottom; CN converges at
+    order 2 in dt."""
+    g = Grid((14, 14), intervals=((0.0, 1.0), (0.0, 1.0)))
+    x, y = g.coords_np[..., 0], g.coords_np[..., 1]
+    T0 = jnp.asarray(np.cos(np.pi * x) * np.sin(np.pi * y))
+    bc = jnp.zeros(g.dims)
+    f = jnp.zeros(g.dims)
+    lam = 2.0 * np.pi**2
+    n, dt = 20, 4e-4
+    exact = np.asarray(T0) * np.exp(-lam * n * dt)
+
+    def err_at(dt_, n_):
+        m = HeatModel(g, dt=dt_, theta=0.5, neumann_axes=(0,))
+        return float(jnp.max(jnp.abs(m.rollout(T0, f, bc, n_) - exact)))
+
+    e1, e2 = err_at(dt, n), err_at(dt / 2, 2 * n)
+    assert e1 < 5e-6
+    assert e1 / e2 == pytest.approx(4.0, rel=0.15)
+
+
+@pytest.fixture(scope="module")
+def noslip12():
+    return ConvectionModel.unit_box((12, 12), ConvectionConfig(Ra=1e4, dt=1e-3))
+
+
+def test_conductive_state_is_steady(noslip12):
+    """Buoyancy of T = 1 - y is a pressure gradient: v stays ~0 and the
+    Nusselt number of the conductive profile is exactly 1."""
+    m = noslip12
+    T0 = m.conductive_state()
+    res = m.solve_stokes(T0, m.stokes.zero_state())
+    assert int(res.reason) > 0
+    vmax = float(jnp.max(jnp.abs(m.velocity_full(res.x))))
+    assert vmax < 1e-5 * m.config.Ra      # rtol-limited gradient remnant
+    assert float(m.nusselt_top(T0)) == pytest.approx(1.0, abs=1e-10)
+    assert float(m.nusselt_bottom(T0)) == pytest.approx(1.0, abs=1e-10)
+
+
+def test_supercritical_growth_subcritical_decay(noslip12):
+    m = noslip12
+    Tp = m.conductive_state(amp=0.01, kind="sin")
+    T, _, x = m.rollout(Tp, 40)
+    assert float(m.vrms(x)) > 0.1                 # convection develops
+    assert float(m.nusselt_top(T)) > 1.001
+
+    lo = ConvectionModel.unit_box((12, 12), ConvectionConfig(Ra=100.0, dt=1e-3))
+    T2, _, _ = lo.rollout(lo.conductive_state(amp=0.01, kind="sin"), 60)
+    pert0 = 0.01
+    pert = float(jnp.max(jnp.abs(T2 - lo.T_cond)))
+    assert pert < 0.5 * pert0                     # subcritical decay
+
+
+def test_freeslip_wall_conditions():
+    """Free-slip box (boundary 7): v.n = 0 exactly on every wall, the
+    tangential component develops freely, and the conductive state is
+    still steady (traction rows get zero RHS, not buoyancy)."""
+    cfg = ConvectionConfig(Ra=1e4, dt=1e-3, velocity_bc="freeslip")
+    m = ConvectionModel.unit_box((12, 12), cfg)
+    res = m.solve_stokes(m.conductive_state(), m.stokes.zero_state())
+    vmax = float(jnp.max(jnp.abs(m.velocity_full(res.x))))
+    assert vmax < 1e-5 * m.config.Ra
+
+    T, _, x = m.rollout(m.conductive_state(amp=0.01), 30)
+    v = m.velocity_full(x)
+    # walls: normal component identically zero (eliminated dof), tangential free
+    assert float(jnp.max(jnp.abs(v[0, 1:-1, 0]))) == 0.0
+    assert float(jnp.max(jnp.abs(v[-1, 1:-1, 0]))) == 0.0
+    assert float(jnp.max(jnp.abs(v[1:-1, 0, 1]))) == 0.0
+    assert float(jnp.max(jnp.abs(v[1:-1, -1, 1]))) == 0.0
+    assert float(jnp.max(jnp.abs(v[0, 1:-1, 1]))) > 1e-3
+    # corners pinned
+    assert float(jnp.max(jnp.abs(v[0, 0]))) == 0.0
+
+
+def test_coupled_step_second_order_in_dt():
+    """Self-convergence of the coupled IMEX step (CN + AB2 advection) at a
+    fixed horizon: halving dt quarters the error."""
+    horizon, n0 = 0.02, 10
+    cfgs = [ConvectionConfig(Ra=3e3, dt=horizon / (n0 * k),
+                             velocity_bc="freeslip", side_bc="insulated")
+            for k in (1, 2, 4)]
+    models = [ConvectionModel.unit_box((12, 12), c) for c in cfgs]
+    T0 = models[0].conductive_state(amp=0.05)
+    Ts = [m.rollout(T0, n0 * k)[0] for m, k in zip(models, (1, 2, 4))]
+    e1 = float(jnp.max(jnp.abs(Ts[0] - Ts[2])))
+    e2 = float(jnp.max(jnp.abs(Ts[1] - Ts[2])))
+    # Richardson: e1 ~ (dt^2 - (dt/4)^2), e2 ~ ((dt/2)^2 - (dt/4)^2):
+    # ratio (1 - 1/16)/(1/4 - 1/16) = 5.0 for exact order 2
+    assert e1 / e2 == pytest.approx(5.0, rel=0.25)
+
+
+def test_power_balance_at_steady_state():
+    """Nu_top = Nu_bottom = 1 + <v_y T> holds only when the coupled
+    discrete operators are mutually consistent at the steady state."""
+    cfg = ConvectionConfig(Ra=5e3, dt=1e-3, velocity_bc="freeslip",
+                           side_bc="insulated")
+    m = ConvectionModel.unit_box((14, 14), cfg)
+    T, x, info = m.march_to_steady(m.conductive_state(amp=0.05),
+                                   max_steps=1500, tol=2e-4, chunk=50)
+    assert info["converged"]
+    nu_t, nu_b = info["nu_top"], info["nu_bottom"]
+    nu_v = float(m.nusselt_volume(T, x))
+    assert nu_t > 2.0                      # genuinely convecting
+    assert nu_b == pytest.approx(nu_t, rel=2e-2)
+    assert nu_v == pytest.approx(nu_t, rel=2e-2)
+
+
+@pytest.mark.slow
+def test_blankenbach_case1a():
+    """Blankenbach et al. (GJI 1989) steady isoviscous benchmark, case 1a:
+    Ra = 1e4, unit box, free-slip walls, insulated sides.  Published:
+    Nu = 4.884409, Vrms = 42.864947.
+
+    Grid-sequenced: march the 16^2 model through the transient (whose
+    velocity peak sets the explicit-advection CFL), then cheb_regrid the
+    steady temperature to 24^2 and polish at a CFL-safe dt."""
+    from spectral_tpu.ops.chebyshev import cheb_regrid
+
+    ksp = KSPConfig(type="fgmres", rtol=1e-8, max_it=150, restart=60)
+    coarse = ConvectionModel.unit_box(
+        (16, 16), ConvectionConfig(Ra=1e4, dt=5e-4, velocity_bc="freeslip",
+                                   side_bc="insulated", stokes_ksp=ksp))
+    Tc, _, info_c = coarse.march_to_steady(coarse.conductive_state(amp=0.05),
+                                           max_steps=1500, tol=1e-4, chunk=50)
+    assert info_c["converged"]
+    fine = ConvectionModel.unit_box(
+        (24, 24), ConvectionConfig(Ra=1e4, dt=2e-4, velocity_bc="freeslip",
+                                   side_bc="insulated", stokes_ksp=ksp))
+    T0 = cheb_regrid(Tc, (24, 24))
+    T, x, info = fine.march_to_steady(T0, max_steps=2000, tol=2e-5, chunk=50)
+    assert info["converged"]
+    assert info["nu_top"] == pytest.approx(4.884409, rel=2e-3)
+    assert info["nu_bottom"] == pytest.approx(4.884409, rel=2e-3)
+    assert info["vrms"] == pytest.approx(42.864947, rel=2e-3)
