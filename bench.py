@@ -399,6 +399,30 @@ def bench_stokes_curved(n=14, n_coarse=8):
             err_coarse, flat_iters, neumann)
 
 
+def bench_convection(n=24, steps=40):
+    """Coupled Boussinesq convection (models/convection.py): steps/s of
+    the scan-compiled IMEX step (buoyancy saddle solve + implicit heat) at
+    the Blankenbach case-1a configuration, f32.  The coupled application
+    amortizes the per-dispatch floor: the whole rollout is ONE dispatch."""
+    from spectral_tpu.models.convection import (ConvectionConfig,
+                                                ConvectionModel)
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    cfg = ConvectionConfig(
+        Ra=1e4, dt=5e-4, velocity_bc="freeslip", side_bc="insulated",
+        stokes_ksp=KSPConfig(type="fgmres", rtol=1e-5, max_it=80, restart=40),
+        temp_ksp=KSPConfig(type="cg", rtol=1e-5, max_it=40))
+    m = ConvectionModel.unit_box((n, n), cfg)
+    T0 = m.conductive_state(amp=0.05)
+    carry = m.init_carry(T0)
+    m._rollout_jit(*carry, steps)            # compile + warm
+    t0 = time.perf_counter()
+    T, _, x = m._rollout_jit(*carry, steps)
+    nu = float(m.nusselt_top(T))             # device fetch = barrier
+    dt = time.perf_counter() - t0
+    return steps / dt, nu, float(m.vrms(x))
+
+
 def main():
     # Persistent XLA compilation cache: the fftw_import_system_wisdom analog
     # (cheb.c:32; SURVEY.md section 5.1).  The solve benches below include
@@ -611,6 +635,18 @@ def main():
         })
     except Exception as e:
         extra["stokes_curved14_error"] = str(e)[:200]
+
+    try:
+        if time.perf_counter() - t_start > 840:
+            raise RuntimeError("skipped: bench time budget exhausted")
+        sps, nu, vrms = bench_convection()
+        extra.update({
+            "convection24_steps_per_s": round(sps, 3),
+            "convection24_nu": round(nu, 4),
+            "convection24_vrms": round(vrms, 3),
+        })
+    except Exception as e:
+        extra["convection_error"] = str(e)[:200]
 
     emit()  # final: full key set
 

@@ -667,6 +667,8 @@ def convection_main(opts: Options) -> int:
         theta=opts.get_real("theta", 0.5),
         velocity_bc=opts.get_string("bc", "freeslip"),
         side_bc=opts.get_string("sides", "insulated"),
+        eta_contrast=opts.get_real("eta_contrast", 1.0),
+        tbc=(opts.get_int("tbc", 0) if opts.has("tbc") else None),
         pcvel=opts.get_string("pcvel", "fastdiag"),
         stokes_ksp=opts.ksp_config("", KSPConfig(type="fgmres", rtol=1e-7,
                                                  max_it=150, restart=60)))

@@ -69,6 +69,19 @@ class ConvectionConfig:
     # 'insulated' (zero-flux rows on every horizontal axis — the
     # Blankenbach benchmark regime, HeatModel.neumann_axes)
     side_bc: str = "conducting"
+    # temperature-dependent viscosity (Blankenbach case-2 family):
+    # eta(T) = eta_ref * exp(-ln(eta_contrast) * T), so the cold top is
+    # eta_contrast times stiffer than the hot bottom; 1.0 = isoviscous.
+    # The per-step Stokes solve rebuilds the linearization state and the
+    # eta-aware velocity PC from the current temperature (pcvel auto-
+    # switches to 'mg' — fastdiag cannot track a coefficient field).
+    eta_contrast: float = 1.0
+    # traction-block correction (StokesConfig.tbc) on the free-slip rows:
+    # None = auto (1 for freeslip — measured 38 -> 25 outer isoviscous at
+    # 16^2 and diverged -> 38 at eta_contrast 30; 0 for noslip).  With
+    # variable viscosity the dense boundary-layer factorization is rebuilt
+    # from eta(T) at every step (jit-compatible lax.map).
+    tbc: int | None = None
     pcvel: str = "fastdiag"
     stokes_ksp: KSPConfig = KSPConfig(type="fgmres", rtol=1e-6, max_it=80,
                                       restart=40)
@@ -99,18 +112,26 @@ class ConvectionModel:
         # eta = 2 makes the viscous rows the standard -div(2 eps(v)):
         # power-law rheology with exponent 1 is EXACTLY eta = hardness
         # (rheology.py) — linear physics through the nonlinear plumbing.
+        self._var_eta = config.eta_contrast != 1.0
+        pcvel = config.pcvel
+        if self._var_eta and pcvel == "fastdiag":
+            pcvel = "mg"          # fastdiag cannot track eta(T)
+        tbc = config.tbc
+        if tbc is None:
+            tbc = 1 if config.velocity_bc == "freeslip" else 0
         scfg = StokesConfig(exact=0, boundary=boundary, rheology=1,
-                            hardness=2.0, exponent=1.0, pcvel=config.pcvel,
-                            outer_ksp=config.stokes_ksp)
+                            hardness=2.0, exponent=1.0, pcvel=pcvel,
+                            tbc=tbc, outer_ksp=config.stokes_ksp)
         self.stokes = StokesProblem(grid, scfg)
         self._params = PowerLawParams(2.0, 1.0, 1.0, 1.0)
         # frozen linearization state of the LINEAR operator (eta = 2,
         # deta = 0): build once from the zero state
         zero = self.stokes.zero_state()
         _, self._lin0 = self.stokes.make_residual(self._params)(zero)
-        pc_setup, pc_apply = self.stokes.make_pc()
-        self._pc_state = pc_setup(zero, self._lin0)
-        self._pc_apply = pc_apply
+        self._pc_setup, self._pc_apply = self.stokes.make_pc()
+        # constant-viscosity PC state is static; eta(T) rebuilds per step
+        self._pc_state = None if self._var_eta \
+            else self._pc_setup(zero, self._lin0)
         # implicit diffusion sub-step (shifted fastdiag = exact surrogate;
         # insulated sides use the Neumann-eliminated variant)
         if config.side_bc == "insulated":
@@ -159,10 +180,29 @@ class ConvectionModel:
         return {"v": self.stokes.mask_v(bv),
                 "p": jnp.zeros_like(T)}
 
+    def eta_of_T(self, T):
+        """Relative viscosity exp(-ln(contrast) T): 1 at the cold top,
+        1/contrast at the hot bottom (the Blankenbach case-2 law)."""
+        return jnp.exp(-np.log(self.config.eta_contrast) * T)
+
+    def _lin_of(self, T):
+        """Linearization state of the (linear-in-v) variable-viscosity
+        operator: eta = 2 eta(T), deta = 0 (no strain dependence)."""
+        if not self._var_eta:
+            return self._lin0
+        eta = 2.0 * self.eta_of_T(T)
+        return (eta, jnp.zeros_like(T),
+                jnp.zeros(T.shape + (self.d, self.d), T.dtype))
+
     def solve_stokes(self, T, x0):
-        """Instantaneous Stokes solve for the buoyancy field of T."""
-        A = partial(self.stokes.jacobian_action, None, self._lin0)
-        M = partial(self._pc_apply, self._pc_state)
+        """Instantaneous Stokes solve for the buoyancy field of T (with
+        eta_contrast != 1, the operator and the eta-aware MG velocity PC
+        are rebuilt from the current temperature — jit-compatible)."""
+        lin = self._lin_of(T)
+        A = partial(self.stokes.jacobian_action, None, lin)
+        state = (self._pc_setup(None, lin) if self._var_eta
+                 else self._pc_state)
+        M = partial(self._pc_apply, state)
         return self.config.stokes_ksp.solve(
             A, self.buoyancy_rhs(T), x0,
             M=M, null_project=self.stokes.null_project)
@@ -218,6 +258,67 @@ class ConvectionModel:
         T0 = jnp.asarray(T0)
         carry = self.init_carry(T0)
         return self._rollout_jit(*carry, nsteps)
+
+    @cached_property
+    def _steady_map_jit(self):
+        """T -> T after ``nsteps`` coupled steps, cold-started (N and x
+        rebuilt from T inside the map so it is a pure function of T —
+        the fixed-point map Anderson acceleration extrapolates over)."""
+        def run(T, nsteps):
+            def body(carry, _):
+                return self.step(*carry), ()
+            carry, _ = jax.lax.scan(body, self.init_carry(T), None,
+                                    length=nsteps)
+            return carry[0]
+        return jax.jit(run, static_argnums=1)
+
+    def steady_accelerated(self, T0, m: int = 5, chunk: int = 10,
+                           tol: float = 1e-6, max_iters: int = 200,
+                           warmup: int = 0, monitor: bool = False):
+        """Anderson-accelerated steady state: AA(m) over the fixed-point
+        map G(T) = ``chunk`` coupled steps from T.
+
+        The time stepper plays the nonlinear-preconditioner role
+        (SNESANDERSON wrapped around an NPC, solvers/newton.py) — each
+        Anderson iteration costs one chunk of physical time stepping, and
+        the least-squares extrapolation over the last ``m`` residual
+        differences replaces the slow physical transient (the spectral gap
+        of the stepping operator) with a secant model.  Acceleration is
+        over T only: velocity and the AB2 advection history are derived
+        from T inside the map, so the extrapolation space is well scaled.
+
+        ``warmup`` plain steps precede the acceleration: the conductive
+        profile is ALSO a fixed point of G (unstable above critical Ra),
+        and an unglobalized root finder seeded near it can converge to
+        that root — let the physical instability grow clear of it first.
+
+        Returns (T, x, info) with the same info dict as march_to_steady
+        (info['steps'] counts physical steps taken = warmup + iters*chunk).
+        """
+        from spectral_tpu.solvers.newton import NewtonConfig, anderson_solve
+
+        T0 = jnp.asarray(T0)
+        if warmup:
+            T0 = self.rollout(T0, warmup)[0]
+        dt_eff = chunk * self.config.dt
+
+        def residual(T):
+            return T - self._steady_map_jit(T, chunk), None
+
+        # ||.||_inf <= ||.||_2, so atol = tol * chunk * dt implies the
+        # marching criterion ||T - G(T)||_inf / (chunk dt) < tol.
+        cfg = NewtonConfig(rtol=0.0, atol=tol * dt_eff, max_it=max_iters,
+                           monitor=monitor)
+        res = anderson_solve(residual, T0, m=m, config=cfg)
+        T = res.x
+        rate = float(jnp.max(jnp.abs(residual(T)[0]))) / dt_eff
+        x = self.solve_stokes(T, self.stokes.zero_state()).x
+        info = {"steps": warmup + res.iters * chunk, "rate": rate,
+                "nu_top": float(self.nusselt_top(T)),
+                "nu_bottom": float(self.nusselt_bottom(T)),
+                "vrms": float(self.vrms(x)),
+                "converged": bool(res.reason > 0) and np.isfinite(rate)}
+        return T, x, info
 
     def march_to_steady(self, T0, max_steps: int = 5000, tol: float = 1e-6,
                         chunk: int = 25, monitor: bool = False):

@@ -192,6 +192,48 @@ def test_power_balance_at_steady_state():
     assert nu_v == pytest.approx(nu_t, rel=2e-2)
 
 
+def test_anderson_accelerated_steady_state():
+    """AA(m) over the fixed-point map G(T) = chunk coupled steps (the time
+    stepper as nonlinear preconditioner) reaches the SAME steady state as
+    plain marching in far fewer physical steps."""
+    cfg = ConvectionConfig(Ra=5e3, dt=1e-3, velocity_bc="freeslip",
+                           side_bc="insulated")
+    m = ConvectionModel.unit_box((12, 12), cfg)
+    T0 = m.conductive_state(amp=0.05)
+    Tm, xm, im = m.march_to_steady(T0, max_steps=2000, tol=1e-4, chunk=50)
+    assert im["converged"]
+    Ta, xa, ia = m.steady_accelerated(T0, m=5, chunk=10, tol=1e-4,
+                                      max_iters=100, warmup=100)
+    assert ia["converged"]
+    assert ia["rate"] < 1e-4
+    assert ia["steps"] < 0.5 * im["steps"]           # the acceleration
+    assert ia["nu_top"] == pytest.approx(im["nu_top"], rel=1e-3)
+    assert ia["vrms"] == pytest.approx(im["vrms"], rel=1e-3)
+    assert float(jnp.max(jnp.abs(Ta - Tm))) < 5e-3
+
+
+def test_variable_viscosity_power_balance():
+    """Temperature-dependent viscosity (Blankenbach case-2 law,
+    eta = exp(-ln(contrast) T)): the conductive state stays steady, and at
+    the convective steady state the power balance closes — which requires
+    the per-step eta(T) operator, its eta-aware MG velocity PC and the
+    per-step traction-block factorization to be mutually consistent."""
+    cfg = ConvectionConfig(Ra=2e3, dt=2e-4, velocity_bc="freeslip",
+                           side_bc="insulated", eta_contrast=10.0)
+    m = ConvectionModel.unit_box((12, 12), cfg)
+    res = m.solve_stokes(m.conductive_state(), m.stokes.zero_state())
+    assert int(res.reason) > 0
+    assert float(jnp.max(jnp.abs(m.velocity_full(res.x)))) < 1e-5 * cfg.Ra
+
+    T, x, info = m.march_to_steady(m.conductive_state(amp=0.05),
+                                   max_steps=4000, tol=5e-4, chunk=100)
+    assert info["converged"]
+    assert info["nu_top"] > 1.2            # convecting
+    assert info["nu_bottom"] == pytest.approx(info["nu_top"], rel=2e-2)
+    assert float(m.nusselt_volume(T, x)) == pytest.approx(info["nu_top"],
+                                                          rel=2e-2)
+
+
 @pytest.mark.slow
 def test_blankenbach_case1a():
     """Blankenbach et al. (GJI 1989) steady isoviscous benchmark, case 1a:
