@@ -668,6 +668,7 @@ def convection_main(opts: Options) -> int:
         velocity_bc=opts.get_string("bc", "freeslip"),
         side_bc=opts.get_string("sides", "insulated"),
         eta_contrast=opts.get_real("eta_contrast", 1.0),
+        heating=opts.get_real("heating", 0.0),
         tbc=(opts.get_int("tbc", 0) if opts.has("tbc") else None),
         pcvel=opts.get_string("pcvel", "fastdiag"),
         stokes_ksp=opts.ksp_config("", KSPConfig(type="fgmres", rtol=1e-7,
@@ -684,6 +685,17 @@ def convection_main(opts: Options) -> int:
         info = {"steps": nsteps, "nu_top": float(m.nusselt_top(T)),
                 "nu_bottom": float(m.nusselt_bottom(T)),
                 "vrms": float(m.vrms(x)), "converged": True}
+    elif opts.has("accel"):
+        # Anderson acceleration over the chunked time stepper (AA(m) with
+        # the stepper as nonlinear preconditioner, steady_accelerated)
+        T, x, info = m.steady_accelerated(
+            T0, m=opts.get_int("accel_m", 5),
+            chunk=opts.get_int("chunk", 10),
+            tol=opts.get_real("steady_tol", 1e-3),
+            max_iters=opts.get_int("max_steps", 3000) //
+            max(opts.get_int("chunk", 10), 1),
+            warmup=opts.get_int("warmup", 100),
+            monitor=opts.has("monitor"))
     else:
         T, x, info = m.march_to_steady(
             T0, max_steps=opts.get_int("max_steps", 3000),

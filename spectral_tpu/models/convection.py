@@ -82,6 +82,11 @@ class ConvectionConfig:
     # variable viscosity the dense boundary-layer factorization is rebuilt
     # from eta(T) at every step (jit-compatible lax.map).
     tbc: int | None = None
+    # uniform nondimensional internal heat production H (the heated-mantle
+    # regime): adds +H to the energy equation.  Steady-state flux balance
+    # then reads Nu_top - Nu_bottom = H (unit box, insulated sides), and
+    # the subcritical conduction profile is 1 - y + (H/2) y (1 - y).
+    heating: float = 0.0
     pcvel: str = "fastdiag"
     stokes_ksp: KSPConfig = KSPConfig(type="fgmres", rtol=1e-6, max_it=80,
                                       restart=40)
@@ -169,28 +174,30 @@ class ConvectionModel:
     # ------------------------------------------------------------------
     # Coupled step pieces (all jittable)
     # ------------------------------------------------------------------
-    def buoyancy_rhs(self, T):
+    def buoyancy_rhs(self, T, Ra=None):
         """Saddle-system RHS {Ra T ghat, 0} on the free velocity dofs.
 
         Mixed (free-slip) rows are TRACTION rows, not momentum rows: their
         RHS is the zero traction datum, never the volumetric buoyancy
         (exactly how _setup_exact_and_force fills force at nm nodes)."""
-        bv = self.config.Ra * T[..., None] * self._evert
+        Ra = self.config.Ra if Ra is None else Ra
+        bv = Ra * T[..., None] * self._evert
         bv = jnp.where(self.stokes.nm_mask[..., None], 0.0, bv)
         return {"v": self.stokes.mask_v(bv),
                 "p": jnp.zeros_like(T)}
 
-    def eta_of_T(self, T):
+    def eta_of_T(self, T, contrast=None):
         """Relative viscosity exp(-ln(contrast) T): 1 at the cold top,
         1/contrast at the hot bottom (the Blankenbach case-2 law)."""
-        return jnp.exp(-np.log(self.config.eta_contrast) * T)
+        c = self.config.eta_contrast if contrast is None else contrast
+        return jnp.exp(-jnp.log(c) * T)
 
-    def _lin_of(self, T):
+    def _lin_of(self, T, contrast=None):
         """Linearization state of the (linear-in-v) variable-viscosity
         operator: eta = 2 eta(T), deta = 0 (no strain dependence)."""
-        if not self._var_eta:
+        if not self._var_eta and contrast is None:
             return self._lin0
-        eta = 2.0 * self.eta_of_T(T)
+        eta = 2.0 * self.eta_of_T(T, contrast)
         return (eta, jnp.zeros_like(T),
                 jnp.zeros(T.shape + (self.d, self.d), T.dtype))
 
@@ -212,6 +219,91 @@ class ConvectionModel:
         (free-slip walls store only the tangential dofs)."""
         return self.stokes.local_velocity(x["v"], with_dirichlet=True)
 
+    # ------------------------------------------------------------------
+    # Differentiable rollout (jax.grad through the coupled integration)
+    # ------------------------------------------------------------------
+    @cached_property
+    def _stokes_solve_diff(self):
+        """(lin, b) -> x saddle solve with a custom VJP (the implicit
+        function theorem — solvers/adjoint.py applied to the linear case):
+        the backward pass solves the TRANSPOSED saddle system with the
+        adjoint saddle PC (make_pc(adjoint=True)) for the multiplier
+        lambda = A^{-T} x_bar, returns it as the RHS cotangent, and
+        contracts -lambda through the vjp of lin -> A(lin) x for the
+        operator cotangent — so gradients flow BOTH through the RHS and,
+        with variable viscosity, through eta(T) in the operator."""
+        asetup, aapply = self.stokes.make_pc(adjoint=True)
+        proj = self.stokes.null_project
+        ksp = self.config.stokes_ksp
+        action = self.stokes.jacobian_action
+
+        @jax.custom_vjp
+        def solve(lin, b):
+            fstate = self._pc_setup(None, lin)
+            return ksp.solve(partial(action, None, lin), b,
+                             self.stokes.zero_state(),
+                             M=partial(self._pc_apply, fstate),
+                             null_project=proj).x
+
+        def fwd(lin, b):
+            x = solve(lin, b)
+            return x, (lin, x)
+
+        def bwd(res, ct):
+            lin, x = res
+
+            def At(w):
+                return jax.linear_transpose(
+                    lambda y: action(None, lin, y), x)(w)[0]
+
+            astate = asetup(None, lin)
+            lam = ksp.solve(At, ct, self.stokes.zero_state(),
+                            M=partial(aapply, astate),
+                            null_project=proj).x
+            _, vjp_lin = jax.vjp(lambda l: action(None, l, x), lin)
+            dlin = jax.tree.map(lambda t: -t, vjp_lin(lam)[0])
+            return dlin, lam
+
+        solve.defvjp(fwd, bwd)
+        return solve
+
+    def rollout_diff(self, T0, nsteps: int, Ra=None, contrast=None):
+        """``nsteps`` coupled steps, reverse-mode differentiable: returns
+        (T, x) with gradients flowing to T0, Ra and the viscosity contrast
+        (pass them as traced arguments; None freezes at the config value).
+
+        Both inner Krylov solves ride ``lax.custom_linear_solve`` (their
+        while_loops are opaque to reverse AD; the implicit adjoint solves
+        replace unrolling), everything else — buoyancy assembly, eta(T),
+        AB2 spectral advection, the theta-scheme RHS — is plain traced
+        JAX, so ``jax.grad(lambda Ra: loss(m.rollout_diff(T0, n, Ra)[0]))``
+        is the discrete transient adjoint of the coupled system.  No warm
+        starts (the solve callbacks must be pure in b), so prefer the
+        primal ``rollout`` when gradients are not needed."""
+        Ra = jnp.asarray(self.config.Ra if Ra is None else Ra)
+        if contrast is None and self._var_eta:
+            contrast = self.config.eta_contrast
+        q = self.config.heating or None
+
+        def stokes_of(T):
+            lin = self._lin_of(T, contrast)
+            return self._stokes_solve_diff(lin, self.buoyancy_rhs(T, Ra))
+
+        def body(carry, _):
+            T, N_prev = carry
+            x = stokes_of(T)
+            N = self.advection(self.velocity_full(x), T)
+            N_mid = 1.5 * N - 0.5 * N_prev
+            f = -N_mid if q is None else q - N_mid
+            T_next = self.heat.step_diff(T, f, self.bc_T)
+            return (T_next, N), ()
+
+        T0 = jnp.asarray(T0)
+        x0 = stokes_of(T0)
+        N0 = self.advection(self.velocity_full(x0), T0)
+        (T, _), _ = jax.lax.scan(body, (T0, N0), None, length=nsteps)
+        return T, stokes_of(T)
+
     def advection(self, v_full, T):
         """N = v . grad T on the interior (boundary rows are Dirichlet)."""
         g = self.grid
@@ -231,6 +323,8 @@ class ConvectionModel:
         x = res.x
         N = self.advection(self.velocity_full(x), T)
         N_mid = 1.5 * N - 0.5 * N_prev          # t_{n+1/2} extrapolation
+        if q is None and self.config.heating:
+            q = self.config.heating
         f = -N_mid if q is None else q - N_mid
         T_next = self.heat.step(T, f, self.bc_T)
         return T_next, N, x

@@ -173,8 +173,8 @@ class HeatModel:
         state = mg.setup(self.cmap.pc_coeffs())
         return lambda r: mg.vcycle(state, r)
 
-    def step(self, u: jax.Array, f: jax.Array, dirichlet: jax.Array) -> jax.Array:
-        """One theta-scheme step (jittable): solve A u_next = rhs.
+    def _step_rhs(self, u: jax.Array, f: jax.Array, dirichlet: jax.Array):
+        """(initial guess, rhs) of the theta-scheme step A u_next = rhs.
 
         Insulated faces carry the zero-flux row (rhs 0) and keep the
         current value as the initial guess instead of the Dirichlet datum.
@@ -189,9 +189,35 @@ class HeatModel:
         rhs = jnp.where(g.boundary_mask, dirichlet, rhs)
         if self.neumann_axes:
             rhs = jnp.where(any_nm, 0.0, rhs)
+        return uL, rhs
+
+    def step(self, u: jax.Array, f: jax.Array, dirichlet: jax.Array) -> jax.Array:
+        """One theta-scheme step (jittable): solve A u_next = rhs."""
+        uL, rhs = self._step_rhs(u, f, dirichlet)
         res = self.ksp.solve(self.implicit_operator, rhs,
                              x0=uL, M=self._pc_apply)
         return res.x
+
+    def step_diff(self, u: jax.Array, f: jax.Array,
+                  dirichlet: jax.Array) -> jax.Array:
+        """``step`` with the Krylov solve wrapped in
+        ``lax.custom_linear_solve``: reverse-mode differentiable w.r.t.
+        u and f (the backward pass solves the TRANSPOSED implicit system
+        by GMRES with the same fast-diagonalization preconditioner — its
+        surrogate inverse is symmetric), so whole rollouts can sit under
+        ``jax.grad`` even though the forward solver is a while_loop."""
+        uL, rhs = self._step_rhs(u, f, dirichlet)
+        tksp = (dataclasses.replace(self.ksp, type="gmres")
+                if self.ksp.type == "cg" else self.ksp)
+
+        def solve(mv, b):
+            return self.ksp.solve(mv, b, x0=uL, M=self._pc_apply).x
+
+        def tsolve(vecmat, b):
+            return tksp.solve(vecmat, b, M=self._pc_apply).x
+
+        return jax.lax.custom_linear_solve(
+            self.implicit_operator, rhs, solve, transpose_solve=tsolve)
 
     def rollout(self, u0: jax.Array, f: jax.Array, dirichlet: jax.Array,
                 nsteps: int) -> jax.Array:

@@ -234,6 +234,88 @@ def test_variable_viscosity_power_balance():
                                                           rel=2e-2)
 
 
+def test_rollout_diff_adjoint_gradients():
+    """jax.grad through the coupled rollout (rollout_diff: custom-VJP
+    saddle solve + custom_linear_solve heat step) == finite differences of
+    the primal integration, for all three parameter paths: Ra (RHS),
+    viscosity contrast (the OPERATOR's eta(T) dependence — the implicit
+    vjp term -lambda^T dA x), and the initial temperature field."""
+    import jax
+
+    ksp = KSPConfig(type="fgmres", rtol=1e-10, max_it=200, restart=80)
+    tksp = KSPConfig(type="cg", rtol=1e-12, max_it=120)
+    cfg = ConvectionConfig(Ra=3e3, dt=1e-3, eta_contrast=3.0,
+                           velocity_bc="freeslip", side_bc="insulated",
+                           stokes_ksp=ksp, temp_ksp=tksp)
+    m = ConvectionModel.unit_box((8, 8), cfg)
+    T0 = m.conductive_state(amp=0.05)
+    rng = np.random.default_rng(3)
+    dT = jnp.asarray(rng.standard_normal(m.grid.dims) * 0.01)
+
+    def loss(Ra, c, t):
+        T, x = m.rollout_diff(T0 + t * dT, 3, Ra=Ra, contrast=c)
+        return m.nusselt_top(T) + 1e-2 * m.vrms(x)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(3e3, 3.0, 0.0)
+    for i, (h, args) in enumerate([
+            (1.0, lambda s: (3e3 + s, 3.0, 0.0)),
+            (1e-3, lambda s: (3e3, 3.0 + s, 0.0)),
+            (1e-4, lambda s: (3e3, 3.0, s))]):
+        fd = (loss(*args(h)) - loss(*args(-h))) / (2 * h)
+        assert float(g[i]) == pytest.approx(float(fd), rel=1e-3), i
+
+
+def test_internal_heating():
+    """Uniform internal heating H: subcritical marching converges to the
+    EXACT conduction-with-sources profile 1 - y + (H/2) y (1 - y), whose
+    fluxes are Nu_top = 1 + H/2 and Nu_bottom = 1 - H/2; at a convective
+    steady state the flux balance Nu_top - Nu_bottom = H still closes.
+    (Insulated sides: conducting sidewalls clamp T = 1 - y there, which
+    makes the heated steady state genuinely 2-D.)"""
+    H = 1.0
+    lo = ConvectionModel.unit_box(
+        (12, 12), ConvectionConfig(Ra=100.0, dt=2e-3, heating=H,
+                                   side_bc="insulated"))
+    T, _, info = lo.march_to_steady(lo.conductive_state(), max_steps=2000,
+                                    tol=1e-8, chunk=100)
+    assert info["converged"]
+    y = lo.grid.coords_np[..., lo.vax]
+    exact = 1.0 - y + 0.5 * H * y * (1.0 - y)
+    assert float(jnp.max(jnp.abs(T - exact))) < 1e-6
+    assert info["nu_top"] == pytest.approx(1.0 + H / 2, abs=1e-6)
+    assert info["nu_bottom"] == pytest.approx(1.0 - H / 2, abs=1e-6)
+
+    hi = ConvectionModel.unit_box(
+        (12, 12), ConvectionConfig(Ra=4e3, dt=5e-4, velocity_bc="freeslip",
+                                   side_bc="insulated", heating=H))
+    T, x, info = hi.march_to_steady(hi.conductive_state(amp=0.05),
+                                    max_steps=3000, tol=5e-4, chunk=100)
+    assert info["converged"]
+    assert info["nu_top"] > 1.5 + H / 2       # genuinely convecting
+    assert info["nu_top"] - info["nu_bottom"] == pytest.approx(H, abs=2e-2)
+
+
+def test_convection_3d_smoke():
+    """The coupled composition is dimension-generic: in 3-D the conductive
+    state is preserved (free-slip box + insulated sides), and a perturbed
+    supercritical state develops convection."""
+    cfg = ConvectionConfig(Ra=1e4, dt=1e-3, velocity_bc="freeslip",
+                           side_bc="insulated",
+                           stokes_ksp=KSPConfig(type="fgmres", rtol=1e-6,
+                                                max_it=100, restart=50))
+    m = ConvectionModel.unit_box((10, 10, 10), cfg)
+    T0 = m.conductive_state()
+    res = m.solve_stokes(T0, m.stokes.zero_state())
+    assert int(res.reason) > 0
+    assert float(jnp.max(jnp.abs(m.velocity_full(res.x)))) < 1e-4 * cfg.Ra
+    assert float(m.nusselt_top(T0)) == pytest.approx(1.0, abs=1e-9)
+
+    T, _, x = m.rollout(m.conductive_state(amp=0.05), 25)
+    assert float(m.vrms(x)) > 0.1
+    assert float(m.nusselt_top(T)) > 1.0005
+    assert float(m.nusselt_bottom(T)) > 1.0005
+
+
 @pytest.mark.slow
 def test_blankenbach_case1a():
     """Blankenbach et al. (GJI 1989) steady isoviscous benchmark, case 1a:

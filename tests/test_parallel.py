@@ -449,3 +449,64 @@ def test_sharded_unsteady_stokes_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-9)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p_ref), atol=1e-9)
     assert int(it) == int(it_ref)
+
+
+def test_sharded_convection_step_matches_single_device():
+    """The coupled convection step (buoyancy saddle solve + AB2 advection
+    + implicit heat) under GSPMD: a full step on a mesh-sharded
+    temperature reproduces the single-device step at the same Stokes
+    iteration count."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spectral_tpu.models.convection import (ConvectionConfig,
+                                                ConvectionModel)
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    mesh = _mesh4()
+    cfg = ConvectionConfig(Ra=5e3, dt=1e-3, velocity_bc="freeslip",
+                           side_bc="insulated",
+                           stokes_ksp=KSPConfig(type="fgmres", rtol=1e-10,
+                                                max_it=150, restart=60))
+    m = ConvectionModel.unit_box((12, 12), cfg)
+    T0 = m.conductive_state(amp=0.05)
+    carry_ref = m.init_carry(T0)
+    it_ref = int(m.solve_stokes(T0, m.stokes.zero_state()).iters)
+    T_ref, N_ref, x_ref = m.step(*carry_ref)
+
+    sh = NamedSharding(mesh, P("x", None))
+    T0s = jax.device_put(T0, sh)
+    with mesh:
+        it_sh = int(m.solve_stokes(T0s, m.stokes.zero_state()).iters)
+        carry = m.init_carry(T0s)
+        T1, N1, x1 = m.step(*carry)
+        jax.block_until_ready(T1)
+    assert it_sh == it_ref
+    np.testing.assert_allclose(np.asarray(T1), np.asarray(T_ref), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(x1["v"]), np.asarray(x_ref["v"]),
+                               atol=1e-8)
+
+
+def test_sharded_neumann_fastdiag_matches_single_device():
+    """Regression: the Neumann-eliminated fastdiag apply along a SHARDED
+    axis.  Its original row-scatter form hit an XLA partitioner bug
+    (chained dynamic-update-slices at unaligned offsets along the sharded
+    axis return garbage on jax 0.9.0, GSPMD and Shardy alike — this test
+    fails loudly on any regression to scatter form); the mask/roll form
+    partitions correctly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spectral_tpu.ops.fastdiag import FastDiagSolver
+
+    mesh = _mesh4()
+    g = Grid((12, 12))
+    rng = np.random.default_rng(7)
+    r = jnp.asarray(rng.standard_normal((12, 12)))
+    for nm_axes in ((0,), (1,)):
+        fd = FastDiagSolver.build(g, shift=1.0, neumann_axes=nm_axes)
+        ref = fd.apply(r)
+        rs = jax.device_put(r, NamedSharding(mesh, P("x", None)))
+        with mesh:
+            got = jax.jit(fd.apply)(rs)
+            jax.block_until_ready(got)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-12)
