@@ -678,6 +678,35 @@ def convection_main(opts: Options) -> int:
           f"  dt = {cfg.dt}  theta = {cfg.theta}  bc = {cfg.velocity_bc}"
           f"/{cfg.side_bc}")
     print(m.stokes.census())
+    if opts.has("stability"):
+        # linear stability analysis of the conduction state (solvers/eig):
+        # -stability 1 = critical Rayleigh number (direct generalized
+        # eigenproblem); -stability 2 = also the growth rates nearest 0 at
+        # the configured Ra (shift-invert)
+        level = opts.get_int("stability", 1)
+        ra_c, resc = m.critical_rayleigh(
+            k=2, m=opts.get_int("eps_ncv", 20),
+            tol=opts.get_real("eps_tol", 1e-9))
+        print(f"Critical Rayleigh number Ra_c = {ra_c:.6f}  "
+              f"(converged: {resc.converged}, {resc.matvecs} operator "
+              f"applications)   Ra/Ra_c = {cfg.Ra / ra_c:.4f}")
+        ok = resc.converged and np.isfinite(ra_c)
+        if level >= 2:
+            res = m.stability_eigenvalues(
+                k=opts.get_int("eps_nev", 3),
+                m=opts.get_int("eps_ncv", 20),
+                tol=opts.get_real("eps_tol", 1e-7))
+            lams = ", ".join(f"{z.real:+.6f}{z.imag:+.2e}j"
+                             for z in res.eigenvalues)
+            print(f"Growth rates nearest 0 at Ra = {cfg.Ra}: [{lams}]  "
+                  f"(converged: {res.converged})")
+            verdict = ("UNSTABLE (convecting)"
+                       if max(z.real for z in res.eigenvalues) > 0
+                       else "stable (conducting)")
+            print(f"Conduction state is {verdict}")
+            ok = ok and res.converged
+        _print_unused(opts)
+        return 0 if ok else 2
     T0 = m.conductive_state(amp=opts.get_real("amp", 0.05))
     nsteps = opts.get_int("nsteps", 0)
     if nsteps:

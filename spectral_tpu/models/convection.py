@@ -448,6 +448,126 @@ class ConvectionModel:
         return T, x, info
 
     # ------------------------------------------------------------------
+    # Linear stability analysis (solvers/eig.py — the SLEPc-EPS role)
+    # ------------------------------------------------------------------
+    # At infinite Prandtl the linearization of the coupled system about the
+    # conduction base state (T0, v0 = 0; buoyancy of T0 is a pressure
+    # gradient, so v0 vanishes EXACTLY — the conductive-preservation test)
+    # acts on temperature alone:
+    #     dT'/dt = L T',    L = Lap + Ra B',   B' T' = -v1(T') . grad T0,
+    # where v1(T') is the unit-Ra Stokes velocity response to the buoyancy
+    # of T' (the viscosity perturbation d(eta)/dT T' multiplies the base
+    # strain, which is zero, so eta(T0) enters only through v1).  The
+    # constrained rows (Dirichlet top/bottom, zero-flux insulated sides)
+    # are enforced by solving WITH those rows, so Krylov vectors stay in
+    # the constraint manifold without any explicit embedding.
+
+    @cached_property
+    def _stability_pieces(self):
+        """(grad T0 components, (-Lap)-solver HeatModel, frozen Stokes PC
+        state) at the conduction base state (heating-aware profile)."""
+        g = self.grid
+        H = self.config.heating
+        y = g.coords_np[..., self.vax]
+        T0 = jnp.asarray(1.0 - y + 0.5 * H * y * (1.0 - y))
+        dT0 = tuple(g.apply_dif_weight(chebdiff(T0, ax), ax)
+                    for ax in range(self.d))
+        # (-Laplace) on the constrained space: the heat machinery at
+        # dt -> inf, theta = 1 (implicit_operator = u/dt - Lap u with the
+        # exact Dirichlet/zero-flux rows and the Neumann-eliminated
+        # fastdiag PC); the 1e-12 mass shift is negligible regularization
+        lap = HeatModel(g, dt=1e12, theta=1.0,
+                        ksp=KSPConfig(type="cg", rtol=1e-12, max_it=500),
+                        neumann_axes=self.heat.neumann_axes)
+        lin = self._lin_of(T0)
+        state = self._pc_setup(None, lin)
+        return dT0, lap, (lin, state), T0
+
+    def _stability_v1(self, Tp):
+        """v1(T'): unit-Ra instantaneous velocity response (operator and
+        PC frozen at the base state's eta(T0))."""
+        dT0, lap, (lin, state), T0 = self._stability_pieces
+        res = self.config.stokes_ksp.solve(
+            partial(self.stokes.jacobian_action, None, lin),
+            self.buoyancy_rhs(Tp, Ra=1.0), self.stokes.zero_state(),
+            M=partial(self._pc_apply, state),
+            null_project=self.stokes.null_project)
+        return self.velocity_full(res.x)
+
+    def _stability_B(self, Tp):
+        """B' T' = -v1(T') . grad T0, zeroed on the constrained rows."""
+        dT0, lap, _, T0 = self._stability_pieces
+        v = self._stability_v1(Tp)
+        w = jnp.zeros_like(Tp)
+        for ax in range(self.d):
+            w = w - v[..., ax] * dT0[ax]
+        return self.grid.zero_boundary(w)
+
+    def critical_rayleigh(self, k: int = 2, m: int = 20, tol: float = 1e-9):
+        """Onset of convection as a DIRECT generalized eigenproblem — no
+        parameter sweep: at neutral stability Lap T' + Ra B' T' = 0, so
+        Ra_c = 1 / mu_max with mu_max the largest positive eigenvalue of
+        (-Lap)^{-1} B' (one Stokes solve + one Poisson solve per Arnoldi
+        step).  Free-slip insulated unit box: Ra_c = 8 pi^4 = 779.2727
+        at the (1,1) roll mode (the closed-form oracle in
+        tests/test_eig.py).  Returns (Ra_c, EPSResult)."""
+        from spectral_tpu.solvers.eig import eigs
+
+        _, lap, _, _ = self._stability_pieces
+
+        @jax.jit
+        def op(Tp):
+            rhs = self._stability_B(Tp)
+            return lap.ksp.solve(lap.implicit_operator, rhs,
+                                 M=lap._pc_apply).x
+
+        v0 = jnp.asarray(np.random.default_rng(0)
+                         .standard_normal(self.grid.dims))
+        v0 = self.grid.zero_boundary(v0)
+        res = eigs(op, v0, k=k, which="LR", m=m, tol=tol)
+        mu = max((z.real for z in res.eigenvalues
+                  if abs(z.imag) < 1e-8 * abs(z) + 1e-12 and z.real > 0),
+                 default=np.nan)
+        return (1.0 / mu if np.isfinite(mu) else np.nan), res
+
+    def stability_eigenvalues(self, Ra: float | None = None,
+                              sigma: float = 0.0, k: int = 4, m: int = 25,
+                              tol: float = 1e-8,
+                              ksp: KSPConfig | None = None):
+        """Growth rates: the eigenvalues of L = Lap + Ra B' nearest
+        ``sigma``, by shift-invert Arnoldi (each matvec is one framework
+        GMRES solve of (L - sigma I) z = w whose every iteration applies a
+        Stokes solve — analysis tooling, not a hot path).  lambda > 0 means
+        the conduction state is unstable; the free-slip dispersion relation
+        lambda = -(k^2+n^2 pi^2) + Ra k^2/(k^2+n^2 pi^2)^2 is the test
+        oracle.  Returns an EPSResult with TRANSFORMED eigenvalues."""
+        from spectral_tpu.solvers.eig import eigs, shift_invert
+
+        Ra = self.config.Ra if Ra is None else Ra
+        _, lap, _, _ = self._stability_pieces
+        ksp = ksp or KSPConfig(type="gmres", rtol=1e-10, max_it=200,
+                               restart=80)
+
+        def neg_L_shift(u):
+            # -(L - sigma I) u on the interior rows, constraint rows from
+            # the heat operator (u/dt - Lap u ~ -Lap u; BC rows exact)
+            w = lap.implicit_operator(u)
+            return w + self.grid.zero_boundary(sigma * u) \
+                - self._stability_B(u) * Ra
+
+        @jax.jit
+        def op_si(u):
+            rhs = self.grid.zero_boundary(-u)
+            return ksp.solve(neg_L_shift, rhs, M=lap._pc_apply).x
+
+        v0 = jnp.asarray(np.random.default_rng(1)
+                         .standard_normal(self.grid.dims))
+        v0 = self.grid.zero_boundary(v0)
+        _, back = shift_invert(op_si, sigma)
+        return eigs(op_si, v0, k=k, which="LM", m=m, tol=tol,
+                    transform=back)
+
+    # ------------------------------------------------------------------
     # Diagnostics (unit-box nondimensionalization: conductive flux = 1)
     # ------------------------------------------------------------------
     def _dTdy(self, T):

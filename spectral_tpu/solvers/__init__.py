@@ -5,8 +5,12 @@ from spectral_tpu.solvers.adjoint import implicit_gradient, implicit_hvp
 from spectral_tpu.solvers.fas import FASSolver
 from spectral_tpu.solvers.krylov import (KSPConfig, ksp_solve, gmres, fgmres,
                                          cg, block_gmres, chebyshev, minres)
+from spectral_tpu.solvers.eig import EPSResult, eigs, shift_invert
 
 __all__ = [
+    "EPSResult",
+    "eigs",
+    "shift_invert",
     "implicit_gradient",
     "implicit_hvp",
     "ConvergedReason",

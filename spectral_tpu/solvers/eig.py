@@ -1,0 +1,234 @@
+"""Matrix-free eigenanalysis: Krylov-Schur restarted Arnoldi (EPS).
+
+The reference has no eigensolver of its own, but its ecosystem does: a
+PETSc user reaches for SLEPc's EPS to analyze the operators this framework
+builds (stability of steady states, spectrum of preconditioned operators,
+field-of-values diagnostics).  This module supplies that capability in the
+framework's native style: the only device work is the jitted operator
+application (one matvec per Arnoldi step — a pytree-valued closure exactly
+like solvers.krylov operators), while all small dense math (orthogonalization
+coefficients, ordered Schur forms, Ritz extraction) runs on the host in
+float64 numpy — the same host/device split as ops.fastdiag and
+solvers.krylov.extreme_singular_values.
+
+Algorithm: Krylov-Schur (Stewart 2001), the thick-restart Arnoldi SLEPc
+defaults to.  The decomposition is kept in the general Krylov form
+    A V_p = V_{p+1} H[:p+1, :p]
+whose square part is REAL-Schur quasi-triangular after each restart (the
+spike row couples the restart residual).  Expansion appends ordinary
+Arnoldi columns (classical Gram-Schmidt, twice); contraction reorders the
+real Schur form so the wanted Ritz values lead, then truncates WITHOUT
+splitting conjugate 2x2 blocks.  Convergence of a Ritz pair (theta, y) is
+measured by the exact Arnoldi residual |b^T y| with b the coupling row.
+
+Spectral transforms (shift-invert etc.) compose outside: pass the solved
+operator and map the returned eigenvalues back (``shift_invert`` helper).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from jax.flatten_util import ravel_pytree
+
+
+class EPSResult(NamedTuple):
+    eigenvalues: np.ndarray     # (k,) complex, sorted by ``which``
+    eigenvectors: np.ndarray    # (k, n) complex rows, unit 2-norm
+    residuals: np.ndarray       # (k,) Arnoldi residual estimates |b^T y|
+    matvecs: int
+    restarts: int
+    converged: bool
+
+
+_WHICH = {
+    "LR": lambda w: w.real,            # largest real part
+    "SR": lambda w: -w.real,
+    "LM": lambda w: np.abs(w),         # largest magnitude
+    "SM": lambda w: -np.abs(w),
+}
+
+
+def _sort_key(which: str) -> Callable[[np.ndarray], np.ndarray]:
+    try:
+        return _WHICH[which]
+    except KeyError:
+        raise ValueError(f"which must be one of {sorted(_WHICH)}, "
+                         f"got {which!r}") from None
+
+
+def _schur_sorted(Hs: np.ndarray, key) -> tuple[np.ndarray, np.ndarray]:
+    """Real Schur form of Hs with the eigenvalues ordered by ``key``
+    (descending) along the (quasi-)diagonal: repeated selection sweeps of
+    scipy's sorted Schur — each sweep moves the currently-best remaining
+    cluster to the front of the trailing block."""
+    from scipy.linalg import schur
+
+    w = np.linalg.eigvals(Hs)
+    order = np.argsort(-key(w), kind="stable")
+    ranked = w[order]
+
+    T, Q = np.array(Hs, float), np.eye(Hs.shape[0])  # copy: sweeps mutate T
+    done = 0
+    while done < len(ranked) - 1:
+        target = ranked[done]
+
+        def make_select(t):
+            # a real Schur form cannot split a conjugate 2x2 block: the
+            # predicate must accept BOTH members of the pair
+            def select(re, im, _t=t):
+                z = complex(re, im)
+                tol = 1e-9 * (1.0 + abs(_t))
+                return (abs(z - _t) <= tol or
+                        abs(z - np.conj(_t)) <= tol)
+            return select
+
+        T22, Q22, sdim = schur(T[done:, done:], output="real",
+                               sort=make_select(target))
+        if sdim == 0:
+            # target drifted past the tolerance (clustered eigenvalues):
+            # fall back to nearest-eigenvalue selection
+            w22 = np.linalg.eigvals(T[done:, done:])
+            target = w22[np.argmin(np.abs(w22 - target))]
+            T22, Q22, sdim = schur(T[done:, done:], output="real",
+                                   sort=make_select(target))
+        T[done:, done:] = T22
+        T[:done, done:] = T[:done, done:] @ Q22
+        Q[:, done:] = Q[:, done:] @ Q22
+        done += max(int(sdim), 1)
+        # refresh the ranking of the not-yet-placed part: rotations inside
+        # the trailing block permute which eigenvalue sits where
+        w_rest = np.linalg.eigvals(T[done:, done:])
+        ranked = np.concatenate([ranked[:done],
+                                 w_rest[np.argsort(-key(w_rest),
+                                                   kind="stable")]])
+    return T, Q
+
+
+def _block_edges(T: np.ndarray) -> np.ndarray:
+    """Indices where the quasi-triangular T may be split (no 2x2 block
+    straddles the cut): cut c is legal iff T[c, c-1] == 0."""
+    n = T.shape[0]
+    return np.array([c for c in range(1, n + 1)
+                     if c == n or abs(T[c, c - 1]) < 1e-300])
+
+
+def eigs(A: Callable, v0, k: int = 4, *, which: str = "LR", m: int = 0,
+         tol: float = 1e-8, max_restarts: int = 60,
+         transform: Optional[Callable] = None) -> EPSResult:
+    """k eigenpairs of the matrix-free operator ``A`` (pytree -> pytree).
+
+    ``v0``: starting vector (pytree), also fixes shape/dtype of matvecs.
+    ``m``: Arnoldi basis size (default max(2k+8, 20)).
+    ``transform``: optional map applied to the returned eigenvalues (e.g.
+    ``lambda mu: sigma + 1/mu`` after shift-invert); sorting/convergence
+    run on the UNtransformed operator spectrum.
+
+    Returns an EPSResult; ``converged`` is False if the residual target was
+    not met within ``max_restarts`` (the best available pairs are still
+    returned, with their residuals).
+    """
+    v0f, unravel = ravel_pytree(v0)
+    n = v0f.shape[0]
+    dtype = v0f.dtype
+    m = int(m) if m else max(2 * k + 8, 20)
+    m = min(m, n)
+    if k > m - 2:
+        raise ValueError(f"k={k} needs basis m >= k+2 (m={m}, n={n})")
+    key = _sort_key(which)
+
+    def matvec(vf: np.ndarray) -> np.ndarray:
+        w = A(unravel(jnp.asarray(vf, dtype)))
+        return np.array(ravel_pytree(w)[0], np.float64)
+
+    V = np.zeros((m + 1, n))
+    H = np.zeros((m + 1, m))
+    r0 = np.array(v0f, np.float64)
+    nrm = np.linalg.norm(r0)
+    if nrm == 0:
+        raise ValueError("starting vector is zero")
+    V[0] = r0 / nrm
+
+    p = 0                       # current compressed subspace size
+    matvecs = 0
+    restarts = 0
+    scale = 1.0                 # running spectral scale for relative tol
+    while True:
+        # -- expand p -> m with ordinary Arnoldi columns (CGS2) ----------
+        for j in range(p, m):
+            w = matvec(V[j])
+            matvecs += 1
+            for _ in range(2):
+                c = V[:j + 1] @ w
+                H[:j + 1, j] += c
+                w -= c @ V[:j + 1]
+            beta = np.linalg.norm(w)
+            H[j + 1, j] = beta
+            if beta < 1e-13 * max(scale, 1.0):
+                # happy breakdown: exact invariant subspace found.  Restart
+                # the expansion from a fresh random direction so the basis
+                # can still grow to m (deflated against existing vectors).
+                w = np.random.default_rng(j).standard_normal(n)
+                for _ in range(2):
+                    w -= (V[:j + 1] @ w) @ V[:j + 1]
+                beta_f = np.linalg.norm(w)
+                if beta_f < 1e-300:
+                    m = j + 1
+                    break
+                H[j + 1, j] = 0.0
+                V[j + 1] = w / beta_f
+            else:
+                V[j + 1] = w / beta
+
+        # -- Schur-sort the square part, wanted values first -------------
+        Hs = H[:m, :m]
+        scale = max(np.max(np.abs(np.linalg.eigvals(Hs))), 1e-300)
+        T, Q = _schur_sorted(Hs, key)
+        b = H[m, m - 1] * Q[m - 1, :]          # new coupling row
+
+        # -- convergence of the k wanted Ritz pairs ----------------------
+        wT, Y = np.linalg.eig(T)
+        order = np.argsort(-key(wT), kind="stable")
+        wT, Y = wT[order], Y[:, order]
+        res = np.abs(b @ Y[:, :k]) / max(scale, 1e-300)
+        done = bool(np.all(res < tol))
+        if done or restarts >= max_restarts:
+            lam = wT[:k]
+            X = (V[:m].T @ (Q @ Y[:, :k])).T     # (k, n) complex rows
+            X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            if transform is not None:
+                lam = np.asarray([transform(z) for z in lam])
+            return EPSResult(lam, X, res * scale, matvecs, restarts, done)
+
+        # -- contract: keep p ~ k + m//2 columns, not splitting blocks ---
+        edges = _block_edges(T)
+        p_want = min(k + (m - k) // 2, m - 1)
+        legal = edges[(edges >= min(k, edges[-1])) & (edges < m)]
+        if len(legal) == 0:
+            legal = edges[edges < m] if np.any(edges < m) else edges[:1]
+        p = int(legal[np.argmin(np.abs(legal - p_want))])
+        Vp = Q[:, :p].T @ V[:m]                 # (p, n)
+        V[:p] = Vp
+        V[p] = V[m]                             # continuation vector
+        H[:, :] = 0.0
+        H[:p, :p] = T[:p, :p]
+        H[p, :p] = b[:p]
+        restarts += 1
+
+
+def shift_invert(solve: Callable, sigma: float):
+    """(operator, transform) pair for shift-invert eigenanalysis.
+
+    ``solve(b)`` must return (A - sigma I)^{-1} b (a framework Krylov solve
+    with whatever preconditioner suits A).  Pass the results to ``eigs``:
+
+        op, back = shift_invert(solve, sigma)
+        res = eigs(op, v0, k, which="LM", transform=back)
+
+    ``which="LM"`` on the transformed operator selects the eigenvalues of A
+    CLOSEST to sigma (mu = 1/(lambda - sigma) is largest there).
+    """
+    return solve, (lambda mu: sigma + 1.0 / mu)

@@ -1,0 +1,151 @@
+"""Eigenanalysis tests: solvers/eig.py (Krylov-Schur Arnoldi, the SLEPc-EPS
+role) against dense numpy oracles, and the convection linear-stability
+flagship against closed-form hydrodynamic results.
+
+The stability oracles are exact for the free-slip insulated unit box at
+infinite Prandtl because each Fourier mode cos(k x) sin(n pi y) is an exact
+eigenfunction there:
+    lambda(k, n) = -(k^2 + n^2 pi^2) + Ra k^2 / (k^2 + n^2 pi^2)^2,
+with k = m pi admitted by the sidewalls.  Neutral stability of the (1,1)
+roll gives the critical Rayleigh number Ra_c = 8 pi^4 = 779.2727...
+(Chandrasekhar); the spectral discretization resolves these smooth modes to
+machine-level accuracy at 12^2, so the measured values test the whole
+composed pipeline (Stokes response + constrained Laplacian + Arnoldi) at
+solver-tolerance accuracy.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spectral_tpu.solvers.eig import eigs, shift_invert
+
+
+def _match_err(got, want):
+    """Max distance from each computed eigenvalue to the closest wanted one
+    (conjugate-insensitive: a k-slice may take either pair member)."""
+    want = np.concatenate([want, np.conj(want)])
+    return max(min(abs(g - t) for t in want) for g in got)
+
+
+def test_eigs_dense_oracle_all_which():
+    rng = np.random.default_rng(0)
+    n = 120
+    A = rng.standard_normal((n, n)) * 0.3 + np.diag(np.linspace(-5, 5, n))
+    w = np.linalg.eigvals(A)
+    Aj = jnp.asarray(A)
+    v0 = jnp.asarray(rng.standard_normal(n))
+    keys = {"LR": lambda z: z.real, "LM": np.abs, "SR": lambda z: -z.real}
+    for which, key in keys.items():
+        res = eigs(lambda v: Aj @ v, v0, k=4, which=which, m=30, tol=1e-10)
+        assert res.converged, which
+        want = w[np.argsort(-key(w))][:5]
+        assert _match_err(res.eigenvalues, want) < 1e-8, which
+        for lam, x in zip(res.eigenvalues, res.eigenvectors):
+            assert np.linalg.norm(A @ x - lam * x) < 1e-7
+
+
+def test_eigs_complex_pairs():
+    """Fully complex spectrum (plain Gaussian matrix): conjugate 2x2 blocks
+    must survive the Krylov-Schur truncation unsplit."""
+    rng = np.random.default_rng(1)
+    n = 120
+    B = rng.standard_normal((n, n))
+    w = np.linalg.eigvals(B)
+    res = eigs(lambda v: jnp.asarray(B) @ v,
+               jnp.asarray(rng.standard_normal(n)), k=6, which="LM", m=36,
+               tol=1e-9)
+    assert res.converged
+    want = w[np.argsort(-np.abs(w))][:8]
+    assert _match_err(res.eigenvalues, want) < 1e-7
+
+
+def test_eigs_shift_invert_dense():
+    rng = np.random.default_rng(2)
+    n = 100
+    A = rng.standard_normal((n, n)) * 0.3 + np.diag(np.linspace(-5, 5, n))
+    w = np.linalg.eigvals(A)
+    sigma = 0.7
+    inv = jnp.asarray(np.linalg.inv(A - sigma * np.eye(n)))
+    op, back = shift_invert(lambda v: inv @ v, sigma)
+    res = eigs(op, jnp.asarray(rng.standard_normal(n)), k=3, which="LM",
+               m=25, tol=1e-10, transform=back)
+    assert res.converged
+    want = w[np.argsort(np.abs(w - sigma))][:4]
+    assert _match_err(res.eigenvalues, want) < 1e-8
+
+
+def test_eigs_pytree_operator():
+    """Operators on pytrees (the framework's state shape) flatten
+    transparently."""
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((40, 40)) * 0.2 + np.diag(np.arange(40.0))
+    Aj = jnp.asarray(A)
+
+    def op(x):
+        v = jnp.concatenate([x["a"].ravel(), x["b"].ravel()])
+        w = Aj @ v
+        return {"a": w[:24].reshape(4, 6), "b": w[24:]}
+
+    v0 = {"a": jnp.asarray(rng.standard_normal((4, 6))),
+          "b": jnp.asarray(rng.standard_normal(16))}
+    res = eigs(op, v0, k=3, which="LR", m=20, tol=1e-10)
+    w = np.linalg.eigvals(A)
+    assert res.converged
+    assert _match_err(res.eigenvalues, w[np.argsort(-w.real)][:3]) < 1e-8
+
+
+# ---------------------------------------------------------------------------
+# Convection linear stability (the composed flagship)
+# ---------------------------------------------------------------------------
+
+def _freeslip_model(n=12, Ra=1e4):
+    from spectral_tpu.models.convection import (ConvectionConfig,
+                                                ConvectionModel)
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    cfg = ConvectionConfig(
+        Ra=Ra, dt=1e-3, velocity_bc="freeslip", side_bc="insulated",
+        stokes_ksp=KSPConfig(type="fgmres", rtol=1e-11, max_it=200,
+                             restart=80))
+    return ConvectionModel.unit_box((n, n), cfg)
+
+
+def test_critical_rayleigh_8pi4():
+    """Onset of convection in the free-slip insulated unit box: the direct
+    generalized eigenproblem recovers Ra_c = 8 pi^4 (Chandrasekhar's
+    free-slip result at the box-quantized wavenumber k = pi)."""
+    m = _freeslip_model(12)
+    ra_c, res = m.critical_rayleigh(k=2, m=20, tol=1e-10)
+    assert res.converged
+    assert ra_c == pytest.approx(8 * np.pi ** 4, rel=1e-6)
+
+
+def test_stability_growth_rates_dispersion():
+    """Shift-invert growth rates at supercritical Ra = 2000 match the
+    analytic dispersion relation for the leading modes: the unstable (1,1)
+    roll at lambda = -2 pi^2 + Ra/(4 pi^2) and the flowless k = 0 decay
+    mode at exactly -pi^2 (its buoyancy is a pressure gradient)."""
+    Ra = 2000.0
+    m = _freeslip_model(10, Ra=Ra)
+    res = m.stability_eigenvalues(Ra=Ra, sigma=0.0, k=3, m=16, tol=1e-8)
+    lams = np.sort(res.eigenvalues.real)[::-1]
+    lam_roll = -2 * np.pi ** 2 + Ra / (4 * np.pi ** 2)
+    assert lams[0] == pytest.approx(lam_roll, rel=1e-5)
+    assert any(abs(l + np.pi ** 2) < 1e-4 * np.pi ** 2 for l in lams[1:])
+
+
+def test_stability_consistent_with_marching():
+    """The eigen-solver's verdict agrees with the existing time-marching
+    onset test: growth rate negative below Ra_c, positive above, and the
+    marching amplitude behavior matches the sign."""
+    ra_c = 8 * np.pi ** 4
+    lo = _freeslip_model(10, Ra=0.8 * ra_c)
+    hi = _freeslip_model(10, Ra=1.25 * ra_c)
+    r_lo = lo.stability_eigenvalues(k=1, m=14, tol=1e-7)
+    r_hi = hi.stability_eigenvalues(k=1, m=14, tol=1e-7)
+    assert r_lo.eigenvalues[0].real < 0 < r_hi.eigenvalues[0].real
+    # dispersion check at both Ra (same mode, different sign)
+    for mm, rr in ((lo, r_lo), (hi, r_hi)):
+        pred = -2 * np.pi ** 2 + mm.config.Ra / (4 * np.pi ** 2)
+        assert rr.eigenvalues[0].real == pytest.approx(pred, rel=1e-4)

@@ -241,3 +241,44 @@ def test_elliptic_snes_type_family(capsys):
     import pytest
     with pytest.raises(SystemExit):
         elliptic_main(Options(f"{base} -snes_type bogus".split()))
+
+
+def test_convection_cli(capsys):
+    """Coupled convection driver end-to-end: subcritical internal heating
+    marches to the exact heated-conduction fluxes (Nu_top = 1 + H/2)."""
+    from spectral_tpu.cli.drivers import convection_main
+
+    rc = convection_main(Options(
+        "-dim 10,10 -ra 100 -dt 2e-3 -heating 1.0 -steady_tol 1e-7"
+        " -max_steps 1500 -chunk 100".split()))
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    nu_top = float(out.split("Nu(top) = ")[1].split()[0])
+    assert abs(nu_top - 1.5) < 1e-3
+
+
+def test_convection_cli_accel(capsys):
+    """-accel: Anderson-accelerated steady state from the CLI."""
+    from spectral_tpu.cli.drivers import convection_main
+
+    rc = convection_main(Options(
+        "-dim 10,10 -ra 3e3 -dt 2e-3 -accel -accel_m 4 -chunk 20"
+        " -steady_tol 1e-4 -max_steps 1200".split()))
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    nu_top = float(out.split("Nu(top) = ")[1].split()[0])
+    nu_bot = float(out.split("Nu(bottom) = ")[1].split()[0])
+    assert nu_top > 1.5 and abs(nu_top - nu_bot) < 1e-2
+
+
+def test_convection_cli_stability(capsys):
+    """-stability: eigenanalysis diagnostics (critical Ra + growth-rate
+    verdict) from the CLI."""
+    from spectral_tpu.cli.drivers import convection_main
+
+    rc = convection_main(Options("-dim 10,10 -ra 2000 -stability 2".split()))
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    ra_c = float(out.split("Ra_c = ")[1].split()[0])
+    assert abs(ra_c - 8 * 3.14159265358979 ** 4) < 1e-3
+    assert "UNSTABLE" in out
