@@ -483,25 +483,61 @@ class ConvectionModel:
         state = self._pc_setup(None, lin)
         return dT0, lap, (lin, state), T0
 
-    def _stability_v1(self, Tp):
-        """v1(T'): unit-Ra instantaneous velocity response (operator and
-        PC frozen at the base state's eta(T0))."""
-        dT0, lap, (lin, state), T0 = self._stability_pieces
+    def _stability_ctx(self, base=None):
+        """Linearization context about a base state: ``None`` = the
+        conduction profile (v0 = 0 exactly), or ``(T_base, x_base)`` from a
+        steady solve (stability of CONVECTING states — no reference or
+        SLEPc-user analog stops here; this is where eigenanalysis of the
+        composed nonlinear solver pays off)."""
+        dT0c, lap, (linc, statec), T0c = self._stability_pieces
+        if base is None:
+            return dT0c, lap, linc, statec, T0c, None, None
+        T0, x0 = base
+        g = self.grid
+        T0 = jnp.asarray(T0)
+        dT0 = tuple(g.apply_dif_weight(chebdiff(T0, ax), ax)
+                    for ax in range(self.d))
+        lin = self._lin_of(T0)
+        state = self._pc_setup(None, lin)
+        return dT0, lap, lin, state, T0, x0, self.velocity_full(x0)
+
+    def _stability_dv(self, ctx, Tp, Ra):
+        """Full linearized velocity response dv(T') at the base state: the
+        buoyancy of T' plus, with variable viscosity about a FLOWING base,
+        the operator-perturbation term -A^{-1} dA[d(eta)(T')] x0 (both
+        directional derivatives by jax.jvp through the existing operator
+        closures — the CppAD role, SURVEY section 2.1)."""
+        dT0, lap, lin, state, T0, x0, v0 = ctx
+        rhs = self.buoyancy_rhs(Tp, Ra=Ra)
+        if x0 is not None and self._var_eta:
+            dlin = jax.jvp(self._lin_of, (T0,), (Tp,))[1]
+            dAx0 = jax.jvp(
+                lambda l: self.stokes.jacobian_action(None, l, x0),
+                (lin,), (dlin,))[1]
+            rhs = jax.tree_util.tree_map(lambda a, b: a - b, rhs, dAx0)
         res = self.config.stokes_ksp.solve(
-            partial(self.stokes.jacobian_action, None, lin),
-            self.buoyancy_rhs(Tp, Ra=1.0), self.stokes.zero_state(),
-            M=partial(self._pc_apply, state),
+            partial(self.stokes.jacobian_action, None, lin), rhs,
+            self.stokes.zero_state(), M=partial(self._pc_apply, state),
             null_project=self.stokes.null_project)
         return self.velocity_full(res.x)
 
-    def _stability_B(self, Tp):
-        """B' T' = -v1(T') . grad T0, zeroed on the constrained rows."""
-        dT0, lap, _, T0 = self._stability_pieces
-        v = self._stability_v1(Tp)
+    def _stability_advective(self, ctx, Tp, Ra):
+        """The non-Laplacian interior rows of the linearized energy
+        operator: -dv(T') . grad T0 - v0 . grad T' (zeroed on the
+        constrained rows)."""
+        dT0, lap, lin, state, T0, x0, v0 = ctx
+        g = self.grid
+        dv = self._stability_dv(ctx, Tp, Ra)
         w = jnp.zeros_like(Tp)
         for ax in range(self.d):
-            w = w - v[..., ax] * dT0[ax]
-        return self.grid.zero_boundary(w)
+            w = w - dv[..., ax] * dT0[ax]
+            if v0 is not None:
+                w = w - v0[..., ax] * g.apply_dif_weight(chebdiff(Tp, ax), ax)
+        return g.zero_boundary(w)
+
+    def _stability_B(self, Tp):
+        """B' T' = -v1(T') . grad T0 at the conduction base (unit Ra)."""
+        return self._stability_advective(self._stability_ctx(None), Tp, 1.0)
 
     def critical_rayleigh(self, k: int = 2, m: int = 20, tol: float = 1e-9):
         """Onset of convection as a DIRECT generalized eigenproblem — no
@@ -533,18 +569,28 @@ class ConvectionModel:
     def stability_eigenvalues(self, Ra: float | None = None,
                               sigma: float = 0.0, k: int = 4, m: int = 25,
                               tol: float = 1e-8,
-                              ksp: KSPConfig | None = None):
-        """Growth rates: the eigenvalues of L = Lap + Ra B' nearest
-        ``sigma``, by shift-invert Arnoldi (each matvec is one framework
-        GMRES solve of (L - sigma I) z = w whose every iteration applies a
-        Stokes solve — analysis tooling, not a hot path).  lambda > 0 means
-        the conduction state is unstable; the free-slip dispersion relation
+                              ksp: KSPConfig | None = None, base=None):
+        """Growth rates: the eigenvalues of the linearized energy operator
+        L T' = Lap T' - dv(T').grad T0 - v0.grad T' nearest ``sigma``, by
+        shift-invert Arnoldi (each matvec is one framework GMRES solve of
+        (L - sigma I) z = w whose every iteration applies a Stokes solve —
+        analysis tooling, not a hot path).
+
+        ``base=None``: the conduction state (v0 = 0); lambda > 0 means it
+        is unstable, and the free-slip dispersion relation
         lambda = -(k^2+n^2 pi^2) + Ra k^2/(k^2+n^2 pi^2)^2 is the test
-        oracle.  Returns an EPSResult with TRANSFORMED eigenvalues."""
+        oracle.  ``base=(T, x)`` from a steady solve: stability of the
+        CONVECTING state, including the base advection v0.grad T' and
+        (with variable viscosity) the operator-perturbation velocity
+        response; near onset the weakly-nonlinear normal form predicts
+        lambda_roll(steady) = -2 lambda_roll(conduction) (pitchfork),
+        the test oracle in tests/test_eig.py.  Returns an EPSResult with
+        TRANSFORMED eigenvalues."""
         from spectral_tpu.solvers.eig import eigs, shift_invert
 
         Ra = self.config.Ra if Ra is None else Ra
-        _, lap, _, _ = self._stability_pieces
+        ctx = self._stability_ctx(base)
+        lap = ctx[1]
         ksp = ksp or KSPConfig(type="gmres", rtol=1e-10, max_it=200,
                                restart=80)
 
@@ -553,7 +599,7 @@ class ConvectionModel:
             # the heat operator (u/dt - Lap u ~ -Lap u; BC rows exact)
             w = lap.implicit_operator(u)
             return w + self.grid.zero_boundary(sigma * u) \
-                - self._stability_B(u) * Ra
+                - self._stability_advective(ctx, u, Ra)
 
         @jax.jit
         def op_si(u):

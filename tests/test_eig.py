@@ -149,3 +149,24 @@ def test_stability_consistent_with_marching():
     for mm, rr in ((lo, r_lo), (hi, r_hi)):
         pred = -2 * np.pi ** 2 + mm.config.Ra / (4 * np.pi ** 2)
         assert rr.eigenvalues[0].real == pytest.approx(pred, rel=1e-4)
+
+
+def test_stability_of_convecting_steady_state():
+    """Eigenanalysis about a NONLINEAR steady state: just above onset the
+    supercritical pitchfork's normal form predicts that the roll mode's
+    eigenvalue flips from +mu on the conduction branch to -2 mu on the
+    convecting branch (mu = -2 pi^2 + Ra/(4 pi^2)).  The linearization
+    includes the base advection v0 . grad T' — machinery the conduction
+    case never exercises."""
+    ra_c = 8 * np.pi ** 4
+    Ra = 1.10 * ra_c
+    m = _freeslip_model(10, Ra=Ra)
+    T, x, info = m.march_to_steady(m.conductive_state(amp=0.05),
+                                   max_steps=8000, tol=1e-7, chunk=200)
+    assert info["converged"] and info["nu_top"] > 1.01
+
+    res = m.stability_eigenvalues(k=2, m=14, tol=1e-7, base=(T, x))
+    lam = max(z.real for z in res.eigenvalues)
+    mu = -2 * np.pi ** 2 + Ra / (4 * np.pi ** 2)
+    assert lam < 0                      # the convecting state is stable
+    assert lam == pytest.approx(-2 * mu, rel=0.25)
