@@ -673,10 +673,11 @@ def convection_main(opts: Options) -> int:
         pcvel=opts.get_string("pcvel", "fastdiag"),
         stokes_ksp=opts.ksp_config("", KSPConfig(type="fgmres", rtol=1e-7,
                                                  max_it=150, restart=60)))
-    m = ConvectionModel.unit_box(dims, cfg)
+    aspect = opts.get_real("aspect", 1.0)
+    m = ConvectionModel.box(dims, cfg, aspect=aspect)
     print(f"Convection  dim = [{','.join(map(str, dims))}]  Ra = {cfg.Ra}"
           f"  dt = {cfg.dt}  theta = {cfg.theta}  bc = {cfg.velocity_bc}"
-          f"/{cfg.side_bc}")
+          f"/{cfg.side_bc}  aspect = {aspect}")
     print(m.stokes.census())
     if opts.has("stability"):
         # linear stability analysis of the conduction state (solvers/eig):

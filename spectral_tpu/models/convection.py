@@ -9,9 +9,10 @@ the momentum half of exactly this application):
     -div(eta eps(v)) + grad p = Ra T ghat,   div v = 0        (momentum)
     T_t + v . grad T = Laplace T + q                          (energy)
 
-nondimensionalized on the unit box [0, 1]^d (Grid intervals), thermal
-diffusion time, temperature drop Delta T = 1 (hot bottom T = 1, cold top
-T = 0), eta = 2 so the viscous operator is the standard 2 eps(v) form.
+nondimensionalized on the depth-1 box [0, L]^(d-1) x [0, 1] (Grid
+intervals; unit_box / box constructors), thermal diffusion time,
+temperature drop Delta T = 1 (hot bottom T = 1, cold top T = 0), eta = 2
+so the viscous operator is the standard 2 eps(v) form.
 Infinite Prandtl (creeping flow): the velocity is an INSTANTANEOUS
 functional of the temperature — each time step solves the linear Stokes
 saddle system with buoyancy RHS (warm-started, nested Schur PC from
@@ -98,12 +99,13 @@ class ConvectionModel:
 
     def __init__(self, grid: Grid, config: ConvectionConfig = ConvectionConfig()):
         if grid.intervals is None or any(
-                abs(a) > 1e-12 or abs(b - 1.0) > 1e-12
-                for a, b in grid.intervals):
+                abs(a) > 1e-12 for a, _ in grid.intervals) or \
+                abs(grid.intervals[-1][1] - 1.0) > 1e-12:
             raise ValueError(
-                "ConvectionModel is nondimensionalized on the unit box: "
-                "pass Grid(dims, intervals=((0,1),)*d) "
-                "(ConvectionModel.unit_box)")
+                "ConvectionModel is nondimensionalized on the layer depth: "
+                "the vertical (last) axis must be (0, 1), horizontal axes "
+                "(0, L) — pass Grid(dims, intervals=...) "
+                "(ConvectionModel.unit_box / ConvectionModel.box)")
         self.grid = grid
         self.config = config
         self.d = grid.ndim
@@ -170,6 +172,24 @@ class ConvectionModel:
     def unit_box(cls, dims, config: ConvectionConfig = ConvectionConfig()):
         g = Grid(tuple(dims), intervals=((0.0, 1.0),) * len(dims))
         return cls(g, config)
+
+    @classmethod
+    def box(cls, dims, config: ConvectionConfig = ConvectionConfig(),
+            aspect=1.0):
+        """Aspect-ratio box: horizontal width(s) ``aspect`` (scalar or one
+        per horizontal axis), depth 1 (the nondimensionalizing length — Ra
+        keeps its depth-cubed meaning).  Wide boxes admit longer-wavelength
+        rolls: with free-slip insulated sidewalls of width L the box modes
+        are k = m pi / L, so e.g. L = 2 lowers the critical Rayleigh number
+        to (pi^2/4 + pi^2)^3 / (pi^2/4) = 500 pi^4 / 64 = 761.02 (the
+        closed-form oracle in tests/test_eig.py)."""
+        d = len(dims)
+        widths = ((float(aspect),) * (d - 1)
+                  if np.ndim(aspect) == 0 else tuple(map(float, aspect)))
+        if len(widths) != d - 1:
+            raise ValueError(f"aspect needs {d - 1} widths, got {widths}")
+        ivals = tuple((0.0, w) for w in widths) + ((0.0, 1.0),)
+        return cls(Grid(tuple(dims), intervals=ivals), config)
 
     # ------------------------------------------------------------------
     # Coupled step pieces (all jittable)
@@ -646,21 +666,24 @@ class ConvectionModel:
                          kind: str = "roll") -> jnp.ndarray:
         """T = 1 - y plus a perturbation of amplitude ``amp``.
 
-        kind='roll': amp * prod_h cos(k pi x_h) * sin(k pi y) — the
+        kind='roll': amp * prod_h cos(k pi x_h / L_h) * sin(k pi y) — the
         single-convection-roll mode for modes (1,..,1): antisymmetric in
         each horizontal axis, zero-flux at the sidewalls (the insulated
         regime's consistent seed; a symmetric sin perturbation converges
         to the TWO-roll state instead).  kind='sin': amp * prod sin, which
-        vanishes on the whole boundary (the conducting-sidewall seed)."""
+        vanishes on the whole boundary (the conducting-sidewall seed).
+        Aspect-ratio boxes scale the horizontal wavenumbers by the axis
+        width L_h so the modes stay boundary-consistent."""
         T = self._T_cond_np.copy()
         if amp:
             modes = modes or (1,) * self.d
             pert = np.ones(self.grid.dims)
             for ax in range(self.d):
                 xi = self.grid.coords_np[..., ax]
+                L = self.grid.intervals[ax][1]
                 if kind == "roll" and ax != self.vax:
-                    pert = pert * np.cos(modes[ax] * np.pi * xi)
+                    pert = pert * np.cos(modes[ax] * np.pi * xi / L)
                 else:
-                    pert = pert * np.sin(modes[ax] * np.pi * xi)
+                    pert = pert * np.sin(modes[ax] * np.pi * xi / L)
             T = T + amp * pert
         return jnp.asarray(T)

@@ -343,3 +343,24 @@ def test_blankenbach_case1a():
     assert info["nu_top"] == pytest.approx(4.884409, rel=2e-3)
     assert info["nu_bottom"] == pytest.approx(4.884409, rel=2e-3)
     assert info["vrms"] == pytest.approx(42.864947, rel=2e-3)
+
+
+def test_aspect_ratio_box_convection():
+    """Aspect-2 box (ConvectionModel.box): the conductive state is
+    preserved, and a supercritical march reaches a steady state whose
+    power balance closes (Nu_top = Nu_bottom) with the single wide roll
+    beating the square box's Nu at equal Ra (the longer wavelength is the
+    preferred mode)."""
+    cfg = ConvectionConfig(Ra=3e3, dt=1e-3, velocity_bc="freeslip",
+                           side_bc="insulated")
+    m = ConvectionModel.box((16, 10), cfg, aspect=2.0)
+    T0 = m.conductive_state()
+    res = m.solve_stokes(T0, m.stokes.zero_state())
+    assert float(jnp.max(jnp.abs(m.velocity_full(res.x)))) < 1e-4 * cfg.Ra
+    assert float(m.nusselt_top(T0)) == pytest.approx(1.0, abs=1e-9)
+
+    T, x, info = m.march_to_steady(m.conductive_state(amp=0.05),
+                                   max_steps=4000, tol=5e-4, chunk=100)
+    assert info["converged"]
+    assert info["nu_top"] > 1.5
+    assert info["nu_top"] == pytest.approx(info["nu_bottom"], rel=2e-2)

@@ -170,3 +170,22 @@ def test_stability_of_convecting_steady_state():
     mu = -2 * np.pi ** 2 + Ra / (4 * np.pi ** 2)
     assert lam < 0                      # the convecting state is stable
     assert lam == pytest.approx(-2 * mu, rel=0.25)
+
+
+def test_critical_rayleigh_aspect_ratio_box():
+    """Aspect-ratio generalization: a width-2 free-slip insulated box
+    admits the k = pi/2 roll, lowering the critical Rayleigh number to
+    (pi^2/4 + pi^2)^3 / (pi^2/4) = 500 pi^4 / 64 = 761.0165 (and the
+    square-box value 8 pi^4 remains as the m = 2 branch above it)."""
+    from spectral_tpu.models.convection import (ConvectionConfig,
+                                                ConvectionModel)
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    cfg = ConvectionConfig(
+        Ra=1e3, dt=1e-3, velocity_bc="freeslip", side_bc="insulated",
+        stokes_ksp=KSPConfig(type="fgmres", rtol=1e-11, max_it=250,
+                             restart=100))
+    m = ConvectionModel.box((16, 10), cfg, aspect=2.0)
+    ra_c, res = m.critical_rayleigh(k=2, m=20, tol=1e-10)
+    assert res.converged
+    assert ra_c == pytest.approx(500 * np.pi ** 4 / 64, rel=1e-6)
