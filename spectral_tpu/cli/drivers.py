@@ -715,6 +715,18 @@ def convection_main(opts: Options) -> int:
         info = {"steps": nsteps, "nu_top": float(m.nusselt_top(T)),
                 "nu_bottom": float(m.nusselt_bottom(T)),
                 "vrms": float(m.vrms(x)), "converged": True}
+    elif opts.has("newton"):
+        # direct Newton-Krylov steady state (steady_newton: exact coupled
+        # Jacobian, one Stokes solve per Krylov iteration)
+        from spectral_tpu.solvers.newton import NewtonConfig
+        T, x, info = m.steady_newton(
+            T0, warmup=opts.get_int("warmup", 150),
+            newton=NewtonConfig(rtol=opts.get_real("snes_rtol", 1e-9),
+                                max_it=opts.get_int("snes_max_it", 20),
+                                ksp_ew=True, monitor=opts.has("monitor")))
+        print(f"Newton: {int(info['newton'].iters)} steps, Krylov "
+              f"{[int(i) for i in np.asarray(info['newton'].ksp_iters)]}, "
+              f"|R| = {info['rate']:.3e}")
     elif opts.has("accel"):
         # Anderson acceleration over the chunked time stepper (AA(m) with
         # the stepper as nonlinear preconditioner, steady_accelerated)

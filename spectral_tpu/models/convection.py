@@ -434,6 +434,78 @@ class ConvectionModel:
                 "converged": bool(res.reason > 0) and np.isfinite(rate)}
         return T, x, info
 
+    def steady_newton(self, T0, warmup: int = 150,
+                      newton: "NewtonConfig" = None,
+                      ksp: KSPConfig | None = None, monitor: bool = False):
+        """DIRECT Newton-Krylov steady state of the coupled system: solve
+        R(T) = -Lap T - q + v(T).grad T = 0 (interior rows; T - bc on
+        Dirichlet faces, dT/dn on insulated faces) instead of marching the
+        transient.  The exact Jacobian action is the stability
+        linearization J u = -Lap u + dv(u).grad T + v.grad u — one Stokes
+        solve per Krylov iteration, against one per TIME STEP for
+        marching, and Newton needs orders of magnitude fewer of them
+        (measured ~10x at Blankenbach case-1a conditions,
+        tests/test_convection.py).  PC: the Neumann-eliminated fastdiag of
+        the diffusion part (advection untreated — GMRES carries it).
+
+        ``warmup`` physical steps first clear the conduction fixed point
+        (also a root; same reasoning as steady_accelerated).  Returns
+        (T, x, info): info adds 'newton' (the NewtonResult) to the
+        march_to_steady keys, with info['steps'] = warmup + total Krylov
+        iterations + Newton residual evaluations (total Stokes-solve
+        count, the honest cost unit)."""
+        from spectral_tpu.solvers.newton import NewtonConfig, newton_solve
+
+        g = self.grid
+        _, lap, _, _ = self._stability_pieces
+        Ra = self.config.Ra
+        q = self.config.heating
+        bcvec = jnp.where(g.boundary_mask, self.bc_T, 0.0)
+        if lap.neumann_axes:
+            bcvec = jnp.where(lap._nm_masks[1], 0.0, bcvec)
+        q_int = g.zero_boundary(jnp.full(g.dims, float(q))) if q else None
+
+        def residual(T):
+            x = self.solve_stokes(T, self.stokes.zero_state()).x
+            v0 = self.velocity_full(x)
+            F = lap.implicit_operator(T) - bcvec + self.advection(v0, T)
+            if q_int is not None:
+                F = F - q_int
+            dT0 = tuple(g.apply_dif_weight(chebdiff(T, ax), ax)
+                        for ax in range(self.d))
+            lin = self._lin_of(T)
+            state = (self._pc_setup(None, lin) if self._var_eta
+                     else self._pc_state)
+            return F, (dT0, lin, state, T, x, v0)
+
+        def jac(_T, ls, u):
+            dT0, lin, state, T, x, v0 = ls
+            ctx = (dT0, lap, lin, state, T, x, v0)
+            return lap.implicit_operator(u) \
+                - self._stability_advective(ctx, u, Ra)
+
+        T0 = jnp.asarray(T0)
+        if warmup:
+            T0 = self.rollout(T0, warmup)[0]
+        newton = newton or NewtonConfig(rtol=1e-9, max_it=20, ksp_ew=True,
+                                        monitor=monitor)
+        ksp = ksp or KSPConfig(type="fgmres", rtol=1e-6, max_it=200,
+                               restart=80)
+        res = newton_solve(residual, T0, jacobian_action=jac,
+                           pc_apply=lambda _s, r: lap._pc_apply(r),
+                           ksp=ksp, config=newton)
+        T = res.x
+        x = self.solve_stokes(T, self.stokes.zero_state()).x
+        solves = warmup + int(np.sum(np.asarray(res.ksp_iters))) + \
+            int(res.iters) + 1
+        info = {"steps": solves, "rate": float(res.fnorm),
+                "newton": res,
+                "nu_top": float(self.nusselt_top(T)),
+                "nu_bottom": float(self.nusselt_bottom(T)),
+                "vrms": float(self.vrms(x)),
+                "converged": bool(res.reason > 0)}
+        return T, x, info
+
     def march_to_steady(self, T0, max_steps: int = 5000, tol: float = 1e-6,
                         chunk: int = 25, monitor: bool = False):
         """March until || dT/dt ||_inf < tol (chunked compiled scans).

@@ -364,3 +364,29 @@ def test_aspect_ratio_box_convection():
     assert info["converged"]
     assert info["nu_top"] > 1.5
     assert info["nu_top"] == pytest.approx(info["nu_bottom"], rel=2e-2)
+
+
+def test_steady_newton_direct_solve():
+    """Direct Newton-Krylov steady state (steady_newton): converges
+    quadratically to the same attractor as time marching at a fraction of
+    the Stokes-solve count (the honest cost unit — one per Krylov
+    iteration vs one per time step)."""
+    ksp = KSPConfig(type="fgmres", rtol=1e-9, max_it=150, restart=60)
+    cfg = ConvectionConfig(Ra=5e3, dt=1e-3, velocity_bc="freeslip",
+                           side_bc="insulated", stokes_ksp=ksp)
+    m = ConvectionModel.unit_box((12, 12), cfg)
+    T0 = m.conductive_state(amp=0.05)
+
+    Tn, xn, ninfo = m.steady_newton(T0, warmup=100)
+    assert ninfo["converged"]
+    assert ninfo["rate"] < 1e-8                  # true residual norm
+    assert int(ninfo["newton"].iters) <= 8
+
+    # march to comparable (still weaker) accuracy for a fair cost race
+    Tm, xm, minfo = m.march_to_steady(T0, max_steps=6000, tol=1e-7,
+                                      chunk=100)
+    assert minfo["converged"]
+    assert ninfo["nu_top"] == pytest.approx(minfo["nu_top"], rel=1e-3)
+    assert ninfo["vrms"] == pytest.approx(minfo["vrms"], rel=1e-3)
+    # the whole point: far fewer Stokes solves than marching steps
+    assert ninfo["steps"] < minfo["steps"] / 3
