@@ -243,6 +243,50 @@ class ConvectionModel:
     # Differentiable rollout (jax.grad through the coupled integration)
     # ------------------------------------------------------------------
     @cached_property
+    def _adjoint_pc(self):
+        return self.stokes.make_pc(adjoint=True)
+
+    @cached_property
+    def _stokes_solve_diff_const(self):
+        """b -> x: ``_stokes_solve_diff`` specialized to the FROZEN
+        isoviscous operator — forward and adjoint PC states built once
+        here instead of being retraced into every scan step (the operator
+        carries no gradient, so the backward pass is the lone transposed
+        solve)."""
+        asetup, aapply = self._adjoint_pc
+        proj = self.stokes.null_project
+        ksp = self.config.stokes_ksp
+        action = self.stokes.jacobian_action
+        lin = self._lin0
+        fstate = (self._pc_state if self._pc_state is not None
+                  else self._pc_setup(None, lin))
+        astate = asetup(None, lin)
+
+        @jax.custom_vjp
+        def solve(b):
+            return ksp.solve(partial(action, None, lin), b,
+                             self.stokes.zero_state(),
+                             M=partial(self._pc_apply, fstate),
+                             null_project=proj).x
+
+        def fwd(b):
+            x = solve(b)
+            return x, x
+
+        def bwd(x, ct):
+            def At(w):
+                return jax.linear_transpose(
+                    lambda y: action(None, lin, y), x)(w)[0]
+
+            lam = ksp.solve(At, ct, self.stokes.zero_state(),
+                            M=partial(aapply, astate),
+                            null_project=proj).x
+            return (lam,)
+
+        solve.defvjp(fwd, bwd)
+        return solve
+
+    @cached_property
     def _stokes_solve_diff(self):
         """(lin, b) -> x saddle solve with a custom VJP (the implicit
         function theorem — solvers/adjoint.py applied to the linear case):
@@ -252,7 +296,7 @@ class ConvectionModel:
         contracts -lambda through the vjp of lin -> A(lin) x for the
         operator cotangent — so gradients flow BOTH through the RHS and,
         with variable viscosity, through eta(T) in the operator."""
-        asetup, aapply = self.stokes.make_pc(adjoint=True)
+        asetup, aapply = self._adjoint_pc
         proj = self.stokes.null_project
         ksp = self.config.stokes_ksp
         action = self.stokes.jacobian_action
@@ -304,8 +348,11 @@ class ConvectionModel:
         if contrast is None and self._var_eta:
             contrast = self.config.eta_contrast
         q = self.config.heating or None
+        const_op = contrast is None and not self._var_eta
 
         def stokes_of(T):
+            if const_op:   # frozen operator: once-built PC states
+                return self._stokes_solve_diff_const(self.buoyancy_rhs(T, Ra))
             lin = self._lin_of(T, contrast)
             return self._stokes_solve_diff(lin, self.buoyancy_rhs(T, Ra))
 
@@ -319,9 +366,16 @@ class ConvectionModel:
             return (T_next, N), ()
 
         T0 = jnp.asarray(T0)
+        if nsteps <= 0:
+            return T0, stokes_of(T0)
+        # first step peeled out of the scan: it reuses x0/N0 (its AB2
+        # extrapolation degenerates to N0), saving one forward AND one
+        # adjoint saddle solve vs re-deriving them inside the scan body
         x0 = stokes_of(T0)
         N0 = self.advection(self.velocity_full(x0), T0)
-        (T, _), _ = jax.lax.scan(body, (T0, N0), None, length=nsteps)
+        f0 = -N0 if q is None else q - N0
+        T1 = self.heat.step_diff(T0, f0, self.bc_T)
+        (T, _), _ = jax.lax.scan(body, (T1, N0), None, length=nsteps - 1)
         return T, stokes_of(T)
 
     def advection(self, v_full, T):
@@ -452,8 +506,9 @@ class ConvectionModel:
         (also a root; same reasoning as steady_accelerated).  Returns
         (T, x, info): info adds 'newton' (the NewtonResult) to the
         march_to_steady keys, with info['steps'] = warmup + total Krylov
-        iterations + Newton residual evaluations (total Stokes-solve
-        count, the honest cost unit)."""
+        iterations + accepted Newton residual evaluations — a LOWER BOUND
+        on the Stokes-solve count (each backtracking line-search retry
+        costs one more; with Eisenstat-Walker forcing retries are rare)."""
         from spectral_tpu.solvers.newton import NewtonConfig, newton_solve
 
         g = self.grid
@@ -560,6 +615,17 @@ class ConvectionModel:
         state) at the conduction base state (heating-aware profile)."""
         g = self.grid
         H = self.config.heating
+        if H and self.config.side_bc == "conducting":
+            # conducting sidewalls clamp T = 1 - y there, which the heated
+            # 1-D profile violates: the true base state is 2-D (see
+            # test_internal_heating) — linearizing about the 1-D profile
+            # would silently give wrong growth rates.  Compute the real
+            # base first and pass it via stability_eigenvalues(base=...).
+            raise NotImplementedError(
+                "stability about the heated CONDUCTING-sidewall conduction "
+                "profile: that base state is 2-D — solve it (march/"
+                "steady_newton) and pass base=(T, x); the closed-form 1-D "
+                "profile is only an equilibrium with insulated sides")
         y = g.coords_np[..., self.vax]
         T0 = jnp.asarray(1.0 - y + 0.5 * H * y * (1.0 - y))
         dT0 = tuple(g.apply_dif_weight(chebdiff(T0, ax), ax)

@@ -95,10 +95,18 @@ def _schur_sorted(Hs: np.ndarray, key) -> tuple[np.ndarray, np.ndarray]:
             target = w22[np.argmin(np.abs(w22 - target))]
             T22, Q22, sdim = schur(T[done:, done:], output="real",
                                    sort=make_select(target))
+        if sdim == 0:
+            # both selections failed (ill-conditioned eigenvalues whose
+            # LAPACK-Schur values drift past the predicate tolerance):
+            # stop reordering here.  The decomposition stays a VALID
+            # similarity (weaker ordering only costs restart efficiency);
+            # advancing `done` blindly could split a 2x2 block and corrupt
+            # the trailing sweeps.
+            break
         T[done:, done:] = T22
         T[:done, done:] = T[:done, done:] @ Q22
         Q[:, done:] = Q[:, done:] @ Q22
-        done += max(int(sdim), 1)
+        done += int(sdim)           # >= 1 here (sdim == 0 breaks above)
         # refresh the ranking of the not-yet-placed part: rotations inside
         # the trailing block permute which eigenvalue sits where
         w_rest = np.linalg.eigvals(T[done:, done:])
