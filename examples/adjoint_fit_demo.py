@@ -53,6 +53,36 @@ def main(argv=None) -> int:
     def qoi(x, th):
         return 0.5 * jnp.sum((x["v"] - v_obs) ** 2)
 
+    if opts.get_string("opt", "secant") == "lbfgs":
+        # the TAO-layer route (solvers/optimize.py): L-BFGS over the
+        # parameter pytree, one forward Newton + one adjoint solve per
+        # value_and_grad
+        from spectral_tpu.solvers.optimize import (OptimizeConfig,
+                                                   lbfgs_minimize)
+
+        def value_and_grad(th):
+            _, xs = solve(float(th["h"]))
+            params = PowerLawParams(th["h"], cfg.exponent,
+                                    cfg.regularization, cfg.gamma0)
+            grad, res = p.adjoint_gradient(qoi, xs, params)
+            assert int(res.reason) > 0
+            return float(qoi(xs, params)), {"h": jnp.asarray(
+                grad.hardness)}
+
+        print(f"target hardness = {true_h}; starting from 1.0 (L-BFGS)")
+        # gtol matched to the forward/adjoint solve tolerance: chasing the
+        # gradient below the solver noise floor only churns line searches
+        out = lbfgs_minimize(value_and_grad, {"h": jnp.asarray(1.0)},
+                             OptimizeConfig(gtol=0.5 * rtol,
+                                            max_it=steps + 20,
+                                            monitor=True))
+        h = float(out.x["h"])
+        ok = abs(h - true_h) < 0.02
+        print(f"recovered hardness = {h:.6f} (true {true_h})  "
+              f"{'OK' if ok else 'NOT CONVERGED'}  "
+              f"[{out.nfev} solves, {out.reason_str()}]")
+        return 0 if ok else 2
+
     h = 1.0
     h_prev = g_prev = None
     print(f"target hardness = {true_h}; starting from {h}")

@@ -30,7 +30,10 @@ __all__ = ["cgl_nodes", "chebdiff", "diffmat", "Grid", "PoissonModel",
            "ConvectionModel", "ConvectionConfig",
            "CurvilinearPoisson", "CurvilinearMap", "named_map", "cheb_regrid",
            "KSPConfig", "NewtonConfig", "block_gmres", "implicit_gradient",
-           "implicit_hvp", "extreme_singular_values", "__version__"]
+           "implicit_hvp", "extreme_singular_values",
+           "TSConfig", "integrate_adaptive", "rollout_bdf2",
+           "OptimizeConfig", "lbfgs_minimize", "newton_cg_minimize",
+           "__version__"]
 
 _LAZY = {
     "Grid": ("spectral_tpu.grid", "Grid"),
@@ -57,6 +60,13 @@ _LAZY = {
     "implicit_hvp": ("spectral_tpu.solvers.adjoint", "implicit_hvp"),
     "extreme_singular_values": ("spectral_tpu.solvers.krylov",
                                 "extreme_singular_values"),
+    "TSConfig": ("spectral_tpu.solvers.ts", "TSConfig"),
+    "integrate_adaptive": ("spectral_tpu.solvers.ts", "integrate_adaptive"),
+    "rollout_bdf2": ("spectral_tpu.solvers.ts", "rollout_bdf2"),
+    "OptimizeConfig": ("spectral_tpu.solvers.optimize", "OptimizeConfig"),
+    "lbfgs_minimize": ("spectral_tpu.solvers.optimize", "lbfgs_minimize"),
+    "newton_cg_minimize": ("spectral_tpu.solvers.optimize",
+                           "newton_cg_minimize"),
 }
 
 

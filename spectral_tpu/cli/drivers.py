@@ -558,13 +558,35 @@ def heat_main(opts: Options) -> int:
         print(f"Norm of error vs analytic decay {err:e} (harmonic steady state)")
         _print_unused(opts)
         return 0 if err < 1.0 else 2
+    ts_type = opts.get_string("ts_type", "theta")
+    ts_adapt = opts.get_bool("ts_adapt", False)
     g = Grid(dims, intervals=_domain_intervals(opts, len(dims)))
     m = HeatModel(g, dt=dt, theta=theta)
     u0 = g.zero_boundary(jnp.prod(jnp.cos(0.5 * jnp.pi * g.coords), axis=-1))
     z = jnp.zeros(g.dims)
-    u = jax.jit(lambda v: m.rollout(v, z, z, nsteps))(u0)
+    T_end = dt * nsteps
+    if ts_adapt:
+        # adaptive variable-step BDF2 over the same horizon (TSAdapt role):
+        # -ts_rtol/-ts_atol/-ts_dt0/-ts_max_steps, PETSc-style names
+        from spectral_tpu.solvers.ts import TSConfig, integrate_adaptive
+        cfg = TSConfig(rtol=opts.get_real("ts_rtol", 1e-5),
+                       atol=opts.get_real("ts_atol", 1e-9),
+                       dt0=opts.get_real("ts_dt0", dt),
+                       max_steps=opts.get_int("ts_max_steps", 10_000),
+                       monitor=opts.get_bool("ts_monitor", False))
+        u, info = integrate_adaptive(m, u0, 0.0, T_end, z, z, cfg)
+        print(f"  ts_adapt: {info['steps']} accepted steps, "
+              f"{info['rejects']} rejected, dt "
+              f"{min(info['dts']):.3g} .. {max(info['dts']):.3g}")
+    elif ts_type == "bdf2":
+        from spectral_tpu.solvers.ts import rollout_bdf2
+        u = jax.jit(lambda v: rollout_bdf2(m, v, z, z, dt, nsteps))(u0)
+    elif ts_type == "theta":
+        u = jax.jit(lambda v: m.rollout(v, z, z, nsteps))(u0)
+    else:
+        raise SystemExit(f"unknown -ts_type {ts_type!r} (theta|bdf2)")
     lam = g.ndim * (0.5 * np.pi) ** 2
-    exact = np.asarray(u0) * np.exp(-lam * dt * nsteps)
+    exact = np.asarray(u0) * np.exp(-lam * T_end)
     err = float(np.max(np.abs(np.asarray(u) - exact)))
     print(f"Norm of error vs analytic decay {err:e}")
     _print_unused(opts)
@@ -615,14 +637,25 @@ def unsteady_stokes_main(opts: Options) -> int:
                                                 max_it=400, restart=100)),
         newton=opts.newton_config(NewtonConfig(rtol=_default_snes_rtol(),
                                                max_it=25)))
+    scheme = opts.get_string("scheme", "theta")
     print(f"Unsteady Stokes  dim = [{','.join(map(str, dims))}]  dt = {dt}"
-          f"  theta = {theta}  omega = {omega}  steps = {nsteps}"
+          f"  scheme = {scheme}" + ("" if scheme == "bdf2"
+                                    else f"  theta = {theta}")
+          + f"  omega = {omega}  steps = {nsteps}"
           + (f"  map = {map_spec}" if map_spec else ""))
-    m = UnsteadyStokes(Grid(dims), cfg, dt=dt, theta=theta, phi=phi)
+    m = UnsteadyStokes(Grid(dims), cfg, dt=dt, theta=theta, phi=phi,
+                       scheme=scheme)
     print(m.problem.census())
     u0, s_of_t, f_of_t, u_of_t, _ = m.manufactured(omega=omega)
     times = np.arange(nsteps + 1) * dt
-    if m._linear and not opts.has("no_scan"):
+    if m._linear and not opts.has("no_scan") and scheme == "bdf2" \
+            and nsteps >= 2:
+        ss = jnp.asarray([s_of_t(t) for t in times[1:]])
+        f1s = jnp.stack([f_of_t(t) for t in times[2:]])
+        fbar0 = 0.5 * f_of_t(times[1]) + 0.5 * f_of_t(times[0])
+        v, pres, its = m.rollout_scan_bdf2(u0, ss, f1s, fbar0)
+        its = [int(i) for i in np.asarray(its)]
+    elif m._linear and not opts.has("no_scan") and scheme == "theta":
         # linear fast path: the whole integration is ONE lax.scan dispatch
         ss = jnp.asarray([s_of_t(t) for t in times[1:]])
         fbars = jnp.stack([theta * f_of_t(t1) + (1.0 - theta) * f_of_t(t0)
@@ -738,6 +771,18 @@ def convection_main(opts: Options) -> int:
             max(opts.get_int("chunk", 10), 1),
             warmup=opts.get_int("warmup", 100),
             monitor=opts.has("monitor"))
+    elif opts.has("ts_adapt"):
+        # variable-step marching (error controller + ringing detector):
+        # discovers the usable dt from any conservative start
+        T, x, info = m.march_adaptive(
+            T0, max_steps=opts.get_int("max_steps", 3000),
+            tol=opts.get_real("steady_tol", 1e-3),
+            rtol=opts.get_real("ts_rtol", 3e-3),
+            dt0=opts.get_real("ts_dt0", cfg.dt),
+            monitor=opts.has("monitor"))
+        print(f"  ts_adapt: {info['steps']} accepted / "
+              f"{info['rejects']} rejected, dt {min(info['dts']):.3g}"
+              f" .. {max(info['dts']):.3g}")
     else:
         T, x, info = m.march_to_steady(
             T0, max_steps=opts.get_int("max_steps", 3000),

@@ -403,6 +403,170 @@ class ConvectionModel:
         T_next = self.heat.step(T, f, self.bc_T)
         return T_next, N, x
 
+    def step_dt(self, T, N_prev, x_prev, dt, rho, q=None):
+        """One IMEX step with TRACED dt and advection-history step ratio
+        ``rho`` = dt/dt_prev (0 on the first step: forward-Euler
+        advection).  The Stokes solve is steady (infinite Prandtl carries
+        no velocity mass term), the advection term is extrapolated
+        linearly to t_n + theta*dt through (t_{n-1}, N_prev), (t_n, N)
+        — N_mid = N + theta*rho*(N - N_prev), which reduces to the fixed
+        AB2 weights 1.5/-0.5 at theta = 1/2, rho = 1 — and the diffusion
+        substep rides the runtime-shift fastdiag (heat.step_theta_dt), so
+        ONE compiled step serves every step size."""
+        res = self.solve_stokes(T, x_prev)
+        x = res.x
+        N = self.advection(self.velocity_full(x), T)
+        N_mid = N + self.config.theta * rho * (N - N_prev)
+        if q is None and self.config.heating:
+            q = self.config.heating
+        f = -N_mid if q is None else q - N_mid
+        T_next = self.heat.step_theta_dt(T, f, self.bc_T, dt)
+        return T_next, N, x
+
+    @cached_property
+    def _step_dt_jit(self):
+        return jax.jit(self.step_dt)
+
+    @cached_property
+    def _min_spacing_np(self):
+        """Per-axis minimum node spacing (the CFL length scale of the
+        explicit advection substep)."""
+        return np.array([np.abs(np.diff(np.asarray(z))).min()
+                         for z in self.grid.nodes_1d])
+
+    def _cfl_dt(self, x, cfl: float) -> float:
+        """Advective CFL bound cfl * min_ax(h_min_ax / max|v_ax|)."""
+        v = self.velocity_full(x)
+        out = np.inf
+        for ax in range(self.d):
+            vmax = float(jnp.max(jnp.abs(v[..., ax])))
+            if vmax > 0.0:
+                out = min(out, float(self._min_spacing_np[ax]) / vmax)
+        return cfl * out
+
+    def march_adaptive(self, T0, max_steps: int = 5000, tol: float = 1e-6,
+                       rtol: float = 1e-3, atol: float = 1e-8,
+                       cfl: float = 4.0, dt0: float | None = None,
+                       dt_max: float = np.inf, grow_max: float = 1.5,
+                       safety: float = 0.9, monitor: bool = False):
+        """Variable-step marching to steady state (the TSAdapt shape of
+        solvers/ts.py applied to the coupled IMEX step): a linear-predictor
+        local error estimate drives an order-2 controller with
+        accept/reject.  Near the attractor the estimate collapses and dt
+        stretches far beyond a safe fixed step, cutting the Stokes-solve
+        count to steady state several-fold (see tests/test_convection.py
+        for the measured ratio).
+
+        Stability control is THREE-layered.  (1) A violently unstable
+        step inflates the predictor gap and is rejected (est = inf
+        shrinks dt 5x).  (2) Period-2 ringing — strong anticorrelation of
+        consecutive updates — caps dt directly.  (3) The subtle mode,
+        measured here: just above the explicit-advection stability
+        boundary the step map's fixed point is unstable with COMPLEX
+        multipliers, so the discrete dynamics orbit a numerical limit
+        cycle whose amplitude saturates at the acceptance tolerance —
+        consecutive updates are only weakly correlated (corr ~ +0.2, the
+        ringing detector is blind), the controller sits at its est =
+        safety^2 equilibrium believing all is well, and |dT/dt| plateaus
+        (~2) far above any steady tolerance while Nu is already correct
+        to 4e-4.  The STALL detector catches exactly that signature — the
+        rate has stopped decaying over a window while est is
+        tolerance-bound — and caps dt below the boundary, where the fixed
+        point restabilizes and the rate decays exponentially to the
+        criterion.  The ``cfl`` cap is only a loose a-priori net (AB2's
+        stability region excludes the imaginary axis — no sharp advective
+        bound exists; the controller discovers the real boundary
+        empirically).
+
+        What adaptivity buys here is NOT out-running a well-tuned fixed
+        step (the explicit advection caps dt regardless); it is reaching
+        that cap automatically from any conservative dt0, with blow-up
+        safety — no hand-tuning (see test_convection.py: 50x-conservative
+        start converges in a comparable step count to the hand-tuned
+        fixed march).
+
+        Returns (T, x, info); info adds 'rejects' and 'dts' to the
+        march_to_steady keys, and 'steps' counts ACCEPTED steps.
+        """
+        from spectral_tpu.solvers.ts import wrms
+
+        T = jnp.asarray(T0)
+        T_prev = None
+        dt_prev = None
+        carry = self.init_carry(T)
+        dt = float(dt0 if dt0 is not None else self.config.dt)
+        dt_stab = np.inf          # stability cap (recovers slowly)
+        steps = rejects = 0
+        rate = np.inf
+        dts: list[float] = []
+        rate_hist: list[float] = []
+        steps_since_cap = 0
+        window = 30
+        while steps < max_steps and steps + rejects < 4 * max_steps:
+            Tc, Nc, xc = carry
+            rho = 0.0 if dt_prev is None else dt / dt_prev
+            Tn, Nn, xn = self._step_dt_jit(Tc, Nc, xc, jnp.asarray(dt),
+                                           jnp.asarray(rho))
+            if T_prev is not None:
+                T_pred = Tc + (dt / dt_prev) * (Tc - T_prev)
+                est = 0.5 * wrms(Tn - T_pred, Tn, rtol, atol)
+                dT_new, dT_old = Tn - Tc, Tc - T_prev
+                corr = float(jnp.vdot(dT_new, dT_old)) / max(
+                    float(jnp.linalg.norm(dT_new.ravel())) *
+                    float(jnp.linalg.norm(dT_old.ravel())), 1e-300)
+            else:
+                est, corr = 0.5, 1.0  # first step: accept, stay at dt0
+            if not np.isfinite(est):
+                est = np.inf
+            if est <= 1.0:
+                rate = float(jnp.max(jnp.abs(Tn - Tc))) / dt
+                T_prev, dt_prev = Tc, dt
+                carry = (Tn, Nn, xn)
+                steps += 1
+                dts.append(dt)
+                rate_hist.append(rate)
+                steps_since_cap += 1
+                if corr < -0.5:
+                    # period-2 ringing: dt sits above the stability
+                    # boundary; cap it below (the cap creeps back up)
+                    dt_stab = 0.7 * dt
+                    steps_since_cap = 0
+                elif (steps_since_cap >= window and rate > 5.0 * tol
+                        and est > 0.3):
+                    # stall: rate no longer decaying while the controller
+                    # is tolerance-bound -> numerical limit cycle (see
+                    # docstring); cap dt below the boundary
+                    old = np.median(rate_hist[-window:-window // 2])
+                    new = np.median(rate_hist[-(window // 2):])
+                    if new > 0.8 * old:
+                        dt_stab = 0.6 * dt
+                        steps_since_cap = 0
+                        if monitor:
+                            print(f"  STALL: rate {old:.3e} -> {new:.3e}, "
+                                  f"capping dt at {dt_stab:.3e}")
+                dt_stab = min(dt_stab * 1.01, np.inf)
+                if monitor:
+                    print(f"  step {steps:5d}  t+={dt:.3e}  est={est:.3e}"
+                          f"  corr={corr:+.2f}  |dT/dt| = {rate:.3e}")
+                if rate < tol:
+                    break
+            else:
+                rejects += 1
+                if monitor:
+                    print(f"  REJECT        t+={dt:.3e}  est={est:.3e}")
+            fac = safety * est ** -0.5 if est > 0.0 else grow_max
+            fac = min(grow_max, max(0.2, fac))
+            dt = min(dt * fac, dt_max, dt_stab,
+                     self._cfl_dt(carry[2], cfl))
+        T, _, x = carry
+        info = {"steps": steps, "rejects": rejects, "rate": rate,
+                "dts": dts,
+                "nu_top": float(self.nusselt_top(T)),
+                "nu_bottom": float(self.nusselt_bottom(T)),
+                "vrms": float(self.vrms(x)),
+                "converged": rate < tol}
+        return T, x, info
+
     def init_carry(self, T0):
         """Initial (T, N, x) carry: one cold Stokes solve at t = 0."""
         x0 = self.stokes.zero_state()

@@ -77,6 +77,10 @@ class HeatModel:
         _ = self._pc_apply
         if self.neumann_axes:
             _ = self._nm_masks
+        if self.cmap is None:
+            # traced-dt solvers too (a cached_property first touched inside
+            # a jit trace would cache tracer constants)
+            _ = self._fd0_theta, self._fd0_unit
 
     @cached_property
     def cmap(self):
@@ -125,12 +129,11 @@ class HeatModel:
                 any_nm |= m
         return masks, jnp.asarray(any_nm)
 
-    def implicit_operator(self, u: jax.Array) -> jax.Array:
-        """A = 1/dt - theta * Laplace on the interior; identity boundary
-        rows, except insulated faces which carry dT/dn (outward spectral
-        derivative)."""
+    def _bc_rows(self, y: jax.Array, u: jax.Array) -> jax.Array:
+        """Overwrite the boundary rows of an interior result: identity
+        Dirichlet rows; dT/dn (outward spectral derivative) on insulated
+        faces — shared by the fixed-dt and traced-dt operators."""
         g = self.grid
-        y = u / self.dt - self.theta * self.laplacian(u)
         y = jnp.where(g.boundary_mask, u, y)
         if self.neumann_axes:
             masks, _ = self._nm_masks
@@ -140,6 +143,18 @@ class HeatModel:
                 y = jnp.where(masks[(ax, "lo")], du, y)
                 y = jnp.where(masks[(ax, "hi")], -du, y)
         return y
+
+    def _implicit_op_c(self, u: jax.Array, shift, c: float) -> jax.Array:
+        """shift*u - c*Laplace(u) on the interior (``shift`` may be a
+        TRACED scalar — the adaptive integrator's step operator), with the
+        shared boundary rows (shift-free: Dirichlet identity / dT/dn)."""
+        return self._bc_rows(shift * u - c * self.laplacian(u), u)
+
+    def implicit_operator(self, u: jax.Array) -> jax.Array:
+        """A = 1/dt - theta * Laplace on the interior; identity boundary
+        rows, except insulated faces which carry dT/dn (outward spectral
+        derivative)."""
+        return self._implicit_op_c(u, 1.0 / self.dt, self.theta)
 
     @cached_property
     def _pc_apply(self):
@@ -229,3 +244,92 @@ class HeatModel:
 
         u, _ = jax.lax.scan(body, u0, None, length=nsteps)
         return u
+
+    # ------------------------------------------------------------------
+    # Traced-dt steps (the substrate of solvers/ts.py adaptive stepping):
+    # dt is a TRACED scalar, so ONE compiled step serves every step size —
+    # the preconditioner is the shift-free fast diagonalization applied
+    # with a runtime shift (ops/fastdiag.py solve_interior(shift=...)).
+    # ------------------------------------------------------------------
+    def _check_traced_dt(self):
+        if self.cmap is not None:
+            raise NotImplementedError(
+                "traced-dt stepping on curved domains: the metric-MG "
+                "surrogate bakes the shift into its stencil; use the "
+                "fixed-dt step/rollout (or rebuild per dt)")
+
+    @cached_property
+    def _fd0_theta(self):
+        """Shift-free fastdiag of theta * (-Laplace) — runtime shift 1/dt
+        makes it the exact surrogate inverse of the theta-step operator."""
+        return FastDiagSolver.build(
+            self.grid, shift=0.0,
+            axis_scale=np.full(self.grid.ndim, 2.0 * self.theta),
+            neumann_axes=tuple(self.neumann_axes))
+
+    @cached_property
+    def _fd0_unit(self):
+        """Shift-free fastdiag of (-Laplace) itself — runtime shift a/dt
+        preconditions the backward-Euler and BDF2 step operators."""
+        return FastDiagSolver.build(
+            self.grid, shift=0.0,
+            axis_scale=np.full(self.grid.ndim, 2.0),
+            neumann_axes=tuple(self.neumann_axes))
+
+    def _masked_state(self, u: jax.Array, dirichlet: jax.Array) -> jax.Array:
+        """Current state with the Dirichlet trace imposed (insulated faces
+        keep their evolved value)."""
+        uL = self.grid.set_boundary(u, dirichlet)
+        if self.neumann_axes:
+            _, any_nm = self._nm_masks
+            uL = jnp.where(any_nm, u, uL)
+        return uL
+
+    def _bc_rhs(self, rhs: jax.Array, dirichlet: jax.Array) -> jax.Array:
+        rhs = jnp.where(self.grid.boundary_mask, dirichlet, rhs)
+        if self.neumann_axes:
+            _, any_nm = self._nm_masks
+            rhs = jnp.where(any_nm, 0.0, rhs)
+        return rhs
+
+    def step_theta_dt(self, u, f, dirichlet, dt, theta: float | None = None):
+        """One theta step with TRACED dt (``theta=1.0`` overrides to
+        backward Euler — the BDF2 startup step).  Jittable across dts."""
+        self._check_traced_dt()
+        th = self.theta if theta is None else float(theta)
+        uL = self._masked_state(u, dirichlet)
+        rhs = self._bc_rhs(uL / dt + (1.0 - th) * self.laplacian(uL)
+                           + self.grid.zero_boundary(f), dirichlet)
+        if th == self.theta:
+            fd = self._fd0_theta
+        elif th == 1.0:
+            fd = self._fd0_unit
+        else:  # exotic override: build the exact surrogate for this theta
+            fd = FastDiagSolver.build(
+                self.grid, shift=0.0,
+                axis_scale=np.full(self.grid.ndim, 2.0 * th),
+                neumann_axes=tuple(self.neumann_axes))
+        res = self.ksp.solve(
+            lambda w: self._implicit_op_c(w, 1.0 / dt, th), rhs,
+            x0=uL, M=lambda r: fd.apply(r, shift=1.0 / dt))
+        return res.x
+
+    def step_bdf2_dt(self, u, u_prev, f, dirichlet, dt, rr):
+        """One variable-step BDF2 step with TRACED dt and TRACED step
+        ratio rr = dt/dt_prev:
+
+            [(1+2r)/(1+r) u1 - (1+r) u + r^2/(1+r) u_prev]/dt = Lap u1 + f1
+
+        (A-stable for r <= 1+sqrt(2); the solvers/ts.py controller clips
+        growth well inside that).  History fields enter algebraically only
+        — no explicit Laplacian — so their boundary rows pass through."""
+        self._check_traced_dt()
+        a = (1.0 + 2.0 * rr) / (1.0 + rr)
+        uL = self._masked_state(u, dirichlet)
+        rhs = self._bc_rhs(
+            ((1.0 + rr) * uL - (rr * rr / (1.0 + rr)) * u_prev) / dt
+            + self.grid.zero_boundary(f), dirichlet)
+        res = self.ksp.solve(
+            lambda w: self._implicit_op_c(w, a / dt, 1.0), rhs,
+            x0=uL, M=lambda r: self._fd0_unit.apply(r, shift=a / dt))
+        return res.x

@@ -60,8 +60,16 @@ class UnsteadyStokes:
     dt: float
     theta: float = 0.5
     phi: object = None
+    # "theta" (default; 0.5 = Crank-Nicolson, 1 = backward Euler) or
+    # "bdf2": fixed-step BDF2, sigma = 3/(2 dt), L-stable order 2 —
+    #     (3 v1 - 4 v0 + v_{-1})/(2 dt) + N(v1) + grad p = f(t1);
+    # the step operator is the SAME mass-shifted steady Jacobian (only
+    # sigma differs), startup is one Crank-Nicolson step (locally order 3).
+    scheme: str = "theta"
 
     def __post_init__(self):
+        if self.scheme not in ("theta", "bdf2"):
+            raise ValueError(f"unknown scheme {self.scheme!r} (theta|bdf2)")
         if not (0.0 < self.theta <= 1.0):
             raise ValueError("theta must be in (0, 1]")
         if not self.dt > 0.0:
@@ -73,7 +81,7 @@ class UnsteadyStokes:
                 "Neumann/mixed traction rows carry no time derivative, so "
                 "the mass-shifted step algebra does not apply to them")
         if self._linear:
-            _ = self._step
+            _ = self._step if self.scheme == "theta" else self._step_b2
 
     @property
     def _linear(self) -> bool:
@@ -81,6 +89,8 @@ class UnsteadyStokes:
 
     @cached_property
     def sigma(self) -> float:
+        if self.scheme == "bdf2":
+            return 1.5 / self.dt
         return 1.0 / (self.theta * self.dt)
 
     @cached_property
@@ -174,18 +184,46 @@ class UnsteadyStokes:
             Fp = p.project_p(self._div_full(v1_full))
         return {"v": Fv, "p": Fp}, lin_state
 
+    def _newton_loop(self, residual, x0, pc_setup, pc_apply):
+        """The jittable Newton-on-step core shared by the theta and BDF2
+        power-law steps: a ``lax.while_loop`` Newton (bt line search, the
+        problem's Newton tolerances) around the mass-shifted saddle solve."""
+        from spectral_tpu.solvers.newton import _line_search_bt, _norm
+
+        p, ncfg, ksp = self.problem, self.config.newton, self.config.outer_ksp
+        F0, lst0 = residual(x0)
+        fnorm0 = _norm(F0)
+        floor = jnp.maximum(ncfg.rtol * fnorm0, ncfg.atol)
+
+        def cond(c):
+            it, x, F, lst, fnorm, ok, its = c
+            return (ok & (fnorm > floor) & (it < ncfg.max_it)
+                    & jnp.isfinite(fnorm))
+
+        def body(c):
+            it, x, F, lst, fnorm, ok, its = c
+            pc_state = pc_setup(x, lst)
+            lres = ksp.solve(lambda w: p.jacobian_action(x, lst, w), F,
+                             M=lambda r: pc_apply(pc_state, r),
+                             null_project=p.null_project)
+            xn, Fn, lstn, fnn, ls_ok = _line_search_bt(
+                residual, x, lres.x, fnorm, ncfg)
+            return (it + 1, xn, Fn, lstn, fnn, ls_ok,
+                    its + jnp.asarray(lres.iters, jnp.int32))
+
+        c0 = (jnp.asarray(0, jnp.int32), x0, F0, lst0, fnorm0,
+              jnp.asarray(True), jnp.asarray(0, jnp.int32))
+        _, x, _, _, fnorm, _, its = jax.lax.while_loop(cond, body, c0)
+        return x, fnorm, its
+
     @cached_property
     def _newton_step_jit(self):
-        """ONE compiled object for the whole power-law time step: a
-        ``lax.while_loop`` Newton (bt line search, the problem's Newton
-        tolerances) around the mass-shifted saddle solve, with the
+        """ONE compiled object for the whole power-law time step, with the
         per-step data (v0, s1, fbar, x0) as traced arguments — the
         host-loop ``newton_solve`` would re-trace/re-compile the nested
         saddle PC at EVERY time step (its jitted step is a fresh closure
         per call)."""
-        from spectral_tpu.solvers.newton import _line_search_bt, _norm
-
-        p, ncfg, ksp = self.problem, self.config.newton, self.config.outer_ksp
+        p = self.problem
         params = p.params_at(p.config.cont)
         pc_setup, pc_apply = p.make_pc()
 
@@ -196,30 +234,7 @@ class UnsteadyStokes:
                 return self._step_residual(x, v0_full, params, s1, fbar,
                                            N0=N0)
 
-            F0, lst0 = residual(x0)
-            fnorm0 = _norm(F0)
-            floor = jnp.maximum(ncfg.rtol * fnorm0, ncfg.atol)
-
-            def cond(c):
-                it, x, F, lst, fnorm, ok, its = c
-                return (ok & (fnorm > floor) & (it < ncfg.max_it)
-                        & jnp.isfinite(fnorm))
-
-            def body(c):
-                it, x, F, lst, fnorm, ok, its = c
-                pc_state = pc_setup(x, lst)
-                lres = ksp.solve(lambda w: p.jacobian_action(x, lst, w), F,
-                                 M=lambda r: pc_apply(pc_state, r),
-                                 null_project=p.null_project)
-                xn, Fn, lstn, fnn, ls_ok = _line_search_bt(
-                    residual, x, lres.x, fnorm, ncfg)
-                return (it + 1, xn, Fn, lstn, fnn, ls_ok,
-                        its + jnp.asarray(lres.iters, jnp.int32))
-
-            c0 = (jnp.asarray(0, jnp.int32), x0, F0, lst0, fnorm0,
-                  jnp.asarray(True), jnp.asarray(0, jnp.int32))
-            _, x, _, _, fnorm, _, its = jax.lax.while_loop(cond, body, c0)
-            return x, fnorm, its
+            return self._newton_loop(residual, x0, pc_setup, pc_apply)
 
         return jax.jit(run)
 
@@ -242,9 +257,101 @@ class UnsteadyStokes:
         (boundary values included), ``s1`` the boundary modulation at t1,
         ``fbar`` the theta-weighted momentum forcing
         theta*f(t1) + (1-theta)*f(t0) (masked rows)."""
+        if self.scheme != "theta":
+            raise ValueError("scheme='bdf2': use step_bdf2 / rollout")
         if self._linear:
             return self._step(v0_full, jnp.asarray(s1), fbar)
         return self._step_newton(v0_full, jnp.asarray(s1), fbar)
+
+    # ------------------------------------------------------------------
+    # BDF2 (scheme="bdf2"): sigma = 3/(2 dt), pressure weight 1 (no
+    # q-scaling), history enters algebraically only.
+    # ------------------------------------------------------------------
+    @cached_property
+    def _startup(self) -> "UnsteadyStokes":
+        """Crank-Nicolson integrator for the BDF2 startup step (locally
+        order 3, so the global order-2 of BDF2 is preserved)."""
+        return UnsteadyStokes(self.grid, self.config, self.dt, theta=0.5,
+                              phi=self.phi, scheme="theta")
+
+    def _step_fn_bdf2(self):
+        """(v0_full, vm1_full, s1, f1) -> (v1_full, p1, iters, rnorm).
+        sigma itself lives inside ``jacobian_action`` (config.mass_shift)."""
+        p, dt = self.problem, self.dt
+        lin_state = (jnp.ones(p.grid.dims), jnp.zeros(p.grid.dims),
+                     jnp.zeros(p.grid.dims + (p.d, p.d)))
+        pc_setup, pc_apply = p.make_pc()
+        pc_state = pc_setup(None, lin_state)
+
+        def step(v0_full, vm1_full, s1, f1):
+            R = (4.0 * v0_full - vm1_full) / (2.0 * dt)
+            bc1 = self._bc_ext(s1)
+            # as in the theta step: the bc extension's mass term is
+            # diagonal (zero on the masked unknown rows); only its
+            # nonlocal viscous/divergence action moves to the RHS
+            b = {"v": p.mask_v(R) + f1 - self._visc_rows(bc1),
+                 "p": -self._div_full(bc1)}
+            res = p.config.outer_ksp.solve(
+                lambda w: p.jacobian_action(None, lin_state, w), b,
+                M=lambda r: pc_apply(pc_state, r),
+                null_project=p.null_project)
+            v1_full = bc1 + p.mask_v(res.x["v"])
+            return v1_full, p.mask_p(res.x["p"]), res.iters, res.rnorm
+
+        return step
+
+    @cached_property
+    def _step_b2(self):
+        return jax.jit(self._step_fn_bdf2())
+
+    def _step_residual_bdf2(self, x, v0_full, vm1_full, params, s1, f1):
+        """BDF2 step residual, (F, lin_state) — traceable in x and both
+        history states (the exact Jacobian in x IS the problem's
+        mass-shifted ``jacobian_action`` with sigma = 3/(2 dt))."""
+        p, sigma, dt = self.problem, self.sigma, self.dt
+        bc1 = self._bc_ext(s1)
+        v1_full = bc1 + p.mask_v(x["v"])
+        N1, lin_state = p._viscous_rows(v1_full, params)
+        Fv = (p.mask_v(sigma * v1_full
+                       - (4.0 * v0_full - vm1_full) / (2.0 * dt))
+              + N1 - f1 + p.pressure_gradient(x["p"]))
+        if p.cmap is None:
+            Fp = p.project_p(p._div_from_strain(lin_state[2]))
+        else:
+            Fp = p.project_p(self._div_full(v1_full))
+        return {"v": Fv, "p": Fp}, lin_state
+
+    @cached_property
+    def _newton_step_bdf2_jit(self):
+        p = self.problem
+        params = p.params_at(p.config.cont)
+        pc_setup, pc_apply = p.make_pc()
+
+        def run(v0_full, vm1_full, s1, f1, x0):
+            def residual(x):
+                return self._step_residual_bdf2(x, v0_full, vm1_full,
+                                                params, s1, f1)
+
+            return self._newton_loop(residual, x0, pc_setup, pc_apply)
+
+        return jax.jit(run)
+
+    def step_bdf2(self, v0_full, vm1_full, s1: float, f1, x0=None):
+        """Advance one BDF2 step from (v_{n-1}, v_n) to v_{n+1}.  ``s1``
+        is the boundary modulation at t1, ``f1`` the momentum forcing at
+        t1 (masked rows) — BDF evaluates everything at the step's end."""
+        if self.scheme != "bdf2":
+            raise ValueError("step_bdf2 requires scheme='bdf2'")
+        p = self.problem
+        if self._linear:
+            return self._step_b2(v0_full, vm1_full, jnp.asarray(s1), f1)
+        if x0 is None:
+            x0 = {"v": p.mask_v(v0_full),
+                  "p": jnp.zeros(p.grid.dims, v0_full.dtype)}
+        x, fnorm, its = self._newton_step_bdf2_jit(
+            v0_full, vm1_full, jnp.asarray(s1), f1, x0)
+        v1_full = self._bc_ext(jnp.asarray(s1)) + p.mask_v(x["v"])
+        return v1_full, p.mask_p(x["p"]), int(its), float(fnorm)
 
     def rollout(self, v0_full, times, s_of_t, f_of_t, keep_trajectory=False):
         """Integrate over ``times`` (t0..tN): returns (v_full, p, iters)
@@ -256,10 +363,23 @@ class UnsteadyStokes:
         evaluated host-side per step (arbitrary time dependence); the solve
         itself is the single jitted step above.
         """
-        v, pres, its, traj = v0_full, None, [], [v0_full]
+        if self.scheme == "bdf2":
+            steps = np.diff(np.asarray(times, float))
+            if steps.size and np.abs(steps - steps[0]).max() > \
+                    1e-12 * abs(steps[0]):
+                raise ValueError("scheme='bdf2' (fixed sigma) needs "
+                                 "uniform times")
+        v, vprev, pres, its, traj = v0_full, None, None, [], [v0_full]
         for t0, t1 in zip(times[:-1], times[1:]):
-            fbar = self.theta * f_of_t(t1) + (1.0 - self.theta) * f_of_t(t0)
-            v, pres, it, _ = self.step(v, s_of_t(t1), fbar)
+            if self.scheme == "bdf2" and vprev is not None:
+                vn, pres, it, _ = self.step_bdf2(v, vprev, s_of_t(t1),
+                                                 f_of_t(t1))
+            else:
+                fbar = (self.theta * f_of_t(t1)
+                        + (1.0 - self.theta) * f_of_t(t0))
+                stepper = self._startup if self.scheme == "bdf2" else self
+                vn, pres, it, _ = stepper.step(v, s_of_t(t1), fbar)
+            vprev, v = v, vn
             its.append(int(it))
             if keep_trajectory:
                 traj.append(v)
@@ -362,6 +482,41 @@ class UnsteadyStokes:
             return v, pl, its
 
         return run
+
+    def rollout_scan_bdf2(self, v0_full, s_values, f1s, fbar0):
+        """Fully-jitted linear BDF2 rollout: one Crank-Nicolson startup
+        step (needs the theta-weighted ``fbar0`` for the first interval),
+        then ``lax.scan`` of BDF2 steps.  ``s_values``: (nsteps,)
+        modulations at t1..tN; ``f1s``: (nsteps-1, ...) end-of-step
+        forcings at t2..tN (masked rows).  Returns (v, p, iters)."""
+        if not self._linear:
+            raise ValueError("rollout_scan_bdf2 is the linear fast path; "
+                             "use rollout for power-law rheology")
+        if self.scheme != "bdf2":
+            raise ValueError("rollout_scan_bdf2 requires scheme='bdf2'")
+        return self._scan_rollout_b2(v0_full, jnp.asarray(s_values), f1s,
+                                     fbar0)
+
+    @cached_property
+    def _scan_rollout_b2(self):
+        step = self._step_b2
+        cn_step = self._startup._step
+
+        def run(v0, ss, f1s, fbar0):
+            v1, p1, it0, _ = cn_step(v0, ss[0], fbar0)
+
+            def body(carry, inp):
+                vp, v, _ = carry
+                s1, f1 = inp
+                vn, pn, it, _ = step(v, vp, s1, f1)
+                return (v, vn, pn), it
+
+            (_, v, pl), its = jax.lax.scan(body, (v0, v1, p1),
+                                           (ss[1:], f1s))
+            return v, pl, jnp.concatenate(
+                [jnp.asarray(it0, its.dtype)[None], its])
+
+        return jax.jit(run)
 
     def family_rollout(self, v0s, s_values, fbars):
         """Data-parallel batch of INDEPENDENT unsteady integrations

@@ -118,14 +118,22 @@ class FastDiagSolver:
             preferred_element_type=x.dtype)
         return jnp.moveaxis(y, -1, axis)
 
-    def solve_interior(self, r: jax.Array) -> jax.Array:
-        """Solve on the interior block (shape dims-2 each axis); jittable."""
+    def solve_interior(self, r: jax.Array, shift=None) -> jax.Array:
+        """Solve on the interior block (shape dims-2 each axis); jittable.
+
+        ``shift`` adds a RUNTIME (traceable) scalar on top of the
+        build-time ``shift_const``: the eigen-decomposition is
+        shift-independent, so one compiled apply serves every time step
+        of an adaptive integrator (solvers/ts.py) — solve
+        (A + shift_const + shift) without rebuilding."""
         w = r
         for ax in range(self.grid.ndim):
             w = self._apply_axis(self.Vinv[ax], w, ax)
         lam = self.lam_sum
         if w.ndim > lam.ndim:
             lam = lam.reshape(lam.shape + (1,) * (w.ndim - lam.ndim))
+        if shift is not None:
+            lam = lam + jnp.asarray(shift, lam.dtype)
         w = w / lam
         for ax in range(self.grid.ndim):
             w = self._apply_axis(self.V[ax], w, ax)
@@ -156,12 +164,17 @@ class FastDiagSolver:
             out.append(m.reshape(m.shape + (1,) * (ndim - d)))
         return out
 
-    def apply(self, r: jax.Array) -> jax.Array:
+    def apply(self, r: jax.Array, shift=None) -> jax.Array:
         """Full-grid preconditioner apply: interior exact solve, boundary
         identity — except zero-flux (neumann_axes) faces, whose residual is
         folded into the adjacent interior row and whose value is
         reconstructed from the eliminated end row (still an EXACT solve of
         the surrogate).
+
+        ``shift`` (traceable scalar) solves (A + shift_const + shift): the
+        zero-flux elimination is shift-exact because the face rows carry no
+        shift term (the operator's dT/dn rows have no 1/dt entry) and the
+        fold coefficients come from the unshifted stencil.
 
         The fold/reconstruction is pure mask + static-roll arithmetic, NOT
         row scatters: besides being the idiomatic TPU form, chained
@@ -183,7 +196,7 @@ class FastDiagSolver:
             # face value onto its neighbor, select with the adjacency mask
             reff = reff + jnp.where(adj_lo, -f_lo * jnp.roll(r, 1, ax), 0.0) \
                         + jnp.where(adj_hi, -f_hi * jnp.roll(r, -1, ax), 0.0)
-        z = self.solve_interior(reff[inner]).astype(r.dtype)
+        z = self.solve_interior(reff[inner], shift=shift).astype(r.dtype)
         out = r.at[inner].set(z)
         for ax, (h_lo, f_lo, h_hi, f_hi) in nm:
             face_lo, adj_lo, adj_hi, face_hi = masks[ax]

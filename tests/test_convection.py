@@ -390,3 +390,32 @@ def test_steady_newton_direct_solve():
     assert ninfo["vrms"] == pytest.approx(minfo["vrms"], rel=1e-3)
     # the whole point: far fewer Stokes solves than marching steps
     assert ninfo["steps"] < minfo["steps"] / 3
+
+
+def test_adaptive_march_discovers_step_size():
+    """march_adaptive (traced-dt IMEX step + error controller + ringing
+    detector): started 50x too conservative it must discover the usable
+    step size on its own, reach the SAME attractor as the hand-tuned
+    fixed-dt march, and do so in a comparable number of coupled steps —
+    not the ~22000 a fixed run at dt0 would need.  (It cannot BEAT a
+    hand-tuned fixed dt here: the explicit advection's stability boundary
+    caps dt regardless; the win is removing the hand-tuning.)"""
+    cfg = ConvectionConfig(Ra=5e3, dt=1e-3, velocity_bc="freeslip",
+                           side_bc="insulated")
+    m = ConvectionModel.unit_box((12, 12), cfg)
+    T0 = m.conductive_state(amp=0.05)
+    Tm, xm, im = m.march_to_steady(T0, max_steps=2000, tol=1e-4, chunk=50)
+    assert im["converged"]
+    dt0 = 2e-5
+    Ta, xa, ia = m.march_adaptive(T0, max_steps=2000, tol=1e-4,
+                                  rtol=3e-3, dt0=dt0)
+    assert ia["converged"], {k: v for k, v in ia.items() if k != "dts"}
+    assert ia["nu_top"] == pytest.approx(im["nu_top"], rel=2e-3)
+    assert ia["vrms"] == pytest.approx(im["vrms"], rel=5e-3)
+    assert float(jnp.max(jnp.abs(Ta - Tm))) < 1e-2
+    # the controller must stretch dt far beyond the conservative start ...
+    assert max(ia["dts"]) > 20.0 * dt0, max(ia["dts"])
+    # ... and land within ~2x of the hand-tuned fixed-step count, vastly
+    # below the fixed-at-dt0 cost (sum of accepted dts / dt0 steps)
+    assert ia["steps"] < 2.0 * im["steps"], (ia["steps"], im["steps"])
+    assert ia["steps"] < 0.15 * sum(ia["dts"]) / dt0, ia["steps"]

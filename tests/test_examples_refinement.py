@@ -101,6 +101,13 @@ def test_adjoint_fit_demo():
     assert d.main(["-n", "8", "-steps", "6"]) == 0
 
 
+def test_adjoint_fit_demo_lbfgs():
+    """The TAO-layer route: same recovery through solvers/optimize.py."""
+    import examples.adjoint_fit_demo as d
+
+    assert d.main(["-n", "8", "-steps", "6", "-opt", "lbfgs"]) == 0
+
+
 def test_solver_tuning_demo(capsys):
     """Round-3 tour: EW forcing, MG cycle strength vs LU, grid sequencing,
     condition estimates — each section asserts its own A/B."""

@@ -282,3 +282,32 @@ def test_convection_cli_stability(capsys):
     ra_c = float(out.split("Ra_c = ")[1].split()[0])
     assert abs(ra_c - 8 * 3.14159265358979 ** 4) < 1e-3
     assert "UNSTABLE" in out
+
+
+def test_heat_cli_ts_flags(capsys):
+    """-ts_type bdf2 and -ts_adapt (the PETSc TS/TSAdapt knobs)."""
+    from spectral_tpu.cli.drivers import heat_main
+
+    rc = heat_main(Options("-dim 12,12 -dt 0.02 -nsteps 5 "
+                           "-ts_type bdf2".split()))
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert float(out.split("decay")[1].split()[0]) < 1e-3
+
+    rc = heat_main(Options("-dim 12,12 -dt 0.02 -nsteps 10 -ts_adapt "
+                           "-ts_rtol 1e-5".split()))
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "ts_adapt:" in out
+    assert float(out.split("decay")[1].split()[0]) < 1e-3
+
+
+def test_unsteady_stokes_cli_bdf2(capsys):
+    from spectral_tpu.cli.drivers import unsteady_stokes_main
+
+    rc = unsteady_stokes_main(Options("-dim 10,10 -dt 0.05 -nsteps 4 "
+                                      "-scheme bdf2".split()))
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "scheme = bdf2" in out
+    assert float(out.split("abs = ")[1].split()[0]) < 1e-4

@@ -510,3 +510,36 @@ def test_sharded_neumann_fastdiag_matches_single_device():
             jax.block_until_ready(got)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=1e-12)
+
+
+def test_sharded_traced_dt_convection_step_matches_single_device():
+    """The TRACED-dt coupled step (variable-ratio AB2 + runtime-shift
+    fastdiag diffusion solve) under GSPMD: adaptive marching composes
+    with mesh sharding — one compiled step, any dt, any sharding."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from spectral_tpu.models.convection import (ConvectionConfig,
+                                                ConvectionModel)
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    mesh = _mesh4()
+    cfg = ConvectionConfig(Ra=5e3, dt=1e-3, velocity_bc="freeslip",
+                           side_bc="insulated",
+                           stokes_ksp=KSPConfig(type="fgmres", rtol=1e-10,
+                                                max_it=150, restart=60))
+    m = ConvectionModel.unit_box((12, 12), cfg)
+    T0 = m.conductive_state(amp=0.05)
+    carry = m.init_carry(T0)
+    dt, rho = jnp.asarray(7e-4), jnp.asarray(0.8)
+    T_ref, N_ref, _ = m.step_dt(*carry, dt, rho)
+
+    sh = NamedSharding(mesh, P("x", None))
+    T0s = jax.device_put(T0, sh)
+    with mesh:
+        carry_s = m.init_carry(T0s)
+        T1, N1, _ = m.step_dt(*carry_s, dt, rho)
+        jax.block_until_ready(T1)
+    np.testing.assert_allclose(np.asarray(T1), np.asarray(T_ref),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(N1), np.asarray(N_ref),
+                               atol=1e-8)

@@ -189,3 +189,55 @@ def test_config_guards():
     with pytest.raises(ValueError):
         UnsteadyStokes(Grid((8, 8)),
                        StokesConfig(exact=1, pcvel="q1fem"), dt=0.1)
+
+
+def test_bdf2_is_second_order():
+    """scheme='bdf2' (sigma = 3/(2dt), CN startup): order 2 on the
+    manufactured u0(x)cos(t) solution."""
+    errs = {}
+    for dt in (0.1, 0.05):
+        m = UnsteadyStokes(Grid((12, 12)), CFG, dt=dt, scheme="bdf2")
+        u0, s, f, u_t, _ = m.manufactured(omega=1.0)
+        times = np.arange(0.0, 0.5 + 1e-12, dt)
+        v, _, _ = m.rollout(u0, times, s, f)
+        errs[dt] = float(jnp.max(jnp.abs(v - u_t(times[-1]))))
+    ratio = errs[0.1] / errs[0.05]
+    assert 3.0 < ratio < 5.5, (errs, ratio)
+
+
+def test_bdf2_steady_fixed_point_and_scan():
+    """(a) the exact steady state is a fixed point of the BDF2 step;
+    (b) the jitted scan rollout matches the stepped loop bitwise-ish."""
+    m = UnsteadyStokes(Grid((12, 12)), CFG, dt=0.1, scheme="bdf2")
+    u0, s, f, u_t, _ = m.manufactured(omega=0.0)
+    v1, p1, it, _ = m.step_bdf2(u0, u0, 1.0, f(0.0))
+    assert float(jnp.max(jnp.abs(v1 - u0))) < 1e-7
+
+    u0, s, f, u_t, _ = m.manufactured(omega=1.0)
+    dt = 0.1
+    times = np.arange(0.0, 0.4 + 1e-12, dt)
+    v_loop, _, its_loop = m.rollout(u0, times, s, f)
+    ss = jnp.asarray([s(t) for t in times[1:]])
+    f1s = jnp.stack([f(t) for t in times[2:]])
+    fbar0 = 0.5 * f(times[1]) + 0.5 * f(times[0])
+    v_scan, _, its_scan = m.rollout_scan_bdf2(u0, ss, f1s, fbar0)
+    np.testing.assert_allclose(np.asarray(v_scan), np.asarray(v_loop),
+                               atol=1e-10)
+    assert list(np.asarray(its_scan)) == list(its_loop)
+
+
+def test_bdf2_power_law():
+    """Nonlinear BDF2: the steady power-law state is a fixed point of the
+    Newton step (exact Jacobian = mass-shifted steady Jacobian with
+    sigma = 3/(2dt))."""
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    cfg = StokesConfig(exact=1, boundary=0, rheology=1, exponent=3.0,
+                       regularization=1e-1, pcvel="mg",
+                       outer_ksp=KSPConfig(type="fgmres", rtol=1e-9,
+                                           max_it=400, restart=100),
+                       newton=NewtonConfig(rtol=1e-10, max_it=12))
+    m = UnsteadyStokes(Grid((10, 10)), cfg, dt=0.1, scheme="bdf2")
+    u0, s, f, u_t, _ = m.manufactured(omega=0.0)
+    v1, p1, its, fnorm = m.step_bdf2(u0, u0, 1.0, f(0.0))
+    assert float(jnp.max(jnp.abs(v1 - u0))) < 1e-6
