@@ -173,6 +173,79 @@ def integrate_adaptive(model, u0, t0: float, t1: float, f, dirichlet,
     return u, {"steps": steps, "rejects": rejects, "dts": dts, "t": t}
 
 
+def pseudo_transient_solve(residual, x0, jac_action, M_shifted, *,
+                           ksp=None, dt0: float = 1.0, dt_max: float = 1e12,
+                           rtol: float = 1e-8, atol: float = 0.0,
+                           max_it: int = 100, ser_power: float = 1.0,
+                           monitor: bool = False):
+    """Pseudo-transient continuation — the PETSc TSPSEUDO role.
+
+    Globalizes Newton on F(x) = 0 without a line search by taking
+    backward-Euler steps of dx/dt = -F(x) with SER (switched evolution
+    relaxation) step control:
+
+        (I/dt_n + J(x_n)) dx = -F(x_n),
+        dt_n = dt0 * (||F_0|| / ||F_n||)^ser_power  (capped at dt_max).
+
+    Far from the solution dt is small and the identity dominates (damped,
+    robust); as ||F|| falls, dt grows and the iteration turns into Newton
+    (quadratic tail).  The shifted operator is preconditioned through the
+    SAME runtime-shift mechanism as the adaptive integrators:
+    ``M_shifted(r, shift)`` — e.g. ``lambda r, s: fd.apply(r, 0.5 * s)``
+    with the model's shift-free fast diagonalization (the 0.5 matches the
+    FD surrogate's T_j ~ -(1/2) d^2/dx_j^2 scaling; any scalar factor is
+    GMRES-invariant).
+
+    Args:
+      residual: x -> (F, lin_state), the Newton residual contract.
+      jac_action: (x, lin_state, w) -> J w.
+      M_shifted: (r, shift) -> approx (shift + J)^{-1} r, or None.
+      ksp: the inner linear solve (default gmres, loose rtol 1e-3 — PTC
+        needs only a descent-quality step far out; SER sharpens it as the
+        Newton limit approaches because the shift vanishes).
+
+    Returns a dict {x, fnorm, iters, history, converged}.
+    """
+    from spectral_tpu.solvers.krylov import KSPConfig
+    from spectral_tpu.solvers.newton import _norm
+
+    ksp = ksp or KSPConfig(type="gmres", rtol=1e-3, max_it=200)
+    tm = jax.tree_util.tree_map
+    x = x0
+    F, lin = residual(x)
+    f0 = float(_norm(F))
+    fn = f0
+    history = [f0]
+    converged = fn <= max(rtol * f0, atol)
+    it = 0
+    while not converged and it < max_it:
+        dt = min(dt0 * (f0 / max(fn, 1e-300)) ** ser_power, dt_max)
+        sigma = 1.0 / dt
+        op = lambda w: tm(lambda a, b: sigma * a + b, w,
+                          jac_action(x, lin, w))
+        M = None if M_shifted is None else (
+            lambda r: M_shifted(r, jnp.asarray(sigma)))
+        res = ksp.solve(op, tm(lambda a: -a, F), M=M)
+        xn = tm(lambda a, b: a + b, x, res.x)
+        Fn, linn = residual(xn)
+        fnn = float(_norm(Fn))
+        if np.isfinite(fnn) and fnn <= 2.0 * fn:
+            x, F, lin, fn = xn, Fn, linn, fnn
+            history.append(fn)
+        else:
+            # diverging step: SER cannot shrink dt (it only tracks ||F||)
+            # — back the reference step size off directly
+            dt0 = 0.3 * dt0
+            if dt0 < 1e-14:
+                break
+        it += 1
+        if monitor:
+            print(f"ptc {it:4d}  |F| = {fn:.6e}  dt = {dt:.3e}")
+        converged = fn <= max(rtol * f0, atol)
+    return {"x": x, "fnorm": fn, "iters": it, "history": history,
+            "converged": bool(converged)}
+
+
 def rollout_bdf2(model, u0, f, dirichlet, dt: float, nsteps: int):
     """Fixed-step BDF2 rollout (jittable/traceable): one theta startup
     step (the model's own theta — Crank-Nicolson by default keeps the

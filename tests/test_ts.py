@@ -178,3 +178,52 @@ def test_adaptive_insulated_axis():
     u, info = integrate_adaptive(m, a(0.0) * w, 0.0, 0.6, f_of_t, z, cfg)
     err = np.abs(np.asarray(u) - a(0.6) * np.asarray(w)).max()
     assert err < 1e-3, (err, info)
+
+
+# ---------------------------------------------------------------------
+# Pseudo-transient continuation (TSPSEUDO role)
+# ---------------------------------------------------------------------
+def test_pseudo_transient_bratu_near_fold():
+    """Bratu (-Lap u - lam e^u = 0) at lam within 2% of the fold: PTC's
+    SER-damped backward-Euler steps converge from zero WITHOUT any line
+    search, through the runtime-shift fastdiag PC, to the same lower-
+    branch root the line-search Newton finds — and the SER schedule ends
+    Newton-like (fast-contracting tail)."""
+    from spectral_tpu.ops.chebyshev import chebdiff
+    from spectral_tpu.solvers.krylov import KSPConfig
+    from spectral_tpu.solvers.newton import NewtonConfig, newton_solve
+    from spectral_tpu.solvers.ts import pseudo_transient_solve
+
+    g = Grid((14, 14))
+    lam = 1.69    # fold of the (-1,1)^2 Bratu problem is ~1.70
+
+    def lap(u):
+        y = jnp.zeros_like(u)
+        for ax in range(g.ndim):
+            y = y + chebdiff(chebdiff(u, ax), ax)
+        return g.zero_boundary(y)
+
+    def residual(uG):
+        u = g.zero_boundary(uG)
+        return g.zero_boundary(-lap(u) - lam * jnp.exp(u)), u
+
+    def jac_action(x, u0, wG):
+        v = g.zero_boundary(wG)
+        return g.zero_boundary(-lap(v) - lam * jnp.exp(u0) * v)
+
+    fd = FastDiagSolver.build(g)
+
+    ref = newton_solve(residual, jnp.zeros(g.dims),
+                       ksp=KSPConfig(type="gmres", rtol=1e-10, max_it=400),
+                       config=NewtonConfig(rtol=1e-10, max_it=50))
+    assert int(ref.reason) > 0
+
+    out = pseudo_transient_solve(residual, jnp.zeros(g.dims), jac_action,
+                                 lambda r, s: fd.apply(r, shift=0.5 * s),
+                                 dt0=0.05, rtol=1e-9, max_it=40)
+    assert out["converged"], out["history"][-5:]
+    assert out["iters"] <= 25, out["iters"]
+    assert float(jnp.max(jnp.abs(out["x"] - ref.x))) < 1e-8
+    # the SER schedule ends Newton-like: a fast-contracting tail
+    assert out["history"][-1] < 0.05 * out["history"][-2], \
+        out["history"][-3:]
