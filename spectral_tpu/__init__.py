@@ -32,6 +32,7 @@ __all__ = ["cgl_nodes", "chebdiff", "diffmat", "Grid", "PoissonModel",
            "KSPConfig", "NewtonConfig", "block_gmres", "implicit_gradient",
            "implicit_hvp", "extreme_singular_values",
            "TSConfig", "integrate_adaptive", "rollout_bdf2",
+           "pseudo_transient_solve",
            "OptimizeConfig", "lbfgs_minimize", "newton_cg_minimize",
            "__version__"]
 
@@ -63,6 +64,8 @@ _LAZY = {
     "TSConfig": ("spectral_tpu.solvers.ts", "TSConfig"),
     "integrate_adaptive": ("spectral_tpu.solvers.ts", "integrate_adaptive"),
     "rollout_bdf2": ("spectral_tpu.solvers.ts", "rollout_bdf2"),
+    "pseudo_transient_solve": ("spectral_tpu.solvers.ts",
+                               "pseudo_transient_solve"),
     "OptimizeConfig": ("spectral_tpu.solvers.optimize", "OptimizeConfig"),
     "lbfgs_minimize": ("spectral_tpu.solvers.optimize", "lbfgs_minimize"),
     "newton_cg_minimize": ("spectral_tpu.solvers.optimize",

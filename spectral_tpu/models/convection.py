@@ -448,7 +448,9 @@ class ConvectionModel:
                        rtol: float = 1e-3, atol: float = 1e-8,
                        cfl: float = 4.0, dt0: float | None = None,
                        dt_max: float = np.inf, grow_max: float = 1.5,
-                       safety: float = 0.9, monitor: bool = False):
+                       safety: float = 0.9, monitor: bool = False,
+                       checkpoint: str | None = None,
+                       checkpoint_every: int = 50, resume: bool = False):
         """Variable-step marching to steady state (the TSAdapt shape of
         solvers/ts.py applied to the coupled IMEX step): a linear-predictor
         local error estimate drives an order-2 controller with
@@ -487,13 +489,19 @@ class ConvectionModel:
 
         Returns (T, x, info); info adds 'rejects' and 'dts' to the
         march_to_steady keys, and 'steps' counts ACCEPTED steps.
+
+        ``checkpoint`` (a directory) persists the full marching state —
+        carry, predictor history, controller scalars — every
+        ``checkpoint_every`` accepted steps (utils/checkpoint.py, SURVEY
+        5.4); ``resume=True`` restarts from the latest saved state, so a
+        long Blankenbach-style run survives preemption bit-for-bit up to
+        the controller's (reset) stall window.
         """
         from spectral_tpu.solvers.ts import wrms
 
         T = jnp.asarray(T0)
         T_prev = None
         dt_prev = None
-        carry = self.init_carry(T)
         dt = float(dt0 if dt0 is not None else self.config.dt)
         dt_stab = np.inf          # stability cap (recovers slowly)
         steps = rejects = 0
@@ -502,6 +510,24 @@ class ConvectionModel:
         rate_hist: list[float] = []
         steps_since_cap = 0
         window = 30
+        carry = None
+        if checkpoint and resume:
+            from spectral_tpu.utils import checkpoint as ckpt
+            k = ckpt.latest_step(checkpoint)
+            if k is not None:
+                like = (T, jnp.zeros_like(T), self.stokes.zero_state(), T)
+                Tl, Nl, xl, Tp = ckpt.load_state(checkpoint, k, like)
+                meta = ckpt.load_meta(checkpoint, k).get("meta", {})
+                T, carry, T_prev = Tl, (Tl, Nl, xl), Tp
+                dt = float(meta.get("dt", dt))
+                dt_prev = float(meta.get("dt_prev", dt))
+                dt_stab = float(meta.get("dt_stab", np.inf))
+                steps = int(meta.get("steps", k))
+                rejects = int(meta.get("rejects", 0))
+                if monitor:
+                    print(f"  resumed from checkpoint step {steps}")
+        if carry is None:
+            carry = self.init_carry(T)
         while steps < max_steps and steps + rejects < 4 * max_steps:
             Tc, Nc, xc = carry
             rho = 0.0 if dt_prev is None else dt / dt_prev
@@ -554,10 +580,21 @@ class ConvectionModel:
                 rejects += 1
                 if monitor:
                     print(f"  REJECT        t+={dt:.3e}  est={est:.3e}")
+            just_accepted = est <= 1.0
             fac = safety * est ** -0.5 if est > 0.0 else grow_max
             fac = min(grow_max, max(0.2, fac))
             dt = min(dt * fac, dt_max, dt_stab,
                      self._cfl_dt(carry[2], cfl))
+            if checkpoint and just_accepted and T_prev is not None and \
+                    steps % checkpoint_every == 0:
+                from spectral_tpu.utils import checkpoint as ckpt
+                ckpt.save_state(
+                    checkpoint, steps, (carry[0], carry[1], carry[2],
+                                        T_prev),
+                    meta={"dt": dt, "dt_prev": dt_prev,
+                          "dt_stab": (dt_stab if np.isfinite(dt_stab)
+                                      else 1e300),
+                          "steps": steps, "rejects": rejects})
         T, _, x = carry
         info = {"steps": steps, "rejects": rejects, "rate": rate,
                 "dts": dts,

@@ -10,7 +10,7 @@ from spectral_tpu.solvers.optimize import (OptimizeConfig, OptimizeResult,
                                            lbfgs_minimize,
                                            newton_cg_minimize)
 from spectral_tpu.solvers.ts import (TSConfig, integrate_adaptive,
-                                     rollout_bdf2)
+                                     pseudo_transient_solve, rollout_bdf2)
 
 __all__ = [
     "EPSResult",
@@ -22,6 +22,7 @@ __all__ = [
     "newton_cg_minimize",
     "TSConfig",
     "integrate_adaptive",
+    "pseudo_transient_solve",
     "rollout_bdf2",
     "implicit_gradient",
     "implicit_hvp",

@@ -419,3 +419,33 @@ def test_adaptive_march_discovers_step_size():
     # below the fixed-at-dt0 cost (sum of accepted dts / dt0 steps)
     assert ia["steps"] < 2.0 * im["steps"], (ia["steps"], im["steps"])
     assert ia["steps"] < 0.15 * sum(ia["dts"]) / dt0, ia["steps"]
+
+
+def test_adaptive_march_checkpoint_resume(tmp_path):
+    """march_adaptive persists its full marching state (carry, predictor
+    history, controller scalars) and resumes from the latest checkpoint:
+    the restored state round-trips exactly and the continued march picks
+    the step counter up where it stopped."""
+    from spectral_tpu.utils import checkpoint as ckpt
+
+    cfg = ConvectionConfig(Ra=5e3, dt=1e-3, velocity_bc="freeslip",
+                           side_bc="insulated")
+    m = ConvectionModel.unit_box((12, 12), cfg)
+    T0 = m.conductive_state(amp=0.05)
+    cdir = str(tmp_path / "march")
+    T1, x1, i1 = m.march_adaptive(T0, max_steps=45, tol=1e-12,
+                                  checkpoint=cdir, checkpoint_every=20)
+    k = ckpt.latest_step(cdir)
+    assert k == 40, k
+    # round trip: the saved carry reloads bit-for-bit
+    like = (T1, jnp.zeros_like(T1), m.stokes.zero_state(), T1)
+    Tl, Nl, xl, Tp = ckpt.load_state(cdir, k, like)
+    assert np.isfinite(np.asarray(Tl)).all()
+    meta = ckpt.load_meta(cdir, k)["meta"]
+    assert meta["steps"] == 40 and meta["dt"] > 0.0
+
+    T2, x2, i2 = m.march_adaptive(T0, max_steps=75, tol=1e-12,
+                                  checkpoint=cdir, resume=True)
+    assert i2["steps"] >= 75 - 1          # continued the counter, not reset
+    assert len(i2["dts"]) <= 40           # only the NEW steps were marched
+    assert np.isfinite(i2["nu_top"])
