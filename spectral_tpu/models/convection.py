@@ -541,7 +541,11 @@ class ConvectionModel:
                     float(jnp.linalg.norm(dT_new.ravel())) *
                     float(jnp.linalg.norm(dT_old.ravel())), 1e-300)
             else:
-                est, corr = 0.5, 1.0  # first step: accept, stay at dt0
+                # first step: accept and stay at dt0 — unless it blew up
+                # (a non-finite first step would otherwise be committed to
+                # the carry and could never be rejected back)
+                est = 0.5 if bool(jnp.all(jnp.isfinite(Tn))) else np.inf
+                corr = 1.0
             if not np.isfinite(est):
                 est = np.inf
             if est <= 1.0:

@@ -375,9 +375,12 @@ class UnsteadyStokes:
                 vn, pres, it, _ = self.step_bdf2(v, vprev, s_of_t(t1),
                                                  f_of_t(t1))
             else:
-                fbar = (self.theta * f_of_t(t1)
-                        + (1.0 - self.theta) * f_of_t(t0))
                 stepper = self._startup if self.scheme == "bdf2" else self
+                # weight the forcing with the STEPPER's theta: the BDF2
+                # startup integrator is CN (theta=0.5) regardless of the
+                # theta this model was constructed with
+                fbar = (stepper.theta * f_of_t(t1)
+                        + (1.0 - stepper.theta) * f_of_t(t0))
                 vn, pres, it, _ = stepper.step(v, s_of_t(t1), fbar)
             vprev, v = v, vn
             its.append(int(it))

@@ -164,7 +164,10 @@ def integrate_adaptive(model, u0, t0: float, t1: float, f, dirichlet,
             if config.monitor:
                 print(f"ts REJECT      t={t:.6g}  dt={dt_try:.4g}  "
                       f"est={est:.3g}")
-            if dt_try <= config.dt_min * (1 + 1e-12):
+            # test the CONTROLLER's dt, not the horizon-clipped dt_try: a
+            # rejected tiny final step (t1 - t < dt_min) should shrink and
+            # retry, not raise a misleading dt_min failure
+            if dt <= config.dt_min * (1 + 1e-12):
                 raise RuntimeError(
                     f"ts: step rejected at dt_min={config.dt_min} "
                     f"(t={t:.6g}, est={est:.3g})")
