@@ -21,6 +21,15 @@ real Schur form so the wanted Ritz values lead, then truncates WITHOUT
 splitting conjugate 2x2 blocks.  Convergence of a Ritz pair (theta, y) is
 measured by the exact Arnoldi residual |b^T y| with b the coupling row.
 
+Basis placement (round-3 verdict item 5): when the operator is jittable the
+(m+1, n) basis lives ON THE DEVICE and each Arnoldi step — matvec + CGS2
+orthogonalization + normalization + basis write — is ONE compiled dispatch
+(donated buffer), transferring only the (m+1)-vector of projection
+coefficients and the norm to the host; contraction is one more dispatch per
+restart.  Operators that are not jittable (e.g. ones that round-trip
+through host refinement) fall back transparently to the original host
+basis, which pays one dispatch + full-vector transfer per matvec.
+
 Spectral transforms (shift-invert etc.) compose outside: pass the solved
 operator and map the returned eigenvalues back (``shift_invert`` helper).
 """
@@ -124,9 +133,122 @@ def _block_edges(T: np.ndarray) -> np.ndarray:
                      if c == n or abs(T[c, c - 1]) < 1e-300])
 
 
+class _HostBasis:
+    """Arnoldi basis on the host (float64 numpy): one device dispatch +
+    full-vector transfer per matvec.  The fallback for non-jittable
+    operators."""
+
+    def __init__(self, A: Callable, unravel, n: int, m: int, dtype):
+        self.n, self.m = n, m
+        self.V = np.zeros((m + 1, n))
+        self._A, self._unravel, self._dtype = A, unravel, dtype
+
+    def init(self, r0: np.ndarray):
+        self.V[0] = r0
+
+    def expand_step(self, j: int) -> tuple[np.ndarray, float]:
+        w = self._A(self._unravel(jnp.asarray(self.V[j], self._dtype)))
+        w = np.array(ravel_pytree(w)[0], np.float64)
+        h = np.zeros(self.m + 1)
+        for _ in range(2):
+            c = self.V[:j + 1] @ w
+            h[:j + 1] += c
+            w -= c @ self.V[:j + 1]
+        beta = float(np.linalg.norm(w))
+        if beta > 1e-300:
+            self.V[j + 1] = w / beta
+        return h, beta
+
+    def breakdown_restart(self, j: int, seed: int) -> float:
+        w = np.random.default_rng(seed).standard_normal(self.n)
+        for _ in range(2):
+            w -= (self.V[:j + 1] @ w) @ self.V[:j + 1]
+        b = float(np.linalg.norm(w))
+        if b >= 1e-300:
+            self.V[j + 1] = w / b
+        return b
+
+    def contract(self, Q: np.ndarray, p: int, me: int):
+        Vp = Q[:, :p].T @ self.V[:me]
+        self.V[:p] = Vp
+        self.V[p] = self.V[me]
+
+    def extract(self, Q: np.ndarray, Yk: np.ndarray, me: int) -> np.ndarray:
+        return (self.V[:me].T @ (Q @ Yk)).T
+
+
+class _DeviceBasis:
+    """Arnoldi basis resident on the device: ONE jitted dispatch per step
+    (matvec + masked CGS2 + normalized write into the donated basis buffer),
+    with only the small coefficient vector crossing to the host.  Raises on
+    the first expand if the operator cannot be traced (caller falls back to
+    _HostBasis)."""
+
+    def __init__(self, A: Callable, unravel, n: int, m: int, dtype):
+        import jax
+        self.n, self.m = n, m
+        self._dtype = dtype
+        self.V = jnp.zeros((m + 1, n), dtype)
+        tiny = jnp.asarray(np.finfo(np.dtype(dtype)).tiny, dtype)
+
+        def aflat(vf):
+            return ravel_pytree(A(unravel(vf)))[0].astype(dtype)
+
+        def step(V, j):
+            w = aflat(V[j])
+            mask = jnp.arange(m + 1) <= j
+            h = jnp.zeros(m + 1, dtype)
+            for _ in range(2):   # CGS2: stale rows masked out
+                c = jnp.where(mask, V @ w, 0.0)
+                h = h + c
+                w = w - c @ V
+            beta = jnp.linalg.norm(w)
+            V = V.at[j + 1].set(w / jnp.maximum(beta, tiny))
+            return V, h, beta
+
+        def contract(V, Qp, p, me):
+            # Qp: (m, m) host-zeroed beyond column p; rows >= p of Vp come
+            # out zero, row p is replaced by the continuation vector V[me]
+            Vp = Qp.T @ V[:m]
+            Vp = jnp.where(jnp.arange(m)[:, None] == p, V[me][None, :], Vp)
+            return V.at[:m].set(Vp)
+
+        self._step = jax.jit(step, donate_argnums=0)
+        self._contract = jax.jit(contract, donate_argnums=0)
+
+    def init(self, r0: np.ndarray):
+        self.V = self.V.at[0].set(jnp.asarray(r0, self._dtype))
+
+    def expand_step(self, j: int) -> tuple[np.ndarray, float]:
+        self.V, h, beta = self._step(self.V, j)
+        return np.asarray(h, np.float64), float(beta)
+
+    def breakdown_restart(self, j: int, seed: int) -> float:
+        # rare path (exact invariant subspace): host arithmetic is fine
+        V = np.asarray(self.V, np.float64)
+        w = np.random.default_rng(seed).standard_normal(self.n)
+        for _ in range(2):
+            w -= (V[:j + 1] @ w) @ V[:j + 1]
+        b = float(np.linalg.norm(w))
+        if b >= 1e-300:
+            V[j + 1] = w / b
+            self.V = jnp.asarray(V, self._dtype)
+        return b
+
+    def contract(self, Q: np.ndarray, p: int, me: int):
+        Qp = np.zeros((self.m, self.m))
+        Qp[:me, :p] = Q[:, :p]
+        self.V = self._contract(self.V, jnp.asarray(Qp, self._dtype), p, me)
+
+    def extract(self, Q: np.ndarray, Yk: np.ndarray, me: int) -> np.ndarray:
+        Vh = np.asarray(self.V[:me], np.float64)    # one transfer, at the end
+        return (Vh.T @ (Q @ Yk)).T
+
+
 def eigs(A: Callable, v0, k: int = 4, *, which: str = "LR", m: int = 0,
          tol: float = 1e-8, max_restarts: int = 60,
-         transform: Optional[Callable] = None) -> EPSResult:
+         transform: Optional[Callable] = None,
+         device_basis: Optional[bool] = None) -> EPSResult:
     """k eigenpairs of the matrix-free operator ``A`` (pytree -> pytree).
 
     ``v0``: starting vector (pytree), also fixes shape/dtype of matvecs.
@@ -134,6 +256,11 @@ def eigs(A: Callable, v0, k: int = 4, *, which: str = "LR", m: int = 0,
     ``transform``: optional map applied to the returned eigenvalues (e.g.
     ``lambda mu: sigma + 1/mu`` after shift-invert); sorting/convergence
     run on the UNtransformed operator spectrum.
+    ``device_basis``: True forces the device-resident basis, False the host
+    basis; None (default) tries the device and falls back to the host if
+    the operator is not jittable.  NB: the device basis orthogonalizes in
+    the OPERATOR's dtype — on an f32 device the practical residual floor is
+    ~1e-6 relative (use the host basis, or x64, for tighter targets).
 
     Returns an EPSResult; ``converged`` is False if the residual target was
     not met within ``max_restarts`` (the best available pairs are still
@@ -148,79 +275,78 @@ def eigs(A: Callable, v0, k: int = 4, *, which: str = "LR", m: int = 0,
         raise ValueError(f"k={k} needs basis m >= k+2 (m={m}, n={n})")
     key = _sort_key(which)
 
-    def matvec(vf: np.ndarray) -> np.ndarray:
-        w = A(unravel(jnp.asarray(vf, dtype)))
-        return np.array(ravel_pytree(w)[0], np.float64)
-
-    V = np.zeros((m + 1, n))
-    H = np.zeros((m + 1, m))
     r0 = np.array(v0f, np.float64)
     nrm = np.linalg.norm(r0)
     if nrm == 0:
         raise ValueError("starting vector is zero")
-    V[0] = r0 / nrm
 
-    p = 0                       # current compressed subspace size
+    basis = (_HostBasis if device_basis is False else _DeviceBasis)(
+        A, unravel, n, m, dtype)
+    basis.init(r0 / nrm)
+
+    H = np.zeros((m + 1, m))
+    me = m                      # effective basis size (shrinks only on the
+    p = 0                       # exhausted-breakdown corner)
     matvecs = 0
     restarts = 0
     scale = 1.0                 # running spectral scale for relative tol
     while True:
-        # -- expand p -> m with ordinary Arnoldi columns (CGS2) ----------
-        for j in range(p, m):
-            w = matvec(V[j])
+        # -- expand p -> me with ordinary Arnoldi columns (CGS2) ---------
+        j = p
+        while j < me:
+            try:
+                h, beta = basis.expand_step(j)
+            except Exception:
+                if not (isinstance(basis, _DeviceBasis) and matvecs == 0
+                        and device_basis is None):
+                    raise
+                # operator not jittable: fall back to the host basis
+                basis = _HostBasis(A, unravel, n, m, dtype)
+                basis.init(r0 / nrm)
+                h, beta = basis.expand_step(j)
             matvecs += 1
-            for _ in range(2):
-                c = V[:j + 1] @ w
-                H[:j + 1, j] += c
-                w -= c @ V[:j + 1]
-            beta = np.linalg.norm(w)
+            H[:, j] += h
             H[j + 1, j] = beta
             if beta < 1e-13 * max(scale, 1.0):
                 # happy breakdown: exact invariant subspace found.  Restart
                 # the expansion from a fresh random direction so the basis
-                # can still grow to m (deflated against existing vectors).
-                w = np.random.default_rng(j).standard_normal(n)
-                for _ in range(2):
-                    w -= (V[:j + 1] @ w) @ V[:j + 1]
-                beta_f = np.linalg.norm(w)
+                # can still grow to me (deflated against existing vectors).
+                beta_f = basis.breakdown_restart(j, seed=j)
                 if beta_f < 1e-300:
-                    m = j + 1
+                    me = j + 1
                     break
                 H[j + 1, j] = 0.0
-                V[j + 1] = w / beta_f
-            else:
-                V[j + 1] = w / beta
+            j += 1
 
         # -- Schur-sort the square part, wanted values first -------------
-        Hs = H[:m, :m]
+        Hs = H[:me, :me]
         scale = max(np.max(np.abs(np.linalg.eigvals(Hs))), 1e-300)
         T, Q = _schur_sorted(Hs, key)
-        b = H[m, m - 1] * Q[m - 1, :]          # new coupling row
+        b = H[me, me - 1] * Q[me - 1, :]       # new coupling row
 
         # -- convergence of the k wanted Ritz pairs ----------------------
         wT, Y = np.linalg.eig(T)
         order = np.argsort(-key(wT), kind="stable")
         wT, Y = wT[order], Y[:, order]
-        res = np.abs(b @ Y[:, :k]) / max(scale, 1e-300)
+        kk = min(k, me)
+        res = np.abs(b @ Y[:, :kk]) / max(scale, 1e-300)
         done = bool(np.all(res < tol))
         if done or restarts >= max_restarts:
-            lam = wT[:k]
-            X = (V[:m].T @ (Q @ Y[:, :k])).T     # (k, n) complex rows
+            lam = wT[:kk]
+            X = basis.extract(Q, Y[:, :kk], me)  # (kk, n) complex rows
             X = X / np.linalg.norm(X, axis=1, keepdims=True)
             if transform is not None:
                 lam = np.asarray([transform(z) for z in lam])
             return EPSResult(lam, X, res * scale, matvecs, restarts, done)
 
-        # -- contract: keep p ~ k + m//2 columns, not splitting blocks ---
+        # -- contract: keep p ~ k + me//2 columns, not splitting blocks --
         edges = _block_edges(T)
-        p_want = min(k + (m - k) // 2, m - 1)
-        legal = edges[(edges >= min(k, edges[-1])) & (edges < m)]
+        p_want = min(kk + (me - kk) // 2, me - 1)
+        legal = edges[(edges >= min(kk, edges[-1])) & (edges < me)]
         if len(legal) == 0:
-            legal = edges[edges < m] if np.any(edges < m) else edges[:1]
+            legal = edges[edges < me] if np.any(edges < me) else edges[:1]
         p = int(legal[np.argmin(np.abs(legal - p_want))])
-        Vp = Q[:, :p].T @ V[:m]                 # (p, n)
-        V[:p] = Vp
-        V[p] = V[m]                             # continuation vector
+        basis.contract(Q, p, me)
         H[:, :] = 0.0
         H[:p, :p] = T[:p, :p]
         H[p, :p] = b[:p]

@@ -95,6 +95,33 @@ def test_eigs_pytree_operator():
     assert _match_err(res.eigenvalues, w[np.argsort(-w.real)][:3]) < 1e-8
 
 
+def test_eigs_device_basis_and_host_fallback():
+    """The device-resident basis (one compiled dispatch per Arnoldi step)
+    and the host basis agree; a NON-jittable operator (host numpy round
+    trip) falls back to the host basis transparently."""
+    rng = np.random.default_rng(4)
+    n = 80
+    A = rng.standard_normal((n, n)) * 0.2 + np.diag(np.linspace(-3, 3, n))
+    w = np.linalg.eigvals(A)
+    want = w[np.argsort(-w.real)][:4]
+    Aj = jnp.asarray(A)
+    v0 = jnp.asarray(rng.standard_normal(n))
+
+    r_dev = eigs(lambda v: Aj @ v, v0, k=3, m=24, tol=1e-10,
+                 device_basis=True)
+    r_host = eigs(lambda v: Aj @ v, v0, k=3, m=24, tol=1e-10,
+                  device_basis=False)
+
+    def host_only_op(v):
+        # np.asarray on a tracer raises -> eigs must fall back, not die
+        return jnp.asarray(A @ np.asarray(v))
+
+    r_fall = eigs(host_only_op, v0, k=3, m=24, tol=1e-10)
+    for r in (r_dev, r_host, r_fall):
+        assert r.converged
+        assert _match_err(r.eigenvalues, want) < 1e-8
+
+
 # ---------------------------------------------------------------------------
 # Convection linear stability (the composed flagship)
 # ---------------------------------------------------------------------------
