@@ -713,31 +713,56 @@ def convection_main(opts: Options) -> int:
           f"/{cfg.side_bc}  aspect = {aspect}")
     print(m.stokes.census())
     if opts.has("stability"):
-        # linear stability analysis of the conduction state (solvers/eig):
-        # -stability 1 = critical Rayleigh number (direct generalized
-        # eigenproblem); -stability 2 = also the growth rates nearest 0 at
-        # the configured Ra (shift-invert)
+        # linear stability analysis (solvers/eig): -stability 1 = critical
+        # Rayleigh number (direct generalized eigenproblem); -stability 2 =
+        # also the growth rates nearest 0 at the configured Ra
+        # (shift-invert; with heating + conducting sidewalls the base has
+        # no conduction branch, so Ra_c is skipped and the linearization is
+        # about the auto-computed 2-D steady base); -stability 3 = growth
+        # rates about the steady CONVECTING state (steady_newton base)
         level = opts.get_int("stability", 1)
-        ra_c, resc = m.critical_rayleigh(
-            k=2, m=opts.get_int("eps_ncv", 20),
-            tol=opts.get_real("eps_tol", 1e-9))
-        print(f"Critical Rayleigh number Ra_c = {ra_c:.6f}  "
-              f"(converged: {resc.converged}, {resc.matvecs} operator "
-              f"applications)   Ra/Ra_c = {cfg.Ra / ra_c:.4f}")
-        ok = resc.converged and np.isfinite(ra_c)
-        if level >= 2:
+        ok = True
+        has_conduction_branch = m._conduction_base_is_equilibrium
+        if has_conduction_branch:
+            ra_c, resc = m.critical_rayleigh(
+                k=2, m=opts.get_int("eps_ncv", 20),
+                tol=opts.get_real("eps_tol", 1e-9))
+            print(f"Critical Rayleigh number Ra_c = {ra_c:.6f}  "
+                  f"(converged: {resc.converged}, {resc.matvecs} operator "
+                  f"applications)   Ra/Ra_c = {cfg.Ra / ra_c:.4f}")
+            ok = resc.converged and np.isfinite(ra_c)
+        else:
+            print("No conduction branch (internal heating + conducting "
+                  "sidewalls drive a base flow at every Ra): growth rates "
+                  "are computed about the steady base state")
+        if level >= 2 or not has_conduction_branch:
+            base = None
+            if level >= 3:
+                from spectral_tpu.solvers.newton import NewtonConfig
+                Tb, xb, binfo = m.steady_newton(
+                    m.conductive_state(amp=opts.get_real("amp", 0.05)),
+                    warmup=opts.get_int("warmup", 150),
+                    newton=NewtonConfig(rtol=1e-9, max_it=20, ksp_ew=True))
+                print(f"Steady base: Nu = {binfo['nu_top']:.6f}  "
+                      f"converged: {binfo['converged']}")
+                ok = ok and binfo["converged"]
+                base = (Tb, xb)
             res = m.stability_eigenvalues(
                 k=opts.get_int("eps_nev", 3),
                 m=opts.get_int("eps_ncv", 20),
-                tol=opts.get_real("eps_tol", 1e-7))
+                tol=opts.get_real("eps_tol", 1e-7), base=base)
             lams = ", ".join(f"{z.real:+.6f}{z.imag:+.2e}j"
                              for z in res.eigenvalues)
-            print(f"Growth rates nearest 0 at Ra = {cfg.Ra}: [{lams}]  "
+            about = ("steady convecting state" if level >= 3
+                     else ("steady base state" if not has_conduction_branch
+                           else "conduction state"))
+            print(f"Growth rates nearest 0 at Ra = {cfg.Ra} "
+                  f"(about the {about}): [{lams}]  "
                   f"(converged: {res.converged})")
-            verdict = ("UNSTABLE (convecting)"
+            verdict = ("UNSTABLE"
                        if max(z.real for z in res.eigenvalues) > 0
-                       else "stable (conducting)")
-            print(f"Conduction state is {verdict}")
+                       else "stable")
+            print(f"The {about} is {verdict}")
             ok = ok and res.converged
         _print_unused(opts)
         return 0 if ok else 2

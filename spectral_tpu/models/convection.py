@@ -717,7 +717,7 @@ class ConvectionModel:
         from spectral_tpu.solvers.newton import NewtonConfig, newton_solve
 
         g = self.grid
-        _, lap, _, _ = self._stability_pieces
+        lap = self._stability_lap
         Ra = self.config.Ra
         q = self.config.heating
         bcvec = jnp.where(g.boundary_mask, self.bc_T, 0.0)
@@ -815,46 +815,72 @@ class ConvectionModel:
     # the constraint manifold without any explicit embedding.
 
     @cached_property
+    def _stability_lap(self):
+        """(-Laplace) on the constrained space: the heat machinery at
+        dt -> inf, theta = 1 (implicit_operator = u/dt - Lap u with the
+        exact Dirichlet/zero-flux rows and the Neumann-eliminated fastdiag
+        PC); the 1e-12 mass shift is negligible regularization.  Base-state
+        independent."""
+        return HeatModel(self.grid, dt=1e12, theta=1.0,
+                         ksp=KSPConfig(type="cg", rtol=1e-12, max_it=500),
+                         neumann_axes=self.heat.neumann_axes)
+
+    @property
+    def _conduction_base_is_equilibrium(self) -> bool:
+        """The closed-form 1-D profile 1 - y + (H/2) y (1-y) is an exact
+        flowless equilibrium unless internal heating meets CONDUCTING
+        sidewalls (those clamp T = 1 - y, which the heated profile
+        violates: the true base is 2-D with flow)."""
+        return not (self.config.heating
+                    and self.config.side_bc == "conducting")
+
+    @cached_property
     def _stability_pieces(self):
         """(grad T0 components, (-Lap)-solver HeatModel, frozen Stokes PC
-        state) at the conduction base state (heating-aware profile)."""
+        state) at the conduction base state (heating-aware profile).  Only
+        consulted when the 1-D profile IS an equilibrium
+        (``_conduction_base_is_equilibrium``); the heated conducting-
+        sidewall regime routes through ``_auto_base`` instead."""
         g = self.grid
         H = self.config.heating
-        if H and self.config.side_bc == "conducting":
-            # conducting sidewalls clamp T = 1 - y there, which the heated
-            # 1-D profile violates: the true base state is 2-D (see
-            # test_internal_heating) — linearizing about the 1-D profile
-            # would silently give wrong growth rates.  Compute the real
-            # base first and pass it via stability_eigenvalues(base=...).
-            raise NotImplementedError(
-                "stability about the heated CONDUCTING-sidewall conduction "
-                "profile: that base state is 2-D — solve it (march/"
-                "steady_newton) and pass base=(T, x); the closed-form 1-D "
-                "profile is only an equilibrium with insulated sides")
         y = g.coords_np[..., self.vax]
         T0 = jnp.asarray(1.0 - y + 0.5 * H * y * (1.0 - y))
         dT0 = tuple(g.apply_dif_weight(chebdiff(T0, ax), ax)
                     for ax in range(self.d))
-        # (-Laplace) on the constrained space: the heat machinery at
-        # dt -> inf, theta = 1 (implicit_operator = u/dt - Lap u with the
-        # exact Dirichlet/zero-flux rows and the Neumann-eliminated
-        # fastdiag PC); the 1e-12 mass shift is negligible regularization
-        lap = HeatModel(g, dt=1e12, theta=1.0,
-                        ksp=KSPConfig(type="cg", rtol=1e-12, max_it=500),
-                        neumann_axes=self.heat.neumann_axes)
+        lap = self._stability_lap
         lin = self._lin_of(T0)
         state = self._pc_setup(None, lin)
         return dT0, lap, (lin, state), T0
 
+    @cached_property
+    def _auto_base(self):
+        """The computed steady base state (T, x) for regimes with no
+        closed-form conduction equilibrium (heated conducting sidewalls:
+        the sidewall clamp drives a 2-D base flow at EVERY Ra).  Solved
+        once by the direct Newton-Krylov steady solver at config.Ra;
+        raises if that solve does not converge (pass an explicit
+        ``base=(T, x)`` from your own marching in that case)."""
+        T, x, info = self.steady_newton(self.conductive_state(amp=0.0))
+        if not info["converged"]:
+            raise RuntimeError(
+                "auto base-state solve (steady_newton) did not converge: "
+                f"|R| = {info['rate']:.3e}; compute the base yourself "
+                "(march_to_steady / march_adaptive) and pass base=(T, x)")
+        return T, x
+
     def _stability_ctx(self, base=None):
         """Linearization context about a base state: ``None`` = the
-        conduction profile (v0 = 0 exactly), or ``(T_base, x_base)`` from a
-        steady solve (stability of CONVECTING states — no reference or
-        SLEPc-user analog stops here; this is where eigenanalysis of the
-        composed nonlinear solver pays off)."""
-        dT0c, lap, (linc, statec), T0c = self._stability_pieces
+        conduction profile (v0 = 0 exactly) where that is an equilibrium,
+        else the auto-computed steady base at config.Ra; or ``(T_base,
+        x_base)`` from a steady solve (stability of CONVECTING states — no
+        reference or SLEPc-user analog stops here; this is where
+        eigenanalysis of the composed nonlinear solver pays off)."""
+        if base is None and not self._conduction_base_is_equilibrium:
+            base = self._auto_base
         if base is None:
+            dT0c, lap, (linc, statec), T0c = self._stability_pieces
             return dT0c, lap, linc, statec, T0c, None, None
+        lap = self._stability_lap
         T0, x0 = base
         g = self.grid
         T0 = jnp.asarray(T0)
@@ -912,7 +938,14 @@ class ConvectionModel:
         tests/test_eig.py).  Returns (Ra_c, EPSResult)."""
         from spectral_tpu.solvers.eig import eigs
 
-        _, lap, _, _ = self._stability_pieces
+        if not self._conduction_base_is_equilibrium:
+            raise ValueError(
+                "critical_rayleigh assumes a flowless conduction branch; "
+                "with internal heating and conducting sidewalls the base "
+                "state flows at EVERY Ra (imperfect bifurcation — no sharp "
+                "onset exists).  Use stability_eigenvalues(), which "
+                "linearizes about the computed steady base automatically.")
+        lap = self._stability_lap
 
         @jax.jit
         def op(Tp):

@@ -60,10 +60,6 @@ class HeatModel:
         # trace would cache tracer constants (see grid.py note)
         _ = self.cmap
         if self.neumann_axes:
-            if self.cmap is not None:
-                raise NotImplementedError(
-                    "insulated axes on curved domains: the metric MG "
-                    "surrogate has no Neumann rows yet")
             if len(self.neumann_axes) >= self.grid.ndim:
                 raise ValueError("at least one axis must stay Dirichlet "
                                  "(all-Neumann diffusion is singular)")
@@ -81,6 +77,10 @@ class HeatModel:
             # traced-dt solvers too (a cached_property first touched inside
             # a jit trace would cache tracer constants)
             _ = self._fd0_theta, self._fd0_unit
+        else:
+            _ = self._mgc_theta, self._mgc_unit
+            if self.neumann_axes:
+                _ = self._A_face_diag
 
     @cached_property
     def cmap(self):
@@ -131,14 +131,24 @@ class HeatModel:
 
     def _bc_rows(self, y: jax.Array, u: jax.Array) -> jax.Array:
         """Overwrite the boundary rows of an interior result: identity
-        Dirichlet rows; dT/dn (outward spectral derivative) on insulated
-        faces — shared by the fixed-dt and traced-dt operators."""
+        Dirichlet rows; zero-flux rows on insulated faces — the outward
+        spectral derivative on flat grids, the outward CONORMAL flux
+        sum_j A_{ax j} d_j u on curved domains (the natural boundary
+        pairing of the conservative metric Laplacian: the mapped face's
+        physical normal flux) — shared by the fixed-dt and traced-dt
+        operators."""
         g = self.grid
         y = jnp.where(g.boundary_mask, u, y)
         if self.neumann_axes:
             masks, _ = self._nm_masks
+            if self.cmap is not None:
+                A = jnp.asarray(self.cmap.Acoef, u.dtype)
+                grads = [chebdiff(u, j) for j in range(g.ndim)]
             for ax in self.neumann_axes:
-                du = g.apply_dif_weight(chebdiff(u, ax), ax)
+                if self.cmap is None:
+                    du = g.apply_dif_weight(chebdiff(u, ax), ax)
+                else:
+                    du = sum(A[..., ax, j] * grads[j] for j in range(g.ndim))
                 # index 0 = reference +1 (outward +ax), last = -ax
                 y = jnp.where(masks[(ax, "lo")], du, y)
                 y = jnp.where(masks[(ax, "hi")], -du, y)
@@ -167,26 +177,88 @@ class HeatModel:
                 axis_scale=np.full(self.grid.ndim, 2.0 * self.theta),
                 neumann_axes=tuple(self.neumann_axes))
             return fd.apply
-        # curved domain: one MG V-cycle on the shifted anisotropic metric
-        # stencil 1/dt + theta * (-(1/detJ) d_l(A_ll d_l .))
+        # curved domain: MG V-cycle on the shifted anisotropic metric
+        # stencil 1/dt + theta * (-(1/detJ) d_l(A_ll d_l .)) — the shift is
+        # applied at RUNTIME (Multigrid.shift_state) to the shared
+        # shift-free theta-scaled hierarchy, so the fixed-dt and traced-dt
+        # paths solve literally the same surrogate
+        mg, state0, folds = self._mgc_theta
+        state = mg.shift_state(state0, 1.0 / self.dt)
+        return lambda r: self._metric_pc_apply(mg, state, folds, r)
+
+    # ------------------------------------------------------------------
+    # Curved-domain metric MG surrogate (shift-free hierarchies; zero-flux
+    # faces eliminated exactly as in ops/fastdiag.py)
+    # ------------------------------------------------------------------
+    def _curved_mg(self, c: float):
+        """(mg, shift-free state, folds) for c * (-(1/detJ) d_l(A_ll d_l .))
+        with insulated-face couplings eliminated into the adjacent centers
+        (ops/stencil.py) at every level.  ``folds[ax]`` holds the 1-D end
+        spacings and the c-scaled fold-coefficient fields the finest-level
+        wrapper needs (``_metric_pc_apply``)."""
         import dataclasses as _dc
 
-        from spectral_tpu.ops.curvilinear import metric_surrogate_builder
+        from spectral_tpu.ops.curvilinear import (metric_surrogate_builder,
+                                                  metric_surrogate_folds)
         from spectral_tpu.ops.multigrid import Multigrid
-        base = metric_surrogate_builder(self.grid.ndim)
-        shift, theta = 1.0 / self.dt, self.theta
+        nm = tuple(self.neumann_axes)
+        base = metric_surrogate_builder(self.grid.ndim, nm)
 
         def builder(grid, coeffs):
             S = base(grid, coeffs)
             interior = grid.interior_mask
-            center = jnp.where(interior, theta * S.center + shift, S.center)
-            return _dc.replace(S, center=center,
-                               lower=tuple(theta * lo for lo in S.lower),
-                               upper=tuple(theta * up for up in S.upper))
+            return _dc.replace(
+                S, center=jnp.where(interior, c * S.center, S.center),
+                lower=tuple(c * lo for lo in S.lower),
+                upper=tuple(c * up for up in S.upper))
 
         mg = Multigrid.build(self.grid, builder=builder)
-        state = mg.setup(self.cmap.pc_coeffs())
-        return lambda r: mg.vcycle(state, r)
+        coeffs = self.cmap.pc_coeffs()
+        state0 = mg.setup(coeffs)
+        folds = {ax: (h_lo, c * f_lo, h_hi, c * f_hi)
+                 for ax, (h_lo, f_lo, h_hi, f_hi)
+                 in metric_surrogate_folds(self.grid, coeffs, nm).items()}
+        return mg, state0, folds
+
+    @cached_property
+    def _mgc_theta(self):
+        return self._curved_mg(self.theta)
+
+    @cached_property
+    def _mgc_unit(self):
+        return self._curved_mg(1.0)
+
+    @cached_property
+    def _A_face_diag(self):
+        """A_{ax,ax} metric fields (jnp) for the insulated axes: the
+        conormal face rows read a_f * (u_face - u_adj)/h + cross terms, so
+        elimination/reconstruction scale the face residual by h/a_f."""
+        return {ax: jnp.asarray(self.cmap.Acoef[..., ax, ax])
+                for ax in self.neumann_axes}
+
+    def _metric_pc_apply(self, mg, state, folds, r: jax.Array) -> jax.Array:
+        """V-cycle apply with zero-flux face elimination: fold the scaled
+        face residuals into the adjacent interior rows, solve, reconstruct
+        the face values (u_face = u_adj + (h/a_f) r_face) — mask + static
+        rolls only, mirroring FastDiagSolver.apply."""
+        if not folds:
+            return mg.vcycle(state, r)
+        masks, _ = self._nm_masks
+        reff = r
+        srs = {}
+        for ax, (h_lo, f_lo, h_hi, f_hi) in folds.items():
+            a = self._A_face_diag[ax].astype(r.dtype)
+            s_lo = jnp.where(masks[(ax, "lo")], (h_lo / a) * r, 0.0)
+            s_hi = jnp.where(masks[(ax, "hi")], (h_hi / a) * r, 0.0)
+            srs[ax] = (s_lo, s_hi)
+            reff = reff - f_lo * jnp.roll(s_lo, 1, ax) \
+                        - f_hi * jnp.roll(s_hi, -1, ax)
+        z = mg.vcycle(state, reff)
+        for ax in folds:
+            s_lo, s_hi = srs[ax]
+            z = jnp.where(masks[(ax, "lo")], jnp.roll(z, -1, ax) + s_lo, z)
+            z = jnp.where(masks[(ax, "hi")], jnp.roll(z, 1, ax) + s_hi, z)
+        return z
 
     def _step_rhs(self, u: jax.Array, f: jax.Array, dirichlet: jax.Array):
         """(initial guess, rhs) of the theta-scheme step A u_next = rhs.
@@ -249,14 +321,34 @@ class HeatModel:
     # Traced-dt steps (the substrate of solvers/ts.py adaptive stepping):
     # dt is a TRACED scalar, so ONE compiled step serves every step size —
     # the preconditioner is the shift-free fast diagonalization applied
-    # with a runtime shift (ops/fastdiag.py solve_interior(shift=...)).
+    # with a runtime shift (ops/fastdiag.py solve_interior(shift=...)) on
+    # flat grids, or the shift-free metric MG hierarchy runtime-shifted by
+    # Multigrid.shift_state on curved domains.
     # ------------------------------------------------------------------
-    def _check_traced_dt(self):
-        if self.cmap is not None:
-            raise NotImplementedError(
-                "traced-dt stepping on curved domains: the metric-MG "
-                "surrogate bakes the shift into its stencil; use the "
-                "fixed-dt step/rollout (or rebuild per dt)")
+    def _traced_pc(self, c, shift):
+        """r -> z preconditioner of (shift - c * Laplace) with TRACED
+        ``shift``: runtime-shifted fastdiag (flat) or metric MG (curved).
+        ``c``: the Laplacian scale (theta for the theta step, 1.0 for
+        BE/BDF2)."""
+        if self.cmap is None:
+            if c == self.theta:
+                fd = self._fd0_theta
+            elif c == 1.0:
+                fd = self._fd0_unit
+            else:  # exotic theta override: exact surrogate for this c
+                fd = FastDiagSolver.build(
+                    self.grid, shift=0.0,
+                    axis_scale=np.full(self.grid.ndim, 2.0 * c),
+                    neumann_axes=tuple(self.neumann_axes))
+            return lambda r: fd.apply(r, shift=shift)
+        if c == self.theta:
+            mg, state0, folds = self._mgc_theta
+        elif c == 1.0:
+            mg, state0, folds = self._mgc_unit
+        else:
+            mg, state0, folds = self._curved_mg(c)
+        state = mg.shift_state(state0, shift)   # traced: part of the step
+        return lambda r: self._metric_pc_apply(mg, state, folds, r)
 
     @cached_property
     def _fd0_theta(self):
@@ -294,24 +386,15 @@ class HeatModel:
 
     def step_theta_dt(self, u, f, dirichlet, dt, theta: float | None = None):
         """One theta step with TRACED dt (``theta=1.0`` overrides to
-        backward Euler — the BDF2 startup step).  Jittable across dts."""
-        self._check_traced_dt()
+        backward Euler — the BDF2 startup step).  Jittable across dts,
+        flat or curved."""
         th = self.theta if theta is None else float(theta)
         uL = self._masked_state(u, dirichlet)
         rhs = self._bc_rhs(uL / dt + (1.0 - th) * self.laplacian(uL)
                            + self.grid.zero_boundary(f), dirichlet)
-        if th == self.theta:
-            fd = self._fd0_theta
-        elif th == 1.0:
-            fd = self._fd0_unit
-        else:  # exotic override: build the exact surrogate for this theta
-            fd = FastDiagSolver.build(
-                self.grid, shift=0.0,
-                axis_scale=np.full(self.grid.ndim, 2.0 * th),
-                neumann_axes=tuple(self.neumann_axes))
         res = self.ksp.solve(
             lambda w: self._implicit_op_c(w, 1.0 / dt, th), rhs,
-            x0=uL, M=lambda r: fd.apply(r, shift=1.0 / dt))
+            x0=uL, M=self._traced_pc(th, 1.0 / dt))
         return res.x
 
     def step_bdf2_dt(self, u, u_prev, f, dirichlet, dt, rr):
@@ -323,7 +406,6 @@ class HeatModel:
         (A-stable for r <= 1+sqrt(2); the solvers/ts.py controller clips
         growth well inside that).  History fields enter algebraically only
         — no explicit Laplacian — so their boundary rows pass through."""
-        self._check_traced_dt()
         a = (1.0 + 2.0 * rr) / (1.0 + rr)
         uL = self._masked_state(u, dirichlet)
         rhs = self._bc_rhs(
@@ -331,5 +413,5 @@ class HeatModel:
             + self.grid.zero_boundary(f), dirichlet)
         res = self.ksp.solve(
             lambda w: self._implicit_op_c(w, a / dt, 1.0), rhs,
-            x0=uL, M=lambda r: self._fd0_unit.apply(r, shift=a / dt))
+            x0=uL, M=self._traced_pc(1.0, a / dt))
         return res.x

@@ -163,12 +163,17 @@ class CurvilinearMap:
         return out
 
 
-def metric_surrogate_builder(d: int):
+def metric_surrogate_builder(d: int, neumann_axes: tuple = ()):
     """Multigrid stencil builder for the anisotropic separable metric
     surrogate -(1/detJ) d_l(eta * detJ*A_ll d_l .) (cross terms dropped,
     standard PC practice).  ``coeffs`` comes from ``CurvilinearMap.pc_coeffs``
     (optionally with an "eta" field) — the single shared plumbing for the
-    curvilinear Poisson/elliptic/heat/Stokes preconditioners."""
+    curvilinear Poisson/elliptic/heat/Stokes preconditioners.
+
+    ``neumann_axes``: axes whose end faces carry zero-flux rows — their
+    face couplings are eliminated into the adjacent centers at EVERY
+    hierarchy level (ops/stencil.py); the finest-level fold/reconstruction
+    data comes from ``metric_surrogate_folds`` below."""
     from spectral_tpu.ops.stencil import anisotropic_fd_stencil
 
     def builder(grid, coeffs):
@@ -177,9 +182,28 @@ def metric_surrogate_builder(d: int):
             eta = jnp.ones(grid.dims, coeffs["metric_detJ"].dtype)
         caxes = [eta * coeffs[f"metric_a{ax}"] for ax in range(d)]
         return anisotropic_fd_stencil(
-            grid, caxes, row_scale=1.0 / coeffs["metric_detJ"])
+            grid, caxes, row_scale=1.0 / coeffs["metric_detJ"],
+            neumann_axes=neumann_axes)
 
     return builder
+
+
+def metric_surrogate_folds(grid, coeffs: dict, neumann_axes: tuple):
+    """Finest-level zero-flux fold data for the metric surrogate:
+    {ax: (h_lo, f_lo, h_hi, f_hi)} with f_* the scaled face-coupling
+    fields on the face-adjacent interior slices (see
+    ops/stencil.py::anisotropic_fd_stencil(with_folds=True))."""
+    from spectral_tpu.ops.stencil import anisotropic_fd_stencil
+
+    d = grid.ndim
+    eta = coeffs.get("eta")
+    if eta is None:
+        eta = jnp.ones(grid.dims, coeffs["metric_detJ"].dtype)
+    caxes = [eta * coeffs[f"metric_a{ax}"] for ax in range(d)]
+    _, folds = anisotropic_fd_stencil(
+        grid, caxes, row_scale=1.0 / coeffs["metric_detJ"],
+        neumann_axes=neumann_axes, with_folds=True)
+    return folds
 
 
 def named_map(spec: str):

@@ -175,6 +175,39 @@ class Multigrid:
         coarse_lu = jax.scipy.linalg.lu_factor(A)
         return {"levels": levels, "coarse_lu": coarse_lu}
 
+    def shift_state(self, state, shift):
+        """State solving (S + shift) on the interior of every level, from a
+        shift-free ``setup`` state: centers get ``shift`` added on interior
+        rows, diagonals / Chebyshev eigenvalue bounds / the coarse dense LU
+        are recomputed.  ``shift`` may be a TRACED scalar — the MG analog
+        of ``FastDiagSolver.solve_interior(shift=...)``, so ONE compiled
+        adaptive-integrator step serves every dt on curved domains
+        (models/heat.py traced-dt steps).  Jittable; cost is one
+        power-iteration eigen estimate per level plus the coarse refactor
+        (cheap next to the Krylov solve the state feeds)."""
+        if self.smoother == "line":
+            raise NotImplementedError(
+                "shift_state with the line smoother: the tridiagonal "
+                "factorizations bake the diagonal in; use smoother="
+                "'chebyshev' or 'jacobi' for runtime-shifted hierarchies")
+        levels = []
+        nlev = len(self.grids)
+        for lvl, (S, _diag, lam_max, lsolv) in enumerate(state["levels"]):
+            interior = self.grids[lvl].interior_mask
+            Ss = dataclasses.replace(
+                S, center=jnp.where(interior,
+                                    S.center + jnp.asarray(shift,
+                                                           S.center.dtype),
+                                    S.center))
+            diag_s = Ss.diag()
+            lam_s = None
+            if self.smoother == "chebyshev" and lvl < nlev - 1:
+                lam_s = self._power_lambda_max(lvl, Ss, diag_s)
+            levels.append((Ss, diag_s, lam_s, None))
+        A = stencil_to_dense(levels[-1][0], self.grids[-1].dims)
+        coarse_lu = jax.scipy.linalg.lu_factor(A)
+        return {"levels": levels, "coarse_lu": coarse_lu}
+
     def _power_lambda_max(self, lvl: int, S: StencilOp, diag: jax.Array,
                           iters: int = 12) -> jax.Array:
         """Largest eigenvalue of D^{-1} S by power iteration (jittable,

@@ -207,18 +207,31 @@ def elliptic_jacobian_stencil(grid: Grid, eta: jax.Array, deta: jax.Array,
 
 
 def anisotropic_fd_stencil(grid: Grid, caxes: Sequence[jax.Array],
-                           row_scale: jax.Array | None = None) -> StencilOp:
+                           row_scale: jax.Array | None = None,
+                           neumann_axes: Sequence[int] = (),
+                           with_folds: bool = False):
     """Variable-coefficient FD stencil of -sum_i d_i(c_i(x) d_i .) with a
     DIFFERENT coefficient field per axis (midpoint arithmetic means), plus
     an optional interior row scaling (e.g. 1/detJ for the curvilinear
     surrogate, ops/curvilinear.py).  Dirichlet rows identity, couplings
     into the boundary dropped — the anisotropic generalization of
-    elliptic_jacobian_stencil's flux form."""
+    elliptic_jacobian_stencil's flux form.
+
+    ``neumann_axes``: axes whose end faces carry a zero-flux row
+    (u_end - u_adj)/h = r instead of Dirichlet identity; the end values are
+    eliminated exactly as in ops/fastdiag.py: the first-interior center
+    absorbs the (dropped) coupling into the face.  With ``with_folds``
+    returns (StencilOp, folds) where folds[ax] = (h_lo, f_lo, h_hi, f_hi):
+    the 1-D end spacings and full-grid fold-coefficient fields (the scaled
+    face coupling, nonzero only on the face-adjacent interior slice) that
+    a caller needs to fold face residuals into the RHS and reconstruct the
+    face values after an interior solve (see models/heat.py)."""
     d = grid.ndim
     dtype = caxes[0].dtype
     interior = grid.interior_mask
     center = jnp.zeros(grid.dims, dtype)
     lowers, uppers = [], []
+    folds: dict = {}
     for ax in range(d):
         z = grid.nodes_1d[ax]
         n = len(z)
@@ -237,6 +250,28 @@ def anisotropic_fd_stencil(grid: Grid, caxes: Sequence[jax.Array],
         lo = -idx * idxM * cM
         up = -idx * idxP * cP
         center = center + idx * (idxP * cP + idxM * cM)
+        if ax in neumann_axes:
+            # zero-flux elimination: face value = adjacent value + h * r,
+            # so the first-interior row absorbs its face coupling into the
+            # center (the coupling itself still drops below)
+            adj_lo = np.zeros(grid.dims, bool)
+            adj_hi = np.zeros(grid.dims, bool)
+            sl = [slice(None)] * d
+            sl[ax] = 1
+            adj_lo[tuple(sl)] = True
+            sl[ax] = -2
+            adj_hi[tuple(sl)] = True
+            adj_lo = jnp.asarray(adj_lo) & interior
+            adj_hi = jnp.asarray(adj_hi) & interior
+            center = center + jnp.where(adj_lo, lo, 0.0) \
+                            + jnp.where(adj_hi, up, 0.0)
+            if with_folds:
+                f_lo = jnp.where(adj_lo, lo, 0.0)
+                f_hi = jnp.where(adj_hi, up, 0.0)
+                if row_scale is not None:
+                    f_lo, f_hi = f_lo * row_scale, f_hi * row_scale
+                folds[ax] = (abs(float(z[1] - z[0])), f_lo,
+                             abs(float(z[-1] - z[-2])), f_hi)
         lo = jnp.where(interior & shift(interior, ax, -1), lo, 0.0)
         up = jnp.where(interior & shift(interior, ax, +1), up, 0.0)
         lowers.append(lo)
@@ -246,4 +281,5 @@ def anisotropic_fd_stencil(grid: Grid, caxes: Sequence[jax.Array],
         lowers = [lo * row_scale for lo in lowers]
         uppers = [up * row_scale for up in uppers]
     center = jnp.where(interior, center, 1.0)
-    return StencilOp(center, tuple(lowers), tuple(uppers))
+    S = StencilOp(center, tuple(lowers), tuple(uppers))
+    return (S, folds) if with_folds else S

@@ -199,6 +199,50 @@ def test_stability_of_convecting_steady_state():
     assert lam == pytest.approx(-2 * mu, rel=0.25)
 
 
+def test_stability_about_heated_conducting_base():
+    """Heated CONDUCTING-sidewall regime (the round-3 guard at
+    models/convection.py:825, now closed): no flowless conduction branch
+    exists (the sidewall clamp drives a 2-D base flow at every Ra), so
+    stability_eigenvalues auto-computes the steady base (steady_newton)
+    and linearizes about it — including the base advection v0.grad T'.
+    Oracle: seed the leading eigenvector on top of the base and MARCH; the
+    measured decay rate of the perturbation must match the eigenvalue."""
+    from spectral_tpu.models.convection import (ConvectionConfig,
+                                                ConvectionModel)
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    cfg = ConvectionConfig(
+        Ra=1e3, dt=2e-3, velocity_bc="noslip", side_bc="conducting",
+        heating=3.0,
+        stokes_ksp=KSPConfig(type="fgmres", rtol=1e-10, max_it=200,
+                             restart=80))
+    m = ConvectionModel.unit_box((10, 10), cfg)
+
+    # critical_rayleigh is mathematically undefined here (imperfect
+    # bifurcation): the API must say so instead of silently linearizing
+    # about the wrong profile
+    with pytest.raises(ValueError):
+        m.critical_rayleigh()
+
+    res = m.stability_eigenvalues(k=2, m=12, tol=1e-6)
+    lam = max(z.real for z in res.eigenvalues)
+    assert lam < 0                       # stable well below onset
+    i_lead = int(np.argmax([z.real for z in res.eigenvalues]))
+    assert abs(res.eigenvalues[i_lead].imag) < 1e-6 * abs(lam) + 1e-8
+
+    Tb, xb = m._auto_base
+    mode = np.real(res.eigenvectors[i_lead]).reshape(m.grid.dims)
+    mode /= np.abs(mode).max()
+    T0 = Tb + 1e-4 * jnp.asarray(mode)
+    k1, k2 = 30, 60
+    T1 = m.rollout(T0, k1)[0]
+    T2 = m.rollout(T0, k2)[0]
+    a1 = float(jnp.linalg.norm((T1 - Tb).ravel()))
+    a2 = float(jnp.linalg.norm((T2 - Tb).ravel()))
+    lam_fit = np.log(a2 / a1) / ((k2 - k1) * cfg.dt)
+    assert lam_fit == pytest.approx(lam, rel=0.15), (lam, lam_fit)
+
+
 def test_critical_rayleigh_aspect_ratio_box():
     """Aspect-ratio generalization: a width-2 free-slip insulated box
     admits the k = pi/2 roll, lowering the critical Rayleigh number to

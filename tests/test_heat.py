@@ -111,3 +111,107 @@ def test_curvilinear_heat_identity_map_matches_unmapped():
     uf = flat.rollout(u0, z, z, 5)
     uc = curved.rollout(u0, z, z, 5)
     np.testing.assert_allclose(np.asarray(uc), np.asarray(uf), atol=1e-9)
+
+
+def test_curvilinear_heat_insulated_annulus_radial():
+    """Insulated (zero-flux) axes on a CURVED domain (the round-3 guard at
+    models/heat.py:64, now closed): on the quarter annulus with insulated
+    ANGULAR faces (axis 1; the map is orthogonal there, so the conormal row
+    is the physical normal flux) and Dirichlet radial faces carrying
+    u = ln r, the steady state of the rollout is the harmonic radial
+    solution u = ln(r) — which satisfies du/dtheta = 0 exactly — with a
+    spectrally decaying error floor."""
+    from spectral_tpu.models.heat import HeatModel
+    from spectral_tpu.ops.curvilinear import named_map
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    errs = {}
+    for n in (10, 16):
+        g = Grid((n, n))
+        m = HeatModel(g, dt=1.0, theta=1.0, phi=named_map("annulus:1:2"),
+                      neumann_axes=(1,),
+                      ksp=KSPConfig(type="gmres", rtol=1e-11, max_it=300))
+        xp = m.cmap.coords
+        r = np.sqrt(xp[..., 0] ** 2 + xp[..., 1] ** 2)
+        exact = jnp.asarray(np.log(r))
+        dirichlet = jnp.where(g.boundary_mask, exact, 0.0)
+        u = jax.jit(lambda u0, dd: m.rollout(u0, jnp.zeros(g.dims), dd, 60))(
+            jnp.zeros(g.dims), dirichlet)
+        errs[n] = np.abs(np.asarray(u - exact)).max()
+    assert errs[16] < 1e-8 and errs[16] < 1e-2 * errs[10], errs
+
+
+def test_curvilinear_heat_insulated_identity_matches_flat():
+    """Identity-map curved + insulated axis reproduces the flat insulated
+    model (same operator rows; metric-MG vs Neumann-fastdiag PCs solve to
+    the same tolerance)."""
+    from spectral_tpu.models.heat import HeatModel
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    g = Grid((12, 12))
+    # zero-flux along axis 0: cos(pi x) has du/dx = 0 at x = +-1
+    u0 = g.zero_boundary(jnp.cos(np.pi * g.coords[..., 0]) *
+                         jnp.cos(0.5 * np.pi * g.coords[..., 1]))
+    z = jnp.zeros(g.dims)
+    ksp = KSPConfig(type="gmres", rtol=1e-11, max_it=200)
+    flat = HeatModel(g, dt=0.02, theta=0.5, neumann_axes=(0,), ksp=ksp)
+    curved = HeatModel(g, dt=0.02, theta=0.5, neumann_axes=(0,), ksp=ksp,
+                       phi=lambda xi: xi)
+    uf = flat.rollout(u0, z, z, 5)
+    uc = curved.rollout(u0, z, z, 5)
+    np.testing.assert_allclose(np.asarray(uc), np.asarray(uf), atol=1e-8)
+
+
+def test_curvilinear_traced_dt_matches_fixed():
+    """Traced-dt stepping on curved domains (the round-3 guard at
+    models/heat.py:256, now closed): step_theta_dt with a TRACED dt equals
+    the fixed-dt step at the same dt to solver tolerance, one compiled
+    step serves several dts, and the BDF2 variable-step form is finite and
+    consistent — all with an insulated axis in play."""
+    from spectral_tpu.models.heat import HeatModel
+    from spectral_tpu.ops.curvilinear import named_map
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    g = Grid((10, 10))
+    ksp = KSPConfig(type="gmres", rtol=1e-11, max_it=300)
+    m = HeatModel(g, dt=0.05, theta=0.5, phi=named_map("bump:0.06"),
+                  neumann_axes=(0,), ksp=ksp)
+    # boundary-consistent data: du/dx = 0 at the insulated x faces,
+    # u = 0 at the Dirichlet y faces (do NOT zero the insulated faces)
+    u0 = jnp.asarray(np.cos(np.pi * g.coords_np[..., 0]) *
+                     np.cos(0.5 * np.pi * g.coords_np[..., 1]))
+    z = jnp.zeros(g.dims)
+    step_dt = jax.jit(m.step_theta_dt)
+    u_fixed = m.step(u0, z, z)
+    u_traced = step_dt(u0, z, z, jnp.asarray(0.05))
+    np.testing.assert_allclose(np.asarray(u_traced), np.asarray(u_fixed),
+                               atol=1e-8)
+    # same compiled step, different dt (no retrace of the hierarchy)
+    u_big = step_dt(u0, z, z, jnp.asarray(0.4))
+    assert np.isfinite(np.asarray(u_big)).all()
+    m2 = HeatModel(g, dt=0.4, theta=0.5, phi=named_map("bump:0.06"),
+                   neumann_axes=(0,), ksp=ksp)
+    np.testing.assert_allclose(np.asarray(u_big),
+                               np.asarray(m2.step(u0, z, z)), atol=1e-8)
+
+    # variable-step BDF2 on the curved domain: order-2 self convergence
+    # against a fine Crank-Nicolson reference (CN startup step)
+    bdf2 = jax.jit(m.step_bdf2_dt)
+
+    def run_bdf2(dt, T):
+        n = round(T / dt)
+        up = step_dt(u0, z, z, jnp.asarray(dt))
+        u, upp = up, u0
+        for _ in range(n - 1):
+            u, upp = bdf2(up, upp, z, z, jnp.asarray(dt),
+                          jnp.asarray(1.0)), up
+            up = u
+        return u
+
+    T = 0.4
+    ref = u0
+    for _ in range(32):
+        ref = step_dt(ref, z, z, jnp.asarray(T / 32))
+    errs = [float(jnp.max(jnp.abs(run_bdf2(dt, T) - ref)))
+            for dt in (0.1, 0.05)]
+    assert errs[0] / errs[1] > 3.0, errs
