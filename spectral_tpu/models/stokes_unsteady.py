@@ -407,16 +407,26 @@ class UnsteadyStokes:
 
         Returns (grad_params, iters_per_step_reversed).
         """
-        p, th = self.problem, self.theta
+        p = self.problem
         params = params if params is not None else p.params_at(p.config.cont)
         ksp = ksp or p.config.outer_ksp
-        pc_setup, pc_apply = p.make_pc(adjoint=True)
-        zero_p = jnp.zeros(p.grid.dims, traj[-1].dtype)
-
         w = jax.grad(qoi)(traj[-1])
         gtheta = jax.tree_util.tree_map(
             lambda a: jnp.zeros_like(jnp.asarray(a, jnp.result_type(float))),
             params)
+        w, gtheta, its = self._adjoint_sweep(w, gtheta, traj, times,
+                                             s_of_t, f_of_t, params, ksp)
+        return gtheta, its
+
+    def _adjoint_sweep(self, w, gtheta, traj, times, s_of_t, f_of_t,
+                       params, ksp):
+        """Reverse sweep over one contiguous span of steps: propagate the
+        state cotangent ``w`` backwards through traj[-1] .. traj[0]
+        (times aligned with traj), accumulating parameter gradients.
+        Returns (w at traj[0], gtheta, iters in reverse order)."""
+        p, th = self.problem, self.theta
+        pc_setup, pc_apply = p.make_pc(adjoint=True)
+        zero_p = jnp.zeros(p.grid.dims, traj[-1].dtype)
         its = []
         for k in range(len(traj) - 1, 0, -1):
             v1_full, v0_full = traj[k], traj[k - 1]
@@ -446,7 +456,77 @@ class UnsteadyStokes:
             gtheta = jax.tree_util.tree_map(lambda a, b: a - b, gtheta,
                                             dparams)
             w = -dv0
-        return gtheta, its
+        return w, gtheta, its
+
+    def adjoint_gradient_checkpointed(self, qoi, v0_full, times, s_of_t,
+                                      f_of_t, *, params=None, ksp=None,
+                                      segments: int | None = None):
+        """``adjoint_gradient`` under BOUNDED memory: uniform sqrt-T
+        checkpointing (Griewank's revolve simplified to one level — optimal
+        up to a constant for a single recomputation pass).  The forward
+        sweep stores ONLY the ``segments + 1`` segment-boundary states
+        (default segments = ceil(sqrt(N)), so peak state storage is
+        O(sqrt N) instead of the O(N) trajectory ``adjoint_gradient``
+        needs); the reverse sweep re-integrates each segment forward once
+        (keep_trajectory within the segment only) and runs the shared
+        ``_adjoint_sweep`` over it.  Total cost: 2x the forward solves plus
+        the same adjoint solves — the classic memory/compute trade for
+        long production rollouts (round-4 verdict item 6; reference anchor
+        stokes.C:217-235, whose continuation is upstream's only
+        long-horizon mechanism).
+
+        Runs the primal forward itself (unlike ``adjoint_gradient``, which
+        takes a precomputed trajectory).  Returns (grad_params, info) with
+        info = {iters (reversed per-step adjoint counts), peak_states
+        (max states held simultaneously), forward_steps (total forward
+        solves including recomputation), qoi (the primal objective)}.
+        """
+        if self.scheme != "theta":
+            raise ValueError("checkpointed adjoint covers the theta scheme "
+                             "(the step residual the sweeps transpose)")
+        p = self.problem
+        params = params if params is not None else p.params_at(p.config.cont)
+        ksp = ksp or p.config.outer_ksp
+        N = len(times) - 1
+        if N < 1:
+            raise ValueError("need at least one step")
+        segments = int(segments) if segments else max(
+            1, int(np.ceil(np.sqrt(N))))
+        bounds = np.unique(np.round(np.linspace(0, N, segments + 1))
+                           .astype(int))
+
+        # forward sweep: keep ONLY the boundary states
+        boundary_states = {0: v0_full}
+        v = v0_full
+        forward_steps = 0
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            v, _, its_f = self.rollout(v, times[b0:b1 + 1], s_of_t, f_of_t)
+            forward_steps += len(its_f)
+            boundary_states[int(b1)] = v
+
+        qoi_val = float(qoi(v))
+        w = jax.grad(qoi)(v)
+        gtheta = jax.tree_util.tree_map(
+            lambda a: jnp.zeros_like(jnp.asarray(a, jnp.result_type(float))),
+            params)
+        its = []
+        peak = len(boundary_states)
+        for i in range(len(bounds) - 1, 0, -1):
+            b0, b1 = int(bounds[i - 1]), int(bounds[i])
+            seg_traj, _, its_f = self.rollout(
+                boundary_states[b0], times[b0:b1 + 1], s_of_t, f_of_t,
+                keep_trajectory=True)
+            forward_steps += len(its_f)
+            peak = max(peak, len(boundary_states) + len(seg_traj))
+            w, gtheta, its_seg = self._adjoint_sweep(
+                w, gtheta, seg_traj, times[b0:b1 + 1], s_of_t, f_of_t,
+                params, ksp)
+            its.extend(its_seg)
+            del boundary_states[b1]
+        info = {"iters": its, "peak_states": peak,
+                "forward_steps": forward_steps, "qoi": qoi_val,
+                "segments": len(bounds) - 1}
+        return gtheta, info
 
     def rollout_scan(self, v0_full, s_values, fbars):
         """Fully-jitted linear rollout: the WHOLE time integration compiles

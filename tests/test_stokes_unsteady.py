@@ -184,6 +184,43 @@ def test_transient_adjoint_matches_finite_differences():
     assert abs(fd - float(grad.hardness)) < 1e-5 * abs(fd), (fd, grad)
 
 
+def test_checkpointed_adjoint_bounded_memory():
+    """sqrt-T checkpointed transient adjoint (round-4 verdict item 6):
+    the gradient equals the full-trajectory adjoint_gradient to solver
+    precision on a 12-step rollout, while the peak number of stored states
+    is O(sqrt N) (measured: segments+1 boundaries + one segment) instead
+    of the N+1 = 13 the full trajectory holds; the recomputation costs
+    exactly one extra forward pass."""
+    import dataclasses
+
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    cfg0 = StokesConfig(exact=1, boundary=0, rheology=1, exponent=3.0,
+                        regularization=1e-1, hardness=1.2, pcvel="mg",
+                        outer_ksp=KSPConfig(type="fgmres", rtol=1e-12,
+                                            max_it=600, restart=150),
+                        newton=NewtonConfig(rtol=1e-12, max_it=20))
+    g8 = Grid((8, 8))
+    m0 = UnsteadyStokes(g8, cfg0, dt=0.05, theta=0.5)
+    u0, s, f, _, _ = m0.manufactured(omega=1.0)
+    N = 12
+    times = np.arange(N + 1) * 0.05
+    qoi = lambda v: jnp.sum(v * v)
+
+    traj, _, _ = m0.rollout(u0, times, s, f, keep_trajectory=True)
+    grad_full, _ = m0.adjoint_gradient(qoi, traj, times, s, f)
+
+    grad_ck, info = m0.adjoint_gradient_checkpointed(qoi, u0, times, s, f)
+    # sqrt(12) -> 4 segments of 3: peak = 5 boundaries + 4 segment states
+    assert info["segments"] == 4
+    assert info["peak_states"] <= 9 < N + 1, info
+    assert info["forward_steps"] == 2 * N       # one recomputation pass
+    for name in ("hardness", "exponent"):
+        a = float(getattr(grad_full, name))
+        b = float(getattr(grad_ck, name))
+        assert abs(a - b) <= 1e-7 * max(abs(a), 1.0), (name, a, b)
+
+
 def test_config_guards():
     """Unsupported velocity PCs under mass_shift are rejected."""
     with pytest.raises(ValueError):
