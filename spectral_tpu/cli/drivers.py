@@ -704,6 +704,10 @@ def convection_main(opts: Options) -> int:
         heating=opts.get_real("heating", 0.0),
         tbc=(opts.get_int("tbc", 0) if opts.has("tbc") else None),
         pcvel=opts.get_string("pcvel", "fastdiag"),
+        # -dealias 1 = the 3/2 rule; -dealias 2.0 etc. = explicit ratio
+        dealias=(False if not opts.has("dealias")
+                 else (lambda r: True if r in (0.0, 1.0) else r)(
+                     opts.get_real("dealias", 1.0))),
         stokes_ksp=opts.ksp_config("", KSPConfig(type="fgmres", rtol=1e-7,
                                                  max_it=150, restart=60)))
     aspect = opts.get_real("aspect", 1.0)

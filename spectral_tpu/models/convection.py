@@ -89,6 +89,14 @@ class ConvectionConfig:
     # the subcritical conduction profile is 1 - y + (H/2) y (1 - y).
     heating: float = 0.0
     pcvel: str = "fastdiag"
+    # dealias the spectral advection product v . grad T: False = plain
+    # collocation (fine at Blankenbach 1a/1b resolutions); True = the 3/2
+    # rule (evaluate the product on a ceil(3(n-1)/2)-mode CGL grid via
+    # exact coefficient padding, truncate back — removes quadratic
+    # aliasing, which bites in the thin-boundary-layer high-Ra regime,
+    # case 1c); a float sets the padding ratio directly (2.0 = exact
+    # quadratic products).  ops/chebyshev.py::cheb_pad_matrices_np.
+    dealias: bool | float = False
     stokes_ksp: KSPConfig = KSPConfig(type="fgmres", rtol=1e-6, max_it=80,
                                       restart=40)
     temp_ksp: KSPConfig = KSPConfig(type="cg", rtol=1e-8, max_it=60)
@@ -114,6 +122,10 @@ class ConvectionModel:
             boundary = 0
         elif config.velocity_bc == "freeslip":
             boundary = 7              # free-slip box (stokes_exact.boundary7)
+        elif config.velocity_bc == "rigid":
+            # rigid (no-slip) top/bottom + free-slip symmetry sidewalls:
+            # the Busse et al. (1994) 3-D benchmark box
+            boundary = 8
         else:
             raise ValueError(f"unknown velocity_bc {config.velocity_bc!r}")
         # eta = 2 makes the viscous rows the standard -div(2 eps(v)):
@@ -125,7 +137,7 @@ class ConvectionModel:
             pcvel = "mg"          # fastdiag cannot track eta(T)
         tbc = config.tbc
         if tbc is None:
-            tbc = 1 if config.velocity_bc == "freeslip" else 0
+            tbc = 1 if config.velocity_bc in ("freeslip", "rigid") else 0
         scfg = StokesConfig(exact=0, boundary=boundary, rheology=1,
                             hardness=2.0, exponent=1.0, pcvel=pcvel,
                             tbc=tbc, outer_ksp=config.stokes_ksp)
@@ -167,6 +179,19 @@ class ConvectionModel:
             shape[ax] = len(w)
             Wh = Wh * w.reshape(shape)
         self._Wh = jnp.asarray(Wh)
+        # dealiasing transfer matrices (built eagerly: numpy -> constants)
+        self._dealias = None
+        if config.dealias:
+            from spectral_tpu.ops.chebyshev import cheb_pad_matrices_np
+            ratio = 1.5 if config.dealias is True else float(config.dealias)
+            Us, Ds = [], []
+            for ax in range(self.d):
+                n = grid.dims[ax]
+                mf = int(np.ceil(ratio * (n - 1))) + 1
+                U, D = cheb_pad_matrices_np(n, mf)
+                Us.append(jnp.asarray(U))
+                Ds.append(jnp.asarray(D))
+            self._dealias = (tuple(Us), tuple(Ds))
 
     @classmethod
     def unit_box(cls, dims, config: ConvectionConfig = ConvectionConfig()):
@@ -331,7 +356,8 @@ class ConvectionModel:
         solve.defvjp(fwd, bwd)
         return solve
 
-    def rollout_diff(self, T0, nsteps: int, Ra=None, contrast=None):
+    def rollout_diff(self, T0, nsteps: int, Ra=None, contrast=None,
+                     checkpoint: bool | int = False):
         """``nsteps`` coupled steps, reverse-mode differentiable: returns
         (T, x) with gradients flowing to T0, Ra and the viscosity contrast
         (pass them as traced arguments; None freezes at the config value).
@@ -343,7 +369,17 @@ class ConvectionModel:
         JAX, so ``jax.grad(lambda Ra: loss(m.rollout_diff(T0, n, Ra)[0]))``
         is the discrete transient adjoint of the coupled system.  No warm
         starts (the solve callbacks must be pure in b), so prefer the
-        primal ``rollout`` when gradients are not needed."""
+        primal ``rollout`` when gradients are not needed.
+
+        ``checkpoint``: bound the backward pass's memory for LONG rollouts
+        (round-4 verdict item 6).  By default the scan's backward saves
+        every step's (lin, x) solver residuals — O(nsteps) states.  True
+        (or an int segment length k) reorganizes the scan as an outer scan
+        over ``jax.checkpoint``-wrapped inner segments of k = ceil(sqrt n)
+        steps: the backward stores only the O(sqrt n) segment-boundary
+        carries and re-runs one segment at a time (one extra forward pass
+        total — Griewank's revolve simplified to one level).  Identical
+        gradients (tests/test_convection.py)."""
         Ra = jnp.asarray(self.config.Ra if Ra is None else Ra)
         if contrast is None and self._var_eta:
             contrast = self.config.eta_contrast
@@ -375,17 +411,56 @@ class ConvectionModel:
         N0 = self.advection(self.velocity_full(x0), T0)
         f0 = -N0 if q is None else q - N0
         T1 = self.heat.step_diff(T0, f0, self.bc_T)
-        (T, _), _ = jax.lax.scan(body, (T1, N0), None, length=nsteps - 1)
+        carry = (T1, N0)
+        n = nsteps - 1
+        if checkpoint and n > 1:
+            k = int(checkpoint) if checkpoint is not True \
+                else int(np.ceil(np.sqrt(n)))
+            k = max(1, min(k, n))
+            nseg, rem = divmod(n, k)
+            seg = jax.checkpoint(
+                lambda c: jax.lax.scan(body, c, None, length=k)[0])
+            carry = jax.lax.scan(lambda c, _: (seg(c), ()), carry, None,
+                                 length=nseg)[0]
+            if rem:
+                carry = jax.lax.scan(body, carry, None, length=rem)[0]
+        else:
+            carry = jax.lax.scan(body, carry, None, length=n)[0]
+        T = carry[0]
         return T, stokes_of(T)
 
+    def _pad_apply(self, mats, z):
+        """Per-axis dense transfer (coarse<->fine CGL) — tensor-product
+        matmuls, MXU-resident."""
+        from spectral_tpu.ops.tensorops import apply_axis_matmul
+        for ax, M in enumerate(mats):
+            z = apply_axis_matmul(M.astype(z.dtype), z, ax)
+        return z
+
     def advection(self, v_full, T):
-        """N = v . grad T on the interior (boundary rows are Dirichlet)."""
+        """N = v . grad T on the interior (boundary rows are Dirichlet).
+
+        With ``config.dealias`` the quadratic product is evaluated on the
+        padded CGL grid and projected back (3/2 rule): derivatives stay
+        spectral on the solution grid, only the pointwise product moves to
+        the fine grid — u and dT are interpolated EXACTLY (coefficient
+        zero-pad), so the sole change is that aliased product modes are
+        discarded instead of folded onto the retained ones."""
         g = self.grid
-        N = jnp.zeros_like(T)
+        if self._dealias is None:
+            N = jnp.zeros_like(T)
+            for ax in range(self.d):
+                dT = g.apply_dif_weight(chebdiff(T, ax), ax)
+                N = N + v_full[..., ax] * dT
+            return g.zero_boundary(N)
+        Us, Ds = self._dealias
+        Nf = None
         for ax in range(self.d):
             dT = g.apply_dif_weight(chebdiff(T, ax), ax)
-            N = N + v_full[..., ax] * dT
-        return g.zero_boundary(N)
+            prod = self._pad_apply(Us, v_full[..., ax]) * \
+                self._pad_apply(Us, dT)
+            Nf = prod if Nf is None else Nf + prod
+        return g.zero_boundary(self._pad_apply(Ds, Nf))
 
     def step(self, T, N_prev, x_prev, q=None):
         """One IMEX step: Stokes solve, AB2 advection, theta diffusion.
@@ -946,6 +1021,11 @@ class ConvectionModel:
                 "onset exists).  Use stability_eigenvalues(), which "
                 "linearizes about the computed steady base automatically.")
         lap = self._stability_lap
+        # pre-touch the conduction pieces OUTSIDE the trace: a
+        # cached_property first touched inside op's jit trace would cache
+        # tracer constants (grid.py note; the op below hits them via
+        # _stability_B -> _stability_ctx(None))
+        _ = self._stability_pieces
 
         @jax.jit
         def op(Tp):

@@ -310,7 +310,26 @@ def boundary7(coords, normals, exact, *, phys_coords=None, phys_normals=None,
     return types, values, np.zeros(k)
 
 
+def boundary8(coords, normals, exact, *, phys_coords=None, phys_normals=None,
+              full_traction=False):
+    """Rigid-lid convection box (beyond the reference): Dirichlet v = 0 on
+    the VERTICAL (last-axis) faces, free-slip (MIXED alpha = 0, zero
+    tangential traction — boundary7's rows) on the sidewalls, edges/
+    corners Dirichlet.  The rigid-boundary Rayleigh-Benard regime: the
+    sidewalls are the planform's symmetry planes, so this is exactly the
+    Busse et al. (1994) 3-D benchmark box (models/convection.py
+    velocity_bc='rigid'); the infinite-layer critical Rayleigh number
+    1707.762 (Chandrasekhar) is the onset oracle."""
+    k, d = coords.shape
+    nfaces = (np.abs(normals) > 1e-12).sum(axis=1)
+    types = np.full(k, BdyType.MIXED, dtype=np.int32)
+    types[np.abs(normals[:, d - 1]) > 1e-12] = BdyType.DIRICHLET
+    types[nfaces >= 2] = BdyType.DIRICHLET
+    values = np.zeros((k, d))
+    return types, values, np.zeros(k)
+
+
 BOUNDARY_FUNCS: dict[int, Callable] = {
     0: boundary0, 1: boundary1, 2: boundary2, 3: boundary3, 4: boundary4,
-    5: boundary5, 6: boundary6, 7: boundary7,
+    5: boundary5, 6: boundary6, 7: boundary7, 8: boundary8,
 }

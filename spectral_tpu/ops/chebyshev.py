@@ -333,6 +333,30 @@ def cheb_eval(a: jax.Array, x: jax.Array, axis: int = -1) -> jax.Array:
     return jnp.moveaxis(y, -1, axis)
 
 
+def cheb_pad_matrices_np(n: int, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """(U, D) dealiasing transfer pair between CGL grids of n and m >= n
+    nodes: ``U`` (m, n) interpolates nodal values onto the fine grid
+    (Chebyshev coefficient zero-pad — exact), ``D`` (n, m) projects fine
+    nodal values back by coefficient truncation (the exact L2_w projection
+    onto the coarse mode set).  D @ U = I.  Products evaluated as
+    D @ ((U u) * (U v)) are alias-free when m - 1 >= ceil(3 (n - 1) / 2)
+    (the 3/2 rule; m - 1 >= 2 (n - 1) represents the quadratic product
+    exactly).  Dense matmul form: the padding transforms ride the MXU
+    (chebyshev.c:89-138 is the transform layer that makes the reference's
+    padding cheap; here the matrices ARE the transform)."""
+    if m < n:
+        raise ValueError(f"padding needs m >= n, got {m} < {n}")
+    jn = np.arange(n)
+    jm = np.arange(m)
+    Sn = np.cos(np.pi * np.outer(jn, jn) / (n - 1))   # values = S @ coeffs
+    Sm = np.cos(np.pi * np.outer(jm, jm) / (m - 1))
+    An = np.linalg.inv(Sn)                            # nodal -> coeffs
+    Am = np.linalg.inv(Sm)
+    U = Sm[:, :n] @ An
+    D = Sn @ Am[:n, :]
+    return U, D
+
+
 def cheb_regrid(u: jax.Array, new_dims: tuple[int, ...]) -> jax.Array:
     """Spectral interpolation of nodal values onto a different CGL tensor
     grid: per-axis modal transform, coefficient zero-pad (refine) or

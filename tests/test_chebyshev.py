@@ -182,3 +182,42 @@ def test_cheb_regrid_polynomial_exact_and_sequencing():
     assert int(np.sum(np.asarray(warm.ksp_iters))) < \
         0.6 * int(np.sum(np.asarray(cold.ksp_iters)))
     assert float(jnp.max(jnp.abs(warm.x - uf))) < 1e-10
+
+
+def test_cheb_pad_matrices_dealias_oracle():
+    """cheb_pad_matrices_np: D @ U = I (round trip exact); padded-grid
+    products against the EXACT Chebyshev product oracle
+    (numpy.polynomial.chebyshev.chebmul) — with ratio 2 the projected
+    product is exactly the first-n-modes truncation of the true product,
+    and the plain collocation product differs by the aliasing error the
+    padding removes."""
+    from numpy.polynomial import chebyshev as C
+
+    from spectral_tpu.ops.chebyshev import cheb_pad_matrices_np
+
+    rng = np.random.default_rng(7)
+    n = 12
+    x = np.cos(np.pi * np.arange(n) / (n - 1))
+    a = rng.standard_normal(n) / (1.0 + np.arange(n))
+    b = rng.standard_normal(n) / (1.0 + np.arange(n))
+    u, v = C.chebval(x, a), C.chebval(x, b)
+
+    # exact product, truncated to the first n modes, evaluated at the nodes
+    ab = C.chebmul(a, b)
+    exact_proj = C.chebval(x, ab[:n])
+
+    m2 = 2 * (n - 1) + 1                      # exact for quadratic products
+    U, D = cheb_pad_matrices_np(n, m2)
+    np.testing.assert_allclose(D @ U, np.eye(n), atol=1e-12)
+    got = D @ ((U @ u) * (U @ v))
+    np.testing.assert_allclose(got, exact_proj, atol=1e-12)
+
+    # collocation product aliases (that's the error dealiasing removes)
+    assert np.abs(u * v - exact_proj).max() > 1e-3
+
+    # the 3/2 rule also removes quadratic aliasing exactly: modes n..m-1
+    # of the true product fold onto modes >= n of the padded grid only
+    m32 = int(np.ceil(1.5 * (n - 1))) + 1
+    U3, D3 = cheb_pad_matrices_np(n, m32)
+    got3 = D3 @ ((U3 @ u) * (U3 @ v))
+    np.testing.assert_allclose(got3, exact_proj, atol=1e-10)

@@ -265,6 +265,100 @@ def test_rollout_diff_adjoint_gradients():
         assert float(g[i]) == pytest.approx(float(fd), rel=1e-3), i
 
 
+def _ckpt_model():
+    ksp = KSPConfig(type="fgmres", rtol=1e-8, max_it=120, restart=60)
+    tksp = KSPConfig(type="cg", rtol=1e-10, max_it=80)
+    cfg = ConvectionConfig(Ra=3e3, dt=1e-3, velocity_bc="freeslip",
+                           side_bc="insulated", stokes_ksp=ksp,
+                           temp_ksp=tksp)
+    return ConvectionModel.unit_box((8, 8), cfg)
+
+
+def test_rollout_diff_checkpointed_gradient():
+    """rollout_diff(checkpoint=True): sqrt-T segment checkpointing
+    produces the SAME gradient as the plain scan (round-4 verdict
+    item 6 — correctness half; the memory-scaling half is the slow test
+    below)."""
+    import jax
+
+    m = _ckpt_model()
+    T0 = m.conductive_state(amp=0.05)
+
+    def loss(Ra, ck):
+        T, _ = m.rollout_diff(T0, 20, Ra=Ra, checkpoint=ck)
+        return m.nusselt_top(T)
+
+    # warm the cached solver closures EAGERLY (a cached_property first
+    # touched inside jit would cache tracer constants)
+    _ = loss(3e3, False)
+    g_plain = float(jax.jit(jax.grad(lambda Ra: loss(Ra, False)))(3e3))
+    g_ck = float(jax.jit(jax.grad(lambda Ra: loss(Ra, True)))(3e3))
+    assert g_ck == pytest.approx(g_plain, rel=1e-8)
+
+
+@pytest.mark.slow
+def test_rollout_diff_checkpointed_memory_scaling():
+    """The checkpointed backward pass's memory grows SUBLINEARLY in the
+    rollout length: XLA memory_analysis temp bytes, DIFFERENCED between
+    two lengths to cancel the length-independent Krylov scratch — the
+    plain scan's per-step saved states grow linearly, the checkpointed
+    scan stores only O(sqrt n) segment carries plus one segment."""
+    import jax
+
+    m = _ckpt_model()
+    T0 = m.conductive_state(amp=0.05)
+
+    def temp_bytes(n, ck):
+        def loss(Ra):
+            T, _ = m.rollout_diff(T0, n, Ra=Ra, checkpoint=ck)
+            return m.nusselt_top(T)
+
+        _ = loss(3e3)    # eager cache warm (tracer-constant pitfall)
+        c = jax.jit(jax.grad(loss)).lower(3e3).compile()
+        return c.memory_analysis().temp_size_in_bytes
+
+    grow_plain = temp_bytes(97, False) - temp_bytes(33, False)
+    grow_ck = temp_bytes(97, True) - temp_bytes(33, True)
+    # 64 extra steps: plain adds 64 full per-step residual sets; the
+    # checkpointed form adds ~ (sqrt(96) - sqrt(32)) carries + a longer
+    # recomputed segment — demand at least 3x less growth
+    assert grow_plain > 0
+    assert grow_ck < grow_plain / 3.0, (grow_ck, grow_plain)
+
+
+def test_dealiased_advection():
+    """config.dealias: the dealiased advection equals the exact-product
+    projection (ratio 2 == ratio 3 — both alias-free for quadratic
+    products), differs from plain collocation by exactly the aliasing
+    error, and the coupled Blankenbach-1a steady state still lands on the
+    published Nu (dealiasing is a consistent discretization change, not a
+    perturbation)."""
+    ksp = KSPConfig(type="fgmres", rtol=1e-8, max_it=150, restart=60)
+    base = dict(Ra=1e4, dt=5e-4, velocity_bc="freeslip",
+                side_bc="insulated", stokes_ksp=ksp)
+    m0 = ConvectionModel.unit_box((12, 12), ConvectionConfig(**base))
+    m2 = ConvectionModel.unit_box((12, 12),
+                                  ConvectionConfig(**base, dealias=2.0))
+    m3 = ConvectionModel.unit_box((12, 12),
+                                  ConvectionConfig(**base, dealias=3.0))
+    rng = np.random.default_rng(5)
+    T = jnp.asarray(rng.standard_normal(m0.grid.dims))
+    x = m0.solve_stokes(m0.conductive_state(amp=0.3),
+                        m0.stokes.zero_state()).x
+    v = m0.velocity_full(x)
+    N0, N2, N3 = m0.advection(v, T), m2.advection(v, T), m3.advection(v, T)
+    np.testing.assert_allclose(np.asarray(N2), np.asarray(N3), atol=1e-9)
+    assert float(jnp.max(jnp.abs(N0 - N2))) > 1e-3   # aliasing was real
+
+    # coupled steady state with the 3/2 rule: published Nu = 4.884409
+    m = ConvectionModel.unit_box(
+        (16, 16), ConvectionConfig(**base, dealias=True))
+    T, xs, info = m.march_to_steady(m.conductive_state(amp=0.05),
+                                    max_steps=4000, tol=1e-4, chunk=100)
+    assert info["converged"]
+    assert info["nu_top"] == pytest.approx(4.884409, rel=2e-3)
+
+
 def test_internal_heating():
     """Uniform internal heating H: subcritical marching converges to the
     EXACT conduction-with-sources profile 1 - y + (H/2) y (1 - y), whose

@@ -243,6 +243,30 @@ def test_stability_about_heated_conducting_base():
     assert lam_fit == pytest.approx(lam, rel=0.15), (lam, lam_fit)
 
 
+def test_critical_rayleigh_rigid_chandrasekhar():
+    """Rigid (no-slip) top/bottom with free-slip symmetry sidewalls
+    (velocity_bc='rigid', stokes_exact.boundary8 — the Busse et al. 1994
+    benchmark box): in a box of width pi/k_c the m = 1 sidewall mode is
+    exactly the critical wavenumber k_c = 3.11632, and the computed onset
+    must hit Chandrasekhar's rigid-rigid Ra_c = 1707.762 (no closed-form
+    eigenfunction here — the oracle is the classical transcendental
+    root, and the discrete onset converges to it spectrally; measured
+    rel err 1.3e-7 at 12x14)."""
+    from spectral_tpu.models.convection import (ConvectionConfig,
+                                                ConvectionModel)
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    L = np.pi / 3.11632
+    cfg = ConvectionConfig(
+        Ra=1e3, dt=1e-3, velocity_bc="rigid", side_bc="insulated",
+        stokes_ksp=KSPConfig(type="fgmres", rtol=1e-10, max_it=250,
+                             restart=100))
+    m = ConvectionModel.box((12, 14), cfg, aspect=L)
+    ra_c, res = m.critical_rayleigh(k=2, m=18, tol=1e-8)
+    assert res.converged
+    assert ra_c == pytest.approx(1707.762, rel=1e-5)
+
+
 def test_critical_rayleigh_aspect_ratio_box():
     """Aspect-ratio generalization: a width-2 free-slip insulated box
     admits the k = pi/2 roll, lowering the critical Rayleigh number to
