@@ -18,6 +18,7 @@ power-law continuation).
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 
@@ -177,18 +178,22 @@ def measure_stream_bw(mb=128, inner=16, reps=3, dtype=jnp.float32):
     return 3.0 * 4.0 * n / dt / 1e9
 
 
-def _timed_twice(run):
-    """(result, first_s, warm_s): run the solve twice — the first call pays
-    jit compilation (or compile-cache loads), the second is the warm solve.
-    compile_s = first - warm, solve_s = warm (round-4 verdict item 1: stop
-    conflating compile with solve; warm repeats also dodge one tunnel-
-    dispatch-variance sample)."""
+def _timed_twice(run, warm_reps=2):
+    """(result, first_s, warm_s): run the solve once to pay jit compilation
+    (or compile-cache loads), then ``warm_reps`` warm runs, reporting the
+    BEST warm time.  compile_s = first - warm, solve_s = warm (round-4
+    verdict item 1: stop conflating compile with solve).  Best-of-N warm
+    because the tunneled chip's dispatch latency swings ~10x run-to-run
+    (CLAUDE.md): a single warm sample conflates solver speed with tunnel
+    luck; the minimum is the reproducible solver wall-clock."""
     t0 = time.perf_counter()
     run()
     t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    out = run()
-    t2 = time.perf_counter() - t0
+    t2 = math.inf
+    for _ in range(max(warm_reps, 1)):
+        t0 = time.perf_counter()
+        out = run()
+        t2 = min(t2, time.perf_counter() - t0)
     return out, t1, t2
 
 
@@ -326,7 +331,7 @@ def bench_stokes20_powerlaw(repeat=False):
     p = StokesProblem(Grid((20, 20, 20)), cfg)
     if repeat:
         (x, info), t1, t2 = _timed_twice(
-            lambda: p.solve_refined(rtol=1e-10))
+            lambda: p.solve_refined(rtol=1e-10), warm_reps=1)
     else:
         t0 = time.perf_counter()
         x, info = p.solve_refined(rtol=1e-10)
@@ -488,7 +493,7 @@ def bench_convection_steady_newton(n=16):
     run = lambda: m.steady_newton(
         T0, warmup=100,
         newton=NewtonConfig(rtol=1e-4, atol=5e-3, max_it=20, ksp_ew=True))
-    (T, x, info), t1, t2 = _timed_twice(run)
+    (T, x, info), t1, t2 = _timed_twice(run, warm_reps=1)
     return (t1, t2, int(info["steps"]), float(info["nu_top"]),
             bool(info["converged"]))
 
@@ -519,7 +524,7 @@ def bench_convection3d(dims=(14, 14, 12)):
     run = lambda: m.steady_newton(
         T0, warmup=200,
         newton=NewtonConfig(rtol=1e-4, atol=5e-3, max_it=25, ksp_ew=True))
-    (T, xs, info), t1, t2 = _timed_twice(run)
+    (T, xs, info), t1, t2 = _timed_twice(run, warm_reps=1)
     Tn = np.asarray(T)
     sym = float(np.abs(Tn - np.swapaxes(Tn, 0, 1)).max())
     return (t1, t2, int(info["steps"]), float(info["nu_top"]),

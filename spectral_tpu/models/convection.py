@@ -97,6 +97,16 @@ class ConvectionConfig:
     # case 1c); a float sets the padding ratio directly (2.0 = exact
     # quadratic products).  ops/chebyshev.py::cheb_pad_matrices_np.
     dealias: bool | float = False
+    # saddle preconditioner for the per-step Stokes solve: 'nested' = the
+    # velocity/Schur Krylov tree (models/stokes.py make_pc — the general
+    # path), 'dense' = the EXACT factored inverse of the frozen isoviscous
+    # saddle operator applied as one MXU matmul (make_dense_pc): the same
+    # fixed operator is solved every time step, so outer FGMRES drops to
+    # 1-3 iterations and the per-step device program collapses from a
+    # nested tree of tiny sequential ops to a single dense matmul — the
+    # TPU-native answer at collocation sizes.  Requires eta_contrast == 1
+    # (a temperature-dependent operator changes every step).
+    stokes_pc: str = "nested"
     stokes_ksp: KSPConfig = KSPConfig(type="fgmres", rtol=1e-6, max_it=80,
                                       restart=40)
     temp_ksp: KSPConfig = KSPConfig(type="cg", rtol=1e-8, max_it=60)
@@ -147,10 +157,28 @@ class ConvectionModel:
         # deta = 0): build once from the zero state
         zero = self.stokes.zero_state()
         _, self._lin0 = self.stokes.make_residual(self._params)(zero)
-        self._pc_setup, self._pc_apply = self.stokes.make_pc()
-        # constant-viscosity PC state is static; eta(T) rebuilds per step
-        self._pc_state = None if self._var_eta \
-            else self._pc_setup(zero, self._lin0)
+        if config.stokes_pc == "dense":
+            if self._var_eta:
+                raise ValueError(
+                    "stokes_pc='dense' factors the FROZEN isoviscous saddle "
+                    "operator once; eta_contrast != 1 changes the operator "
+                    "every step — use stokes_pc='nested'")
+            setup_d, apply_d, apply_adj = self.stokes.make_dense_pc(
+                params=self._params)
+            self._pc_setup = lambda x, lin: None
+            self._pc_apply = lambda state, r: apply_d(None, r)
+            self._pc_state = None
+            # adjoint PC with the same factorization (Ainv^T): overrides
+            # the _adjoint_pc cached_property via the instance dict
+            self._adjoint_pc = (lambda x, lin: None,
+                                lambda state, r: apply_adj(None, r))
+        elif config.stokes_pc == "nested":
+            self._pc_setup, self._pc_apply = self.stokes.make_pc()
+            # constant-viscosity PC state is static; eta(T) rebuilds per step
+            self._pc_state = None if self._var_eta \
+                else self._pc_setup(zero, self._lin0)
+        else:
+            raise ValueError(f"unknown stokes_pc {config.stokes_pc!r}")
         # implicit diffusion sub-step (shifted fastdiag = exact surrogate;
         # insulated sides use the Neumann-eliminated variant)
         if config.side_bc == "insulated":
@@ -592,7 +620,7 @@ class ConvectionModel:
             if k is not None:
                 like = (T, jnp.zeros_like(T), self.stokes.zero_state(), T)
                 Tl, Nl, xl, Tp = ckpt.load_state(checkpoint, k, like)
-                meta = ckpt.load_meta(checkpoint, k).get("meta", {})
+                meta = ckpt.load_meta(checkpoint, k)
                 T, carry, T_prev = Tl, (Tl, Nl, xl), Tp
                 dt = float(meta.get("dt", dt))
                 dt_prev = float(meta.get("dt_prev", dt))

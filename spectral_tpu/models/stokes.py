@@ -975,6 +975,63 @@ class StokesProblem:
 
         return pc_setup, pc_apply
 
+    def make_dense_pc(self, params=None, x=None, *, block: int = 1024):
+        """EXACT dense inverse of the full saddle Jacobian at a frozen
+        linearization — the ``-pc_type lu`` role the reference's
+        matrix-free shell operator cannot offer (shell.c:21-44 documents
+        the limitation; stokes.C preconditions with assembled low-order
+        surrogates instead).  On TPU, at spectral-collocation sizes, the
+        assembled TRUE operator is small enough that its factored inverse
+        applies as ONE f32 MXU matmul — replacing the nested
+        velocity/Schur Krylov tree (make_pc) with the cheapest op XLA can
+        schedule.  The exactness (up to f32 rounding of the stored
+        inverse) drops outer FGMRES counts to 1-3.
+
+        The linearization is frozen at ``x`` (default: the zero state)
+        under ``params`` (default: the final continuation parameters); for
+        LINEAR physics (exponent 1, fixed eta — e.g. the isoviscous
+        convection saddle) the frozen Jacobian IS the operator and the PC
+        is exact.  Assembly runs on-device in working precision
+        (ops/dense.py), the factorization on the host in float64.
+
+        Returns ``(pc_setup, pc_apply, pc_apply_adjoint)``: the first two
+        match ``make_pc``'s interface; the third preconditions the
+        TRANSPOSED saddle system with the same factorization (Ainv^T).
+        """
+        from spectral_tpu.ops.dense import (assemble_dense, dense_apply,
+                                            regularized_inverse)
+
+        params = self.params_at(self.config.cont) if params is None else params
+        x0 = self.zero_state() if x is None else x
+        _, lin = self.make_residual(params)(x0)
+        A, unravel = assemble_dense(
+            lambda w: self.jacobian_action(None, lin, w),
+            self.zero_state(), block=block)
+        import jax.flatten_util as _fu
+        free = np.asarray(_fu.ravel_pytree(
+            {"v": jnp.where(self.vel_mask, 1.0, 0.0)
+                  * jnp.ones(self.grid.dims + (self.d,)),
+             "p": jnp.where(self.p_mask, 1.0, 0.0)})[0]) != 0.0
+        nulls = []
+        if self.has_p_null:
+            nulls.append(np.asarray(_fu.ravel_pytree(
+                {"v": jnp.zeros(self.grid.dims + (self.d,)),
+                 "p": jnp.where(self.p_mask, 1.0, 0.0)})[0]))
+        Ainv = regularized_inverse(A, free=free, null_vecs=nulls)
+        fwd = dense_apply(Ainv, unravel)
+        adj = dense_apply(Ainv, unravel, transpose=True)
+
+        def pc_setup(x, lin_state):
+            return None
+
+        def pc_apply(state, r):
+            return fwd(r)
+
+        def pc_apply_adjoint(state, r):
+            return adj(r)
+
+        return pc_setup, pc_apply, pc_apply_adjoint
+
     # ------------------------------------------------------------------
     # Drivers (main, stokes.C:119-253)
     # ------------------------------------------------------------------

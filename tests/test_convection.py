@@ -616,7 +616,7 @@ def test_adaptive_march_checkpoint_resume(tmp_path):
     like = (T1, jnp.zeros_like(T1), m.stokes.zero_state(), T1)
     Tl, Nl, xl, Tp = ckpt.load_state(cdir, k, like)
     assert np.isfinite(np.asarray(Tl)).all()
-    meta = ckpt.load_meta(cdir, k)["meta"]
+    meta = ckpt.load_meta(cdir, k)
     assert meta["steps"] == 40 and meta["dt"] > 0.0
 
     T2, x2, i2 = m.march_adaptive(T0, max_steps=75, tol=1e-12,
