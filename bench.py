@@ -433,24 +433,37 @@ def bench_convection(n=24, steps=40):
     """Coupled Boussinesq convection (models/convection.py): steps/s of
     the scan-compiled IMEX step (buoyancy saddle solve + implicit heat) at
     the Blankenbach case-1a configuration, f32.  The coupled application
-    amortizes the per-dispatch floor: the whole rollout is ONE dispatch."""
+    amortizes the per-dispatch floor: the whole rollout is ONE dispatch.
+
+    Production path: stokes_pc='dense' — the frozen isoviscous saddle
+    operator is factored ONCE (ops/dense.py) and every per-step solve
+    preconditions with one MXU matmul, collapsing outer FGMRES to 1-2
+    iterations; the nested velocity/Schur tree is timed alongside as the
+    A/B (it remains the general / variable-viscosity path)."""
     from spectral_tpu.models.convection import (ConvectionConfig,
                                                 ConvectionModel)
     from spectral_tpu.solvers.krylov import KSPConfig
 
-    cfg = ConvectionConfig(
-        Ra=1e4, dt=5e-4, velocity_bc="freeslip", side_bc="insulated",
-        stokes_ksp=KSPConfig(type="fgmres", rtol=1e-5, max_it=80, restart=40),
-        temp_ksp=KSPConfig(type="cg", rtol=1e-5, max_it=40))
-    m = ConvectionModel.unit_box((n, n), cfg)
-    T0 = m.conductive_state(amp=0.05)
-    carry = m.init_carry(T0)
-    m._rollout_jit(*carry, steps)            # compile + warm
-    t0 = time.perf_counter()
-    T, _, x = m._rollout_jit(*carry, steps)
-    nu = float(m.nusselt_top(T))             # device fetch = barrier
-    dt = time.perf_counter() - t0
-    return steps / dt, nu, float(m.vrms(x))
+    def run(stokes_pc):
+        cfg = ConvectionConfig(
+            Ra=1e4, dt=5e-4, velocity_bc="freeslip", side_bc="insulated",
+            stokes_pc=stokes_pc,
+            stokes_ksp=KSPConfig(type="fgmres", rtol=1e-5, max_it=80,
+                                 restart=40),
+            temp_ksp=KSPConfig(type="cg", rtol=1e-5, max_it=40))
+        m = ConvectionModel.unit_box((n, n), cfg)
+        T0 = m.conductive_state(amp=0.05)
+        carry = m.init_carry(T0)
+        m._rollout_jit(*carry, steps)            # compile + warm
+        t0 = time.perf_counter()
+        T, _, x = m._rollout_jit(*carry, steps)
+        nu = float(m.nusselt_top(T))             # device fetch = barrier
+        dt = time.perf_counter() - t0
+        return steps / dt, nu, float(m.vrms(x))
+
+    sps_dense, nu, vrms = run("dense")
+    sps_nested, _, _ = run("nested")
+    return sps_dense, nu, vrms, sps_nested
 
 
 def bench_elliptic5d(rtol=1e-10):
@@ -483,6 +496,7 @@ def bench_convection_steady_newton(n=16):
 
     cfg = ConvectionConfig(
         Ra=1e4, dt=5e-4, velocity_bc="freeslip", side_bc="insulated",
+        stokes_pc="dense",   # frozen-operator factored inverse (ops/dense)
         stokes_ksp=KSPConfig(type="fgmres", rtol=1e-6, max_it=120,
                              restart=60))
     m = ConvectionModel.unit_box((n, n), cfg)
@@ -513,6 +527,11 @@ def bench_convection3d(dims=(14, 14, 12)):
 
     cfg = ConvectionConfig(
         Ra=3e4, dt=2e-4, velocity_bc="rigid", side_bc="insulated",
+        # device-factored exact saddle inverse: 9408 dofs is minutes for
+        # the single-core host f64 LAPACK but seconds on the MXU; the f32
+        # factorization costs 2 outer iterations/solve vs nested's 20
+        # (measured, CPU-f32 probe)
+        stokes_pc="dense-device",
         stokes_ksp=KSPConfig(type="fgmres", rtol=1e-6, max_it=200,
                              restart=80))
     m = ConvectionModel.box(dims, cfg, aspect=(1.5, 1.5))
@@ -542,6 +561,7 @@ def bench_eig_critical_ra(n=12):
 
     cfg = ConvectionConfig(
         Ra=1e4, dt=1e-3, velocity_bc="freeslip", side_bc="insulated",
+        stokes_pc="dense",   # frozen-operator factored inverse (ops/dense)
         stokes_ksp=KSPConfig(type="fgmres", rtol=1e-7, max_it=200,
                              restart=80))
     m = ConvectionModel.unit_box((n, n), cfg)
@@ -823,11 +843,12 @@ def main():
     try:
         if time.perf_counter() - t_start > 840:
             raise RuntimeError("skipped: bench time budget exhausted")
-        sps, nu, vrms = bench_convection()
+        sps, nu, vrms, sps_nested = bench_convection()
         extra.update({
             "convection24_steps_per_s": round(sps, 3),
             "convection24_nu": round(nu, 4),
             "convection24_vrms": round(vrms, 3),
+            "convection24_nested_steps_per_s": round(sps_nested, 3),
         })
     except Exception as e:
         extra["convection_error"] = str(e)[:200]

@@ -704,6 +704,10 @@ def convection_main(opts: Options) -> int:
         heating=opts.get_real("heating", 0.0),
         tbc=(opts.get_int("tbc", 0) if opts.has("tbc") else None),
         pcvel=opts.get_string("pcvel", "fastdiag"),
+        # -stokes_pc dense: exact factored inverse of the frozen
+        # isoviscous saddle operator, one MXU matmul per PC apply
+        # (models/stokes.py make_dense_pc — the -pc_type lu role)
+        stokes_pc=opts.get_string("stokes_pc", "nested"),
         # -dealias 1 = the 3/2 rule; -dealias 2.0 etc. = explicit ratio
         dealias=(False if not opts.has("dealias")
                  else (lambda r: True if r in (0.0, 1.0) else r)(

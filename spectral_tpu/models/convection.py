@@ -106,6 +106,9 @@ class ConvectionConfig:
     # nested tree of tiny sequential ops to a single dense matmul — the
     # TPU-native answer at collocation sizes.  Requires eta_contrast == 1
     # (a temperature-dependent operator changes every step).
+    # 'dense-device' factors in working precision ON the device (seconds
+    # at 1e4 dofs where the single-core host f64 LAPACK takes minutes;
+    # costs a few extra outer iterations — the 3-D regime's choice).
     stokes_pc: str = "nested"
     stokes_ksp: KSPConfig = KSPConfig(type="fgmres", rtol=1e-6, max_it=80,
                                       restart=40)
@@ -157,14 +160,16 @@ class ConvectionModel:
         # deta = 0): build once from the zero state
         zero = self.stokes.zero_state()
         _, self._lin0 = self.stokes.make_residual(self._params)(zero)
-        if config.stokes_pc == "dense":
+        if config.stokes_pc in ("dense", "dense-device"):
             if self._var_eta:
                 raise ValueError(
                     "stokes_pc='dense' factors the FROZEN isoviscous saddle "
                     "operator once; eta_contrast != 1 changes the operator "
                     "every step — use stokes_pc='nested'")
             setup_d, apply_d, apply_adj = self.stokes.make_dense_pc(
-                params=self._params)
+                params=self._params,
+                factor=("device" if config.stokes_pc == "dense-device"
+                        else "host"))
             self._pc_setup = lambda x, lin: None
             self._pc_apply = lambda state, r: apply_d(None, r)
             self._pc_state = None

@@ -975,7 +975,8 @@ class StokesProblem:
 
         return pc_setup, pc_apply
 
-    def make_dense_pc(self, params=None, x=None, *, block: int = 1024):
+    def make_dense_pc(self, params=None, x=None, *, block: int = 1024,
+                      factor: str = "host"):
         """EXACT dense inverse of the full saddle Jacobian at a frozen
         linearization — the ``-pc_type lu`` role the reference's
         matrix-free shell operator cannot offer (shell.c:21-44 documents
@@ -994,19 +995,27 @@ class StokesProblem:
         is exact.  Assembly runs on-device in working precision
         (ops/dense.py), the factorization on the host in float64.
 
+        ``factor`` selects where the one-time factorization runs:
+        ``"host"`` = float64 LAPACK on the host (bit-exact inverse; the
+        host is single-core, so minutes beyond ~5e3 dofs), ``"device"`` =
+        working-precision LU on the MXU (seconds at 1e4 dofs; the f32
+        rounding costs a few extra outer iterations, never accuracy —
+        it is only a preconditioner).
+
         Returns ``(pc_setup, pc_apply, pc_apply_adjoint)``: the first two
         match ``make_pc``'s interface; the third preconditions the
         TRANSPOSED saddle system with the same factorization (Ainv^T).
         """
-        from spectral_tpu.ops.dense import (assemble_dense, dense_apply,
-                                            regularized_inverse)
+        from spectral_tpu.ops.dense import (assemble_dense,
+                                            assemble_dense_device,
+                                            dense_apply,
+                                            regularized_inverse,
+                                            regularized_inverse_device)
 
         params = self.params_at(self.config.cont) if params is None else params
         x0 = self.zero_state() if x is None else x
         _, lin = self.make_residual(params)(x0)
-        A, unravel = assemble_dense(
-            lambda w: self.jacobian_action(None, lin, w),
-            self.zero_state(), block=block)
+        op = lambda w: self.jacobian_action(None, lin, w)
         import jax.flatten_util as _fu
         free = np.asarray(_fu.ravel_pytree(
             {"v": jnp.where(self.vel_mask, 1.0, 0.0)
@@ -1017,7 +1026,15 @@ class StokesProblem:
             nulls.append(np.asarray(_fu.ravel_pytree(
                 {"v": jnp.zeros(self.grid.dims + (self.d,)),
                  "p": jnp.where(self.p_mask, 1.0, 0.0)})[0]))
-        Ainv = regularized_inverse(A, free=free, null_vecs=nulls)
+        if factor == "device":
+            A, unravel = assemble_dense_device(op, self.zero_state(),
+                                               block=block)
+            Ainv = regularized_inverse_device(A, free=free, null_vecs=nulls)
+        elif factor == "host":
+            A, unravel = assemble_dense(op, self.zero_state(), block=block)
+            Ainv = regularized_inverse(A, free=free, null_vecs=nulls)
+        else:
+            raise ValueError(f"unknown factor {factor!r}")
         fwd = dense_apply(Ainv, unravel)
         adj = dense_apply(Ainv, unravel, transpose=True)
 

@@ -64,6 +64,51 @@ def assemble_dense(apply_tree, example, *, block: int = 1024):
     return np.concatenate(rows, axis=0).T, unravel
 
 
+def assemble_dense_device(apply_tree, example, *, block: int = 1024):
+    """``assemble_dense`` keeping the matrix ON DEVICE (working precision).
+
+    For mid-size operators (the 3-D coupled saddle at ~10^4 dofs) the host
+    float64 factorization is minutes on a single core, but the device f32
+    factorization is seconds on the MXU — and an f32 inverse is plenty for
+    a PRECONDITIONER.  Returns (A (n, n) jax array, unravel)."""
+    flat0, unravel = ravel_pytree(example)
+    n = int(flat0.shape[0])
+    dtype = flat0.dtype
+
+    @jax.jit
+    def apply_block(idx):
+        E = jax.nn.one_hot(idx, n, dtype=dtype)
+        return jax.vmap(
+            lambda e: ravel_pytree(apply_tree(unravel(e)))[0])(E)
+
+    rows = []
+    for s in range(0, n, block):
+        idx = jnp.asarray((np.arange(s, s + block) % n).astype(np.int32))
+        rows.append(apply_block(idx)[: min(block, n - s)])
+    return jnp.concatenate(rows, axis=0).T, unravel
+
+
+def regularized_inverse_device(A, *, free=None, null_vecs=()):
+    """``regularized_inverse`` in device working precision (one jitted
+    LU-based inverse on the MXU instead of the host float64 LAPACK)."""
+    @jax.jit
+    def build(A, free, nulls):
+        if free is not None:
+            keep = free[:, None] & free[None, :]
+            A = jnp.where(keep, A, 0.0) + jnp.diag((~free).astype(A.dtype))
+        if nulls is not None:
+            scale = jnp.linalg.norm(A, jnp.inf)
+            for e in nulls:
+                e = e / jnp.linalg.norm(e)
+                A = A + scale * jnp.outer(e, e)
+        return jnp.linalg.inv(A)
+
+    free = None if free is None else jnp.asarray(np.asarray(free, bool))
+    nulls = ([jnp.asarray(np.asarray(e, np.float64), A.dtype)
+              for e in null_vecs] or None)
+    return build(A, free, nulls)
+
+
 def regularized_inverse(A, *, free=None, null_vecs=(), dtype=np.float64):
     """Host float64 inverse of ``A`` restricted to the free dofs, with
     rank-one shifts along known null vectors.
@@ -98,8 +143,11 @@ def dense_apply(Ainv, unravel, *, transpose: bool = False):
     ``transpose`` applies Ainv^T — the exact inverse of the TRANSPOSED
     operator, i.e. the adjoint-solve preconditioner for free."""
     # jnp.asarray respects the runtime x64 config: f32 on TPU (the PC
-    # tolerates the rounding), f64 on the x64 CPU test mesh
-    M = jnp.asarray(np.asarray(Ainv).T if transpose else np.asarray(Ainv))
+    # tolerates the rounding), f64 on the x64 CPU test mesh; a
+    # device-factored Ainv passes through untouched
+    M = jnp.asarray(Ainv)
+    if transpose:
+        M = M.T
 
     def apply(r):
         rf = ravel_pytree(r)[0]

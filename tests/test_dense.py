@@ -99,6 +99,23 @@ def test_dense_saddle_pc_collapses_iterations(velocity_bc, dims):
     assert dv < 1e-5, dv
 
 
+def test_dense_device_factorization_path():
+    """stokes_pc='dense-device' (assembly + LU-inverse entirely on
+    device, ops/dense.py assemble_dense_device/regularized_inverse_device)
+    produces the same collapse; the f32 quality at bench scale is probed
+    separately (bench.py convection3d — measured 2 vs 20 outer at
+    (14,14,12) under f32)."""
+    mn = ConvectionModel.unit_box((10, 10), _cfg())
+    md = ConvectionModel.unit_box((10, 10), _cfg(stokes_pc="dense-device"))
+    T0 = mn.conductive_state(amp=0.05)
+    x0 = mn.stokes.zero_state()
+    rn = mn.solve_stokes(T0, x0)
+    rd = md.solve_stokes(T0, x0)
+    assert int(rd.iters) <= 3, int(rd.iters)
+    scale = float(jnp.max(jnp.abs(rn.x["v"]))) + 1e-30
+    assert float(jnp.max(jnp.abs(rn.x["v"] - rd.x["v"]))) / scale < 1e-5
+
+
 def test_dense_pc_rollout_matches_nested():
     """A multi-step coupled rollout is PC-invariant: dense and nested
     trajectories agree to solver tolerance."""
