@@ -633,6 +633,9 @@ def unsteady_stokes_main(opts: Options) -> int:
         regularization=opts.get_real("eps", 1.0),
         gamma0=opts.get_real("gamma0", 1.0),
         pcvel=opts.get_string("pcvel", "mg" if map_spec else "fastdiag"),
+        # -saddle_pc dense|dense-device: exact factored inverse of the
+        # fixed mass-shifted step operator (one MXU matmul per apply)
+        saddle_pc=opts.get_string("saddle_pc", "schur"),
         outer_ksp=opts.ksp_config("", KSPConfig(type="fgmres", rtol=1e-9,
                                                 max_it=400, restart=100)),
         newton=opts.newton_config(NewtonConfig(rtol=_default_snes_rtol(),

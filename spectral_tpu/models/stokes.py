@@ -69,6 +69,13 @@ class StokesConfig:
     zeroN: int = 0
     zeroV: float = 1.0
     pcvel: str = "fastdiag"   # -pcvel analog: fastdiag|mg|nodal|jacobi|q1fem|probed
+    # saddle-level PC family: 'schur' = the nested velocity/Schur tree
+    # (make_pc, applies 0-3 below); 'dense' / 'dense-device' = the exact
+    # factored inverse of the FROZEN-linearization saddle operator
+    # (make_dense_pc — one MXU matmul per apply; linear-physics /
+    # fixed-operator paths: UnsteadyStokes steps, convection).  Nonlinear
+    # Newton loops always use the nested tree (their linearization moves).
+    saddle_pc: str = "schur"
     pcvel_smoother: str = "chebyshev"   # mg/nodal smoother: chebyshev|jacobi|line
     # traction-block correction (-tbc k): exact dense solve of the TRUE
     # (spectral, component-coupled) VV-block restricted to the mixed/Neumann
@@ -976,7 +983,7 @@ class StokesProblem:
         return pc_setup, pc_apply
 
     def make_dense_pc(self, params=None, x=None, *, block: int = 1024,
-                      factor: str = "host"):
+                      factor: str = "host", lin_state=None):
         """EXACT dense inverse of the full saddle Jacobian at a frozen
         linearization — the ``-pc_type lu`` role the reference's
         matrix-free shell operator cannot offer (shell.c:21-44 documents
@@ -1012,9 +1019,13 @@ class StokesProblem:
                                             regularized_inverse,
                                             regularized_inverse_device)
 
-        params = self.params_at(self.config.cont) if params is None else params
-        x0 = self.zero_state() if x is None else x
-        _, lin = self.make_residual(params)(x0)
+        if lin_state is None:
+            params = (self.params_at(self.config.cont)
+                      if params is None else params)
+            x0 = self.zero_state() if x is None else x
+            _, lin = self.make_residual(params)(x0)
+        else:
+            lin = lin_state   # caller-frozen linearization (UnsteadyStokes)
         op = lambda w: self.jacobian_action(None, lin, w)
         import jax.flatten_util as _fu
         free = np.asarray(_fu.ravel_pytree(

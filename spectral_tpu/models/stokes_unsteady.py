@@ -87,6 +87,34 @@ class UnsteadyStokes:
     def _linear(self) -> bool:
         return self.config.rheology in (0, "linear")
 
+    def _frozen_lin(self):
+        p = self.problem
+        return (jnp.ones(p.grid.dims), jnp.zeros(p.grid.dims),
+                jnp.zeros(p.grid.dims + (p.d, p.d)))
+
+    @cached_property
+    def _dense_pc(self):
+        p = self.problem
+        return p.make_dense_pc(
+            lin_state=self._frozen_lin(),
+            factor=("device" if p.config.saddle_pc == "dense-device"
+                    else "host"))
+
+    def _saddle_pc(self, adjoint: bool = False):
+        """(pc_setup, pc_apply) honoring ``config.saddle_pc``: the step
+        operator is the SAME mass-shifted saddle Jacobian at every step,
+        so 'dense'/'dense-device' factor it once (StokesProblem
+        .make_dense_pc at the frozen linear lin_state) and each per-step
+        solve preconditions with one MXU matmul (adjoint sweeps with
+        Ainv^T).  The nonlinear (power-law) Newton loops keep the nested
+        tree regardless — their linearization moves every iteration."""
+        p = self.problem
+        if p.config.saddle_pc in ("dense", "dense-device") and self._linear:
+            _, fwd, adj = self._dense_pc
+            apply_ = adj if adjoint else fwd
+            return (lambda x, lin: None), apply_
+        return p.make_pc(adjoint=adjoint)
+
     @cached_property
     def sigma(self) -> float:
         if self.scheme == "bdf2":
@@ -134,9 +162,8 @@ class UnsteadyStokes:
         """(v0_full, s1, fbar) -> (v1_full, p1, iters, rnorm), traceable
         (shared by the jitted single step and the scanned rollout)."""
         p, th, sigma = self.problem, self.theta, self.sigma
-        lin_state = (jnp.ones(p.grid.dims), jnp.zeros(p.grid.dims),
-                     jnp.zeros(p.grid.dims + (p.d, p.d)))
-        pc_setup, pc_apply = p.make_pc()
+        lin_state = self._frozen_lin()
+        pc_setup, pc_apply = self._saddle_pc()
         pc_state = pc_setup(None, lin_state)
 
         def step(v0_full, s1, fbar):
@@ -278,9 +305,8 @@ class UnsteadyStokes:
         """(v0_full, vm1_full, s1, f1) -> (v1_full, p1, iters, rnorm).
         sigma itself lives inside ``jacobian_action`` (config.mass_shift)."""
         p, dt = self.problem, self.dt
-        lin_state = (jnp.ones(p.grid.dims), jnp.zeros(p.grid.dims),
-                     jnp.zeros(p.grid.dims + (p.d, p.d)))
-        pc_setup, pc_apply = p.make_pc()
+        lin_state = self._frozen_lin()
+        pc_setup, pc_apply = self._saddle_pc()
         pc_state = pc_setup(None, lin_state)
 
         def step(v0_full, vm1_full, s1, f1):
@@ -425,7 +451,7 @@ class UnsteadyStokes:
         (times aligned with traj), accumulating parameter gradients.
         Returns (w at traj[0], gtheta, iters in reverse order)."""
         p, th = self.problem, self.theta
-        pc_setup, pc_apply = p.make_pc(adjoint=True)
+        pc_setup, pc_apply = self._saddle_pc(adjoint=True)
         zero_p = jnp.zeros(p.grid.dims, traj[-1].dtype)
         its = []
         for k in range(len(traj) - 1, 0, -1):

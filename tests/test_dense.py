@@ -145,6 +145,36 @@ def test_dense_pc_adjoint_gradient_matches_nested():
     assert np.abs(gn - gd).max() / scale < 1e-5
 
 
+def test_dense_pc_unsteady_stokes_step_and_adjoint():
+    """StokesConfig.saddle_pc='dense' in the UnsteadyStokes integrator:
+    the fixed mass-shifted step operator is factored once; per-step outer
+    counts collapse and the trajectory + transient adjoint gradient match
+    the nested ('schur') PC."""
+    from spectral_tpu.models.stokes import StokesConfig
+    from spectral_tpu.models.stokes_unsteady import UnsteadyStokes
+
+    def run(saddle_pc):
+        cfg = StokesConfig(exact=1, boundary=0, pcvel="fastdiag",
+                           saddle_pc=saddle_pc,
+                           outer_ksp=KSPConfig(type="fgmres", rtol=1e-10,
+                                               max_it=300, restart=100))
+        m = UnsteadyStokes(Grid((10, 10)), cfg, dt=0.05, theta=0.5)
+        u0, s, f, u_t, _ = m.manufactured(omega=1.0)
+        times = np.arange(0.0, 0.25 + 1e-12, 0.05)
+        traj, _, its = m.rollout(u0, times, s, f, keep_trajectory=True)
+        g, _ = m.adjoint_gradient(
+            lambda vT: jnp.sum(vT * vT), traj, times, s, f)
+        return traj[-1], max(its), g
+
+    vs, its_s, gs = run("schur")
+    vd, its_d, gd = run("dense")
+    assert its_d <= 3 < its_s, (its_d, its_s)
+    assert float(jnp.max(jnp.abs(vs - vd))) < 1e-8
+    gsf = np.asarray(jax.flatten_util.ravel_pytree(gs)[0])
+    gdf = np.asarray(jax.flatten_util.ravel_pytree(gd)[0])
+    assert np.abs(gsf - gdf).max() / (np.abs(gsf).max() + 1e-30) < 1e-6
+
+
 def test_dense_pc_var_eta_raises():
     with pytest.raises(ValueError, match="dense"):
         ConvectionModel.unit_box(
