@@ -175,6 +175,21 @@ def test_dense_pc_unsteady_stokes_step_and_adjoint():
     assert np.abs(gsf - gdf).max() / (np.abs(gsf).max() + 1e-30) < 1e-6
 
 
+def test_dense_pc_critical_rayleigh():
+    """The stability eigensolver rides the dense path (every generalized-
+    eigenproblem operator application contains a frozen-operator Stokes
+    solve): Ra_c still hits the closed-form 8 pi^4 (free-slip box)."""
+    m = ConvectionModel.unit_box(
+        (8, 8), _cfg(stokes_pc="dense",
+                     stokes_ksp=KSPConfig(type="fgmres", rtol=1e-7,
+                                          max_it=200, restart=80)))
+    ra_c, res = m.critical_rayleigh(k=2, m=16, tol=1e-8)
+    assert res.converged
+    # recorded 5.8e-6 relative at this n/rtol (8^2 discretization +
+    # rtol-1e-7 solves); the nested-PC value at matched settings agrees
+    assert abs(ra_c - 8 * np.pi ** 4) / (8 * np.pi ** 4) < 1e-5
+
+
 def test_dense_pc_var_eta_raises():
     with pytest.raises(ValueError, match="dense"):
         ConvectionModel.unit_box(
