@@ -44,24 +44,8 @@ def assemble_dense(apply_tree, example, *, block: int = 1024):
       (A, unravel): ``A`` a host ``np.ndarray`` (n, n) with A[i, j] =
       (A e_j)_i, and the ``ravel_pytree`` unravel for the ordering.
     """
-    flat0, unravel = ravel_pytree(example)
-    n = int(flat0.shape[0])
-    dtype = flat0.dtype
-
-    @jax.jit
-    def apply_block(idx):
-        E = jax.nn.one_hot(idx, n, dtype=dtype)
-        return jax.vmap(
-            lambda e: ravel_pytree(apply_tree(unravel(e)))[0])(E)
-
-    rows = []
-    for s in range(0, n, block):
-        # fixed block size (cyclic pad) so every dispatch shares one
-        # compiled executable; surplus rows are dropped after the fetch
-        idx = (np.arange(s, s + block) % n).astype(np.int32)
-        out = np.asarray(apply_block(jnp.asarray(idx)))
-        rows.append(out[: min(block, n - s)])
-    return np.concatenate(rows, axis=0).T, unravel
+    A, unravel = assemble_dense_device(apply_tree, example, block=block)
+    return np.asarray(A), unravel
 
 
 def assemble_dense_device(apply_tree, example, *, block: int = 1024):
@@ -83,6 +67,8 @@ def assemble_dense_device(apply_tree, example, *, block: int = 1024):
 
     rows = []
     for s in range(0, n, block):
+        # fixed block size (cyclic pad) so every dispatch shares one
+        # compiled executable; surplus rows are dropped after the fetch
         idx = jnp.asarray((np.arange(s, s + block) % n).astype(np.int32))
         rows.append(apply_block(idx)[: min(block, n - s)])
     return jnp.concatenate(rows, axis=0).T, unravel
