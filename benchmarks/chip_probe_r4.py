@@ -7,8 +7,12 @@ a mid-run outage still leaves evidence.
 """
 
 import json
+import os
 import sys
 import time
+
+# runnable from anywhere: the repo root carries bench.py and the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 out = {}
 
