@@ -252,6 +252,50 @@ def bench_poisson64(rtol=1e-10, prefer_fused=None):
     return t1, t2, out.inner_iters, out.rnorm / bnorm, err
 
 
+def bench_poisson64_fused(rtol=1e-10):
+    """poisson64 via refine_solve_fused: the whole f64-residual/f32-GMRES
+    loop in ONE compiled dispatch (device f64 D^2 residual, TPU-emulated)
+    vs one dispatch + two 64^3 transfers per refine step in the host
+    path."""
+    import jax.numpy as jnp
+
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.poisson import PoissonModel
+    from spectral_tpu.ops.chebyshev import diffmat_np
+    from spectral_tpu.solvers.krylov import KSPConfig
+    from spectral_tpu.solvers.refinement import refine_solve_fused
+
+    g = Grid((64, 64, 64))
+    m = PoissonModel(g)
+    u64 = np.prod(np.cos(0.5 * np.pi * g.coords_np), axis=-1)
+    f64v = 3.0 * (0.5 * np.pi) ** 2 * u64
+    bh = np.where(g.boundary_mask_np, u64, f64v)
+    ksp = KSPConfig(type="gmres", rtol=1e-6, max_it=60, restart=30)
+    M = m.build_pc("fastdiag")
+    bm = g.boundary_mask_np
+    D2T = (diffmat_np(64) @ diffmat_np(64)).T.copy()
+
+    def A_hi_dev(x):   # f64 numpy constants keep their dtype under x64
+        y = jnp.zeros_like(x)
+        for ax in range(3):
+            z = jnp.moveaxis(x, ax, -1)
+            w = jnp.matmul(z.reshape(-1, 64), D2T,
+                           precision=jax.lax.Precision.HIGHEST)
+            y = y - jnp.moveaxis(w.reshape(z.shape), -1, ax)
+        return jnp.where(bm, x, y)
+
+    def inner(r32):
+        res = ksp.solve(m.operator, r32, M=M)
+        return res.x, res.iters
+
+    out, t1, t2 = _timed_twice(
+        lambda: refine_solve_fused(A_hi_dev, inner, bh,
+                                   rtol=rtol, max_refine=8))
+    err = float(np.max(np.abs(np.asarray(out.x) - u64)))
+    bnorm = float(np.linalg.norm(np.asarray(bh)))
+    return t1, t2, out.inner_iters, out.rnorm / bnorm, err
+
+
 def bench_elliptic32(rtol=1e-10):
     """Nonlinear elliptic 32^3 (eta = 1 + u^2) to rtol 1e-10 by f32 Newton +
     f64 defect correction — the reference's accuracy regime with all device
@@ -297,6 +341,29 @@ def bench_stokes20_linear():
     err = max(float(np.max(np.abs(x["v"] - p.exact_v_np))),
               float(np.max(np.abs(dp))))
     return (t1, t2, outer, info["refine_inner_iters"],
+            info["rel_residual"], err)
+
+
+def bench_stokes20_fused():
+    """stokes20_linear via the DEVICE-FUSED defect correction
+    (StokesProblem.solve_refined_fused): the whole {f64 residual ->
+    f32 saddle Krylov -> f64 update} loop is ONE compiled dispatch
+    (f64 TPU-emulated), vs one dispatch + transfers per refine step in
+    the host-loop path.  PROBE_r04 measured the host path at 174 ms
+    device-busy vs 6.2 s wall on this tunnel — this entry measures how
+    much of that gap the fusion closes."""
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.stokes import StokesConfig, StokesProblem
+
+    p = StokesProblem(Grid((20, 20, 20)), StokesConfig(exact=2, cont0=1))
+    (x, info), t1, t2 = _timed_twice(
+        lambda: p.solve_refined_fused(rtol=1e-10))
+    pm = np.asarray(p.p_mask)
+    dp = np.where(pm, x["p"] - p.exact_p_np, 0.0)
+    dp -= np.where(pm, dp.sum() / pm.sum(), 0.0)
+    err = max(float(np.max(np.abs(x["v"] - p.exact_v_np))),
+              float(np.max(np.abs(dp))))
+    return (t1, t2, info["refine_steps"], info["refine_inner_iters"],
             info["rel_residual"], err)
 
 
@@ -747,6 +814,34 @@ def main():
         print(json.dumps(out), flush=True)
 
     emit()  # checkpoint: required matrix complete
+
+    try:
+        elapsed = time.perf_counter() - t_start
+        if elapsed > 540:
+            raise RuntimeError("skipped: bench time budget exhausted")
+        gt1, gt2, gsteps, ginner, grel, gerr = bench_stokes20_fused()
+        extra.update({
+            **_split_keys("stokes20_fused", gt1, gt2),
+            "stokes20_fused_refine_steps": int(gsteps),
+            "stokes20_fused_inner_iters": int(ginner),
+            "stokes20_fused_rel_residual": grel,
+            "stokes20_fused_max_err": gerr,
+        })
+    except Exception as e:
+        extra["stokes20_fused_error"] = str(e)[:200]
+    try:
+        if time.perf_counter() - t_start > 560:
+            raise RuntimeError("skipped: bench time budget exhausted")
+        qt1, qt2, qits, qrel, qerr = bench_poisson64_fused()
+        extra.update({
+            **_split_keys("poisson64_fused", qt1, qt2),
+            "poisson64_fused_inner_iters": int(qits),
+            "poisson64_fused_rel_residual": qrel,
+            "poisson64_fused_max_err": qerr,
+        })
+    except Exception as e:
+        extra["poisson64_fused_error"] = str(e)[:200]
+    emit()
 
     try:
         elapsed = time.perf_counter() - t_start

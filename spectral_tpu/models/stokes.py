@@ -28,7 +28,9 @@ stokes.C:772-938):
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
+import functools
 import math
 from functools import cached_property
 from typing import Any, Callable, Optional
@@ -1249,43 +1251,79 @@ class StokesProblem:
     def make_residual_np(self, params: PowerLawParams):
         """Host float64 Stokes residual (numpy transforms), mirroring
         make_residual; the high-precision side of solve_refined."""
-        from spectral_tpu.ops.chebyshev import chebdiff_np
+        return self._make_residual_hi(params, backend="np")
+
+    def make_residual_dev64(self, params: PowerLawParams):
+        """DEVICE float64 Stokes residual (same algorithm/data as the host
+        f64 residual, jnp ops on TPU-emulated f64).  Requires
+        jax_enable_x64; jittable — the high-precision side of the FUSED
+        defect-correction solve (solve_refined_fused), which runs the whole
+        refinement loop in one compiled program instead of one host round
+        trip per refine step."""
+        return self._make_residual_hi(params, backend="jnp")
+
+    def _make_residual_hi(self, params: PowerLawParams, backend: str):
+        from spectral_tpu.ops.chebyshev import chebdiff, chebdiff_np
         from spectral_tpu.ops.extrapolation import _reduce_matrix_np
 
         g, d, cfg = self.grid, self.d, self.config
+        if backend == "np":
+            xp = np
+            diff = chebdiff_np
+            apply_w = g.apply_dif_weight_np
+            # f64 master copies (never the jnp arrays: those are f32 in
+            # production mode and would put this residual on an f32 data
+            # floor)
+            A = lambda a: np.asarray(a, np.float64)
+            mm = lambda a, b: a @ b
+            es = np.einsum
+        else:
+            if not jax.config.jax_enable_x64:
+                raise ValueError(
+                    "make_residual_dev64 needs jax_enable_x64 (wrap in "
+                    "jax.experimental.enable_x64() or enable globally)")
+            xp = jnp
+            diff = lambda u, ax: chebdiff(u, axis=ax, method="matmul")
+            apply_w = g.apply_dif_weight
+            # f64 DEVICE copies of the same f64 masters
+            A = lambda a: jnp.asarray(np.asarray(a, np.float64))
+            mm = functools.partial(jnp.matmul,
+                                   precision=jax.lax.Precision.HIGHEST)
+            es = functools.partial(jnp.einsum,
+                                   precision=jax.lax.Precision.HIGHEST)
         vel_mask = np.asarray(self.vel_mask)
         p_mask = np.asarray(self.p_mask)
         dmask = np.asarray(self.dirichlet_mask)
         nm = np.asarray(self.nm_mask)
         mixed = np.asarray(self.mixed_mask)
-        normal = self.normal_np
-        onehot = np.asarray(self.in_onehot)
-        Jinv = None if self.cmap is None else self.cmap.Jinv
-        CT = None if self.cmap is None else self.cmap.cofactor
-        detJ = None if self.cmap is None else self.cmap.detJ
-        # f64 master copies (never the jnp arrays: those are f32 in
-        # production mode and would put this residual on an f32 data floor)
-        alpha = self.alpha_np
-        bc_vel = self.bc_vel_np
-        bc_vnormal = self.bc_vnormal_np
+        normal = A(self.normal_np)
+        onehot = A(self.in_onehot)
+        Jinv = None if self.cmap is None else A(self.cmap.Jinv)
+        CT = None if self.cmap is None else A(self.cmap.cofactor)
+        detJ = None if self.cmap is None else A(self.cmap.detJ)
+        alpha = A(self.alpha_np)
+        bc_vel = A(self.bc_vel_np)
+        bc_vnormal = A(self.bc_vnormal_np)
         neumann = np.asarray(self.neumann_mask)
-        E = [_reduce_matrix_np(tuple(float(v) for v in g.nodes_1d[ax]))
-             for ax in range(d)]
+        force_v = A(self.force_np["v"])
+        force_p = A(self.force_np["p"])
+        E_T = [A(_reduce_matrix_np(tuple(float(v) for v in g.nodes_1d[ax])).T)
+               for ax in range(d)]
 
-        def rheology_np(gamma):
+        def rheology_hi(gamma):
             if cfg.rheology in (0, "linear"):
-                return np.ones_like(gamma), np.zeros_like(gamma)
+                return xp.ones_like(gamma), xp.zeros_like(gamma)
             n = params.exponent
             p = (1.0 - n) / (2.0 * n)
             base = params.regularization + gamma / params.gamma0
             eta = params.hardness * base**p
             deta = (params.hardness * p / params.gamma0 * base ** (p - 1.0)
-                    if abs(n) > 1e-5 else np.zeros_like(gamma))
+                    if abs(n) > 1e-5 else xp.zeros_like(gamma))
             return eta, deta
 
         def reduce_order(p):
             for ax in reversed(range(d)):
-                p = np.moveaxis(np.moveaxis(p, ax, -1) @ E[ax].T, -1, ax)
+                p = xp.moveaxis(mm(xp.moveaxis(p, ax, -1), E_T[ax]), -1, ax)
             return p
 
         def recover(v):
@@ -1293,60 +1331,57 @@ class StokesProblem:
             if self.num_mixed == 0:
                 return v
             v_excl = v * (1.0 - onehot)
-            num = np.sum(v_excl * normal, axis=-1, keepdims=True)
+            num = xp.sum(v_excl * normal, axis=-1, keepdims=True)
             num = num - bc_vnormal[..., None]
-            n_in = np.sum(normal * onehot, axis=-1, keepdims=True)
-            vin = -num / np.where(np.abs(n_in) > 1e-14, n_in, 1.0)
-            return np.where(mixed[..., None], v_excl + onehot * vin, v)
+            n_in = xp.sum(normal * onehot, axis=-1, keepdims=True)
+            vin = -num / xp.where(xp.abs(n_in) > 1e-14, n_in, 1.0)
+            return xp.where(mixed[..., None], v_excl + onehot * vin, v)
 
         def residual(x):
-            vL = recover(np.where(vel_mask, x["v"], 0.0))
-            vL = np.where(dmask[..., None], bc_vel, vL)
-            G = np.stack([g.apply_dif_weight_np(chebdiff_np(vL, j), j)
-                          for j in range(d)], axis=-2)
+            vL = recover(xp.where(vel_mask, x["v"], 0.0))
+            vL = xp.where(dmask[..., None], bc_vel, vL)
+            G = xp.stack([apply_w(diff(vL, j), j) for j in range(d)], axis=-2)
             if Jinv is not None:
-                G = np.einsum("...lj,...lk->...jk", Jinv, G)
-            S = 0.5 * (G + np.swapaxes(G, -1, -2))
-            gamma = 0.5 * np.sum(S * S, axis=(-1, -2))
-            eta, deta = rheology_np(gamma)
+                G = es("...lj,...lk->...jk", Jinv, G)
+            S = 0.5 * (G + xp.swapaxes(G, -1, -2))
+            gamma = 0.5 * xp.sum(S * S, axis=(-1, -2))
+            eta, deta = rheology_hi(gamma)
             flux = eta[..., None, None] * S
-            tflux = flux if CT is None else np.einsum("...lj,...jk->...lk",
-                                                      CT, flux)
-            yv = np.zeros_like(vL)
+            tflux = flux if CT is None else es("...lj,...jk->...lk", CT, flux)
+            yv = xp.zeros_like(vL)
             for j in range(d):
-                yv -= g.apply_dif_weight_np(
-                    chebdiff_np(tflux[..., j, :], j), j)
+                yv = yv - apply_w(diff(tflux[..., j, :], j), j)
             if detJ is not None:
                 yv = yv / detJ[..., None]
             if self.num_mixed:
-                traction = np.einsum("...jk,...k->...j", flux, normal)
+                traction = es("...jk,...k->...j", flux, normal)
                 load = cfg.scaleN * traction + alpha[..., None] * vL
                 rows = cfg.scaleM * load
                 if self.mixed_tang:
-                    tang = load - np.sum(load * normal, axis=-1,
+                    tang = load - xp.sum(load * normal, axis=-1,
                                          keepdims=True) * normal
-                    rows = np.where(mixed[..., None],
+                    rows = xp.where(mixed[..., None],
                                     cfg.scaleM * tang, rows)
-                yv = np.where(nm[..., None], rows, yv)
-            pL = reduce_order(np.where(p_mask, x["p"], 0.0))
-            gp = np.stack([g.apply_dif_weight_np(chebdiff_np(pL, i), i)
-                           for i in range(d)], axis=-1)
+                yv = xp.where(nm[..., None], rows, yv)
+            pL = reduce_order(xp.where(p_mask, x["p"], 0.0))
+            gp = xp.stack([apply_w(diff(pL, i), i) for i in range(d)],
+                          axis=-1)
             if Jinv is not None:
-                gp = np.einsum("...li,...l->...i", Jinv, gp)
-            gp = np.where(nm[..., None], 0.0, gp)
+                gp = es("...li,...l->...i", Jinv, gp)
+            gp = xp.where(nm[..., None], 0.0, gp)
             if cfg.traction_p and self.num_neumann > 0:
                 # pressure's share of the physical traction on Neumann rows
                 # (mirrors pressure_gradient's -traction_p branch)
                 rows = cfg.scaleM * cfg.scaleN * (-pL[..., None] * normal)
-                gp = np.where(neumann[..., None], rows, gp)
-            Fv = np.where(vel_mask, yv + gp, 0.0) - self.force_np["v"]
-            w = vL if CT is None else np.einsum("...li,...i->...l", CT, vL)
-            div = np.zeros(g.dims)
+                gp = xp.where(neumann[..., None], rows, gp)
+            Fv = xp.where(vel_mask, yv + gp, 0.0) - force_v
+            w = vL if CT is None else es("...li,...i->...l", CT, vL)
+            div = xp.zeros(g.dims, np.float64)
             for i in range(d):
-                div += g.apply_dif_weight_np(chebdiff_np(w[..., i], i), i)
+                div = div + apply_w(diff(w[..., i], i), i)
             if detJ is not None:
                 div = div / detJ
-            Fp = np.where(p_mask, div, 0.0) - self.force_np["p"]
+            Fp = xp.where(p_mask, div, 0.0) - force_p
             return {"v": Fv, "p": Fp}
 
         return residual
@@ -1414,6 +1449,156 @@ class StokesProblem:
                 np.vdot(v, v).real for v in project_np(residual_hi(x)).values()))))
         info = {"continuation": results, "refine_history": hist,
                 "refine_inner_iters": inner, "rel_residual": hist[-1] / bnorm}
+        return x, info
+
+    def _fused_refine_run(self, max_refine: int):
+        """Build (and cache) the ONE-dispatch defect-correction program:
+        lax.while_loop{ f64 residual (make_residual_dev64, TPU-emulated
+        f64) -> f32 saddle Krylov solve -> f64 update } entirely inside a
+        single jit.  The host-loop solve_refined pays one jit dispatch plus
+        several device<->host transfers PER refine step; on the tunneled
+        v5e each round trip costs ~25-30 ms while the kernels cost ~1 ms
+        (PROFILE_r03.json), so fusing the loop removes the dominant cost of
+        the reference's rtol 1e-10 headline regime (README:43)."""
+        cache = self.__dict__.setdefault("_fused_run_cache", {})
+        if max_refine in cache:
+            return cache[max_refine]
+        cfg = self.config
+        params = self.params_at(cfg.cont)
+        residual_lo = self.make_residual(params)
+        pc_setup, pc_apply = self.make_pc()
+        ksp32 = self._dtype_ksp(cfg.outer_ksp)
+        p_mask = np.asarray(self.p_mask)
+        count = float(self.grid.num_interior)
+        has_null = self.has_p_null
+
+        # Materialize every cached f32 structure (fastdiag eigenvectors, MG
+        # stencils, ...) BEFORE entering the x64 scope: cached_property
+        # builders create jnp constants with the AMBIENT dtype semantics, so
+        # a first touch under x64 would bake emulated-f64 factors into the
+        # process-wide caches and poison every later f32 solve.  eval_shape
+        # runs the full Python trace (building all caches) with zero device
+        # compute.
+        def _prewarm(xv, xp_):
+            x32 = {"v": xv, "p": xp_}
+            _, lin_state = residual_lo(x32)
+            pc_state = (pc_setup(x32, lin_state)
+                        if pc_setup is not None else None)
+            return ksp32.solve(
+                lambda w: self.jacobian_action(x32, lin_state, w),
+                {"v": xv, "p": xp_},
+                M=((lambda z: pc_apply(pc_state, z))
+                   if pc_apply is not None else None),
+                null_project=self.null_project).x
+
+        jax.eval_shape(
+            _prewarm,
+            jax.ShapeDtypeStruct(self.grid.dims + (self.d,), jnp.float32),
+            jax.ShapeDtypeStruct(self.grid.dims, jnp.float32))
+
+        with (jax.enable_x64(True) if not jax.config.jax_enable_x64
+              else contextlib.nullcontext()):
+            residual_hi = self.make_residual_dev64(params)
+
+        def project64(t):
+            p = jnp.where(p_mask, t["p"], 0.0)
+            if not has_null:   # -traction_p pins the constant (see
+                return {"v": t["v"], "p": p}   # solve_refined.project_np)
+            return {"v": t["v"],
+                    "p": p - jnp.where(p_mask, jnp.sum(p) / count, 0.0)}
+
+        def tnorm(t):
+            return jnp.sqrt(sum(jnp.vdot(a, a).real for a in t.values()))
+
+        f32 = lambda t: jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32), t)
+
+        @jax.jit
+        def run(xv0, xp0, tol):
+            def rnorm_of(x):
+                r = project64(residual_hi(x))
+                return r, tnorm(r)
+
+            def cond(c):
+                _, _, rnorm, k, _, _ = c
+                return (k < max_refine) & (rnorm > tol) & jnp.isfinite(rnorm)
+
+            def body(c):
+                x, r, rnorm, k, inner, hist = c
+                x32 = f32(x)
+                _, lin_state = residual_lo(x32)
+                pc_state = (pc_setup(x32, lin_state)
+                            if pc_setup is not None else None)
+                out = ksp32.solve(
+                    lambda w: self.jacobian_action(x32, lin_state, w),
+                    f32(r),
+                    M=((lambda z: pc_apply(pc_state, z))
+                       if pc_apply is not None else None),
+                    null_project=self.null_project)
+                # trace-time guard: the inner Krylov must STAY f32 under
+                # x64 (a silent weak-type promotion would run the whole
+                # saddle solve in emulated f64)
+                assert out.x["v"].dtype == jnp.float32
+                assert out.x["p"].dtype == jnp.float32
+                x = {"v": x["v"] - out.x["v"].astype(jnp.float64),
+                     "p": x["p"] - out.x["p"].astype(jnp.float64)}
+                r, rnorm = rnorm_of(x)
+                hist = hist.at[k + 1].set(rnorm)
+                return x, r, rnorm, k + 1, inner + out.iters, hist
+
+            x0 = {"v": xv0, "p": xp0}
+            r0, rn0 = rnorm_of(x0)
+            hist0 = jnp.full((max_refine + 1,), -1.0,
+                             jnp.float64).at[0].set(rn0)
+            x, r, rnorm, k, inner, hist = jax.lax.while_loop(
+                cond, body, (x0, r0, rn0, jnp.asarray(0, jnp.int32),
+                             jnp.asarray(0, jnp.int32), hist0))
+            return x["v"], x["p"], rnorm, k, inner, hist
+
+        cache[max_refine] = run
+        return run
+
+    def solve_refined_fused(self, *, rtol: float = 1e-10,
+                            max_refine: int = 10, monitor: bool = False):
+        """solve_refined with the ENTIRE refinement stage device-resident:
+        one compiled dispatch for the loop of {f64 residual, f32 saddle
+        Krylov, f64 update} instead of a host round trip per refine step
+        (see _fused_refine_run).  Linear rheology starts the loop from
+        zero (the first pass IS the f32 solve, so no separate continuation
+        stage runs at all — the full rtol-1e-10 solve is ONE dispatch);
+        power-law runs the f32 Newton/continuation first, exactly like
+        solve_refined, then fuses the refinement.  Returns
+        (x_np_f64_pytree, info) with solve_refined's info keys."""
+        cfg = self.config
+        linear = cfg.rheology in (0, "linear")
+        results = []
+        if not linear:
+            results = self.solve_continuation(monitor=monitor,
+                                              clamp_f32=True)
+        bnorm = max(float(np.sqrt(sum(np.vdot(v, v).real
+                                      for v in self.force_np.values()))),
+                    1e-300)
+        # build (incl. the f32-cache prewarm) OUTSIDE the x64 scope — only
+        # the f64 inputs and the compiled-call itself need x64 semantics
+        run = self._fused_refine_run(max_refine)
+        ctx = (contextlib.nullcontext() if jax.config.jax_enable_x64
+               else jax.enable_x64(True))
+        with ctx:
+            if results:
+                xv0 = jnp.asarray(np.asarray(results[-1].x["v"], np.float64))
+                xp0 = jnp.asarray(np.asarray(results[-1].x["p"], np.float64))
+            else:
+                xv0 = jnp.zeros(self.grid.dims + (self.d,), jnp.float64)
+                xp0 = jnp.zeros(self.grid.dims, jnp.float64)
+            xv, xpp, rnorm, k, inner, hist = jax.device_get(
+                run(xv0, xp0, jnp.asarray(rtol * bnorm, jnp.float64)))
+        x = {"v": np.asarray(xv, np.float64),
+             "p": np.asarray(xpp, np.float64)}
+        info = {"continuation": results,
+                "refine_history": [float(h) for h in hist if h >= 0.0],
+                "refine_steps": int(k),
+                "refine_inner_iters": int(inner),
+                "rel_residual": float(rnorm) / bnorm}
         return x, info
 
     # ------------------------------------------------------------------

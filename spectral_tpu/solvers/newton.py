@@ -202,7 +202,10 @@ def newton_solve(
             ok = jnp.isfinite(fnn)
         else:
             xn, Fn, lstn, fnn, ok = _line_search_bt(residual_fn, x, dx, fnorm, config)
-        return xn, Fn, lstn, fnn, ok, dxnorm, lres.iters, lres.history, U
+        # xnorm computed IN the step: an eager _norm(x) on the host loop is
+        # several op-by-op dispatches per Newton iteration, which on the
+        # tunneled TPU (~25 ms/dispatch) dominates small-grid solve time
+        return xn, Fn, lstn, fnn, ok, dxnorm, _norm(xn), lres.iters, lres.history, U
 
     x = x0
     F, lin_state = residual_jit(x)
@@ -266,19 +269,22 @@ def newton_solve(
             eta_prev = lin_rtol
         fnorm_prev = float(fnorm)
 
-        x, F, lin_state, fnorm, ok, dxnorm, kits, khist, U = newton_step(
+        x, F, lin_state, fnorm, ok, dxnorm, xnorm_d, kits, khist, U = newton_step(
             x, F, lin_state, fnorm, U,
             jnp.asarray(lin_rtol, jnp.result_type(float)),
             pc_state_lagged)
+        # ONE host transfer for every per-iteration scalar (vs one blocking
+        # round trip per float(...) through the tunnel)
+        fnorm, ok, dxnorm, xnorm, kits, khist = jax.device_get(
+            (fnorm, ok, dxnorm, xnorm_d, kits, khist))
         ksp_iters.append(int(kits))
-        ksp_history_last = [float(v) for v in np.asarray(khist) if v >= 0.0]
+        ksp_history_last = [float(v) for v in khist if v >= 0.0]
         hist.append(float(fnorm))
         if config.line_search != "basic" and not bool(ok):
             newton_its = it + 1
             reason = int(ConvergedReason.DIVERGED_LINE_SEARCH)
             break
-        xnorm = float(_norm(x))
-        if float(dxnorm) <= config.stol * max(xnorm, 1e-30):
+        if float(dxnorm) <= config.stol * max(float(xnorm), 1e-30):
             newton_its = it + 1
             reason = int(ConvergedReason.CONVERGED_SNORM_RELATIVE)
             break
@@ -350,8 +356,9 @@ def newton_tr_solve(
         Ft, lst = residual_fn(xt)
         fnt = _norm(Ft)
         ared = 0.5 * (fnorm ** 2 - fnt ** 2)
+        # xnorm in the step (not an eager host-loop _norm: dispatches)
         return (xt, Ft, lst, fnt, snorm, dxnorm, pred, ared,
-                lres.iters, lres.history)
+                _norm(xt), lres.iters, lres.history)
 
     x = x0
     F, lin_state = residual_jit(x)
@@ -382,10 +389,14 @@ def newton_tr_solve(
             reason = int(ConvergedReason.DIVERGED_ITS)
             break
 
-        xt, Ft, lst, fnt, snorm, dxnorm, pred, ared, kits, khist = tr_step(
-            x, F, lin_state, fnorm, jnp.asarray(delta, jnp.result_type(float)))
+        xt, Ft, lst, fnt, snorm, dxnorm, pred, ared, xtn, kits, khist = \
+            tr_step(x, F, lin_state, fnorm,
+                    jnp.asarray(delta, jnp.result_type(float)))
+        # ONE host transfer for all the per-iteration controller scalars
+        fnt, snorm, dxnorm, pred, ared, xtn, kits, khist = jax.device_get(
+            (fnt, snorm, dxnorm, pred, ared, xtn, kits, khist))
         ksp_iters.append(int(kits))
-        ksp_history_last = [float(v) for v in np.asarray(khist) if v >= 0.0]
+        ksp_history_last = [float(v) for v in khist if v >= 0.0]
         pred_f, ared_f = float(pred), float(ared)
         rho = ared_f / pred_f if pred_f > 0 else -1.0
         at_boundary = float(snorm) >= 0.999 * delta and float(dxnorm) > delta
@@ -396,12 +407,12 @@ def newton_tr_solve(
         if rho > eta1 and np.isfinite(float(fnt)):
             x, F, lin_state, fnorm = xt, Ft, lst, fnt
             hist.append(float(fnorm))
-            xnorm = float(_norm(x))
+            xnorm = float(xtn)
             if float(snorm) <= config.stol * max(xnorm, 1e-30):
                 newton_its = it + 1
                 reason = int(ConvergedReason.CONVERGED_SNORM_RELATIVE)
                 break
-        elif delta <= 1e-12 * max(float(_norm(x)), 1.0):
+        elif delta <= 1e-12 * max(float(xtn), 1.0):
             newton_its = it + 1
             reason = int(ConvergedReason.DIVERGED_TR_DELTA)
             break
@@ -517,7 +528,7 @@ def quasi_newton_solve(
         S = jnp.where(good, S.at[idxn].set(s), S)
         Y = jnp.where(good, Y.at[idxn].set(sigma_n * y), Y)
         k = jnp.where(good, k + 1, k)
-        return xn, Fn, lin_n, fnn, ok, _norm(s), S, Y, k, sigma_n
+        return xn, Fn, lin_n, fnn, ok, _norm(s), _norm(xn), S, Y, k, sigma_n
 
     Ff, lin = residual_flat(xf)
     fnorm = _norm(Ff)
@@ -545,8 +556,11 @@ def quasi_newton_solve(
         if it == config.max_it:
             reason = int(ConvergedReason.DIVERGED_ITS)
             break
-        xf_n, Ff_n, lin_n, fnorm_n, ok, snorm, S_n, Y_n, k_n, sigma_n = qn_step(
-            xf, Ff, lin, fnorm, S, Y, k, sigma)
+        (xf_n, Ff_n, lin_n, fnorm_n, ok, snorm, xfn_n, S_n, Y_n, k_n,
+         sigma_n) = qn_step(xf, Ff, lin, fnorm, S, Y, k, sigma)
+        # one host transfer for the controller scalars (tunnel round trips)
+        fnorm_n, ok, snorm, xfn_n = jax.device_get(
+            (fnorm_n, ok, snorm, xfn_n))
         if config.line_search != "basic" and not bool(ok):
             # line-search failure: the secant memory has gone stale/indefinite
             # — RESTART it (PETSc -snes_qn_restart_type) and retry from the
@@ -564,7 +578,7 @@ def quasi_newton_solve(
         xf, Ff, lin, fnorm, S, Y, k, sigma = (
             xf_n, Ff_n, lin_n, fnorm_n, S_n, Y_n, k_n, sigma_n)
         hist.append(float(fnorm))
-        if float(snorm) <= config.stol * max(float(_norm(xf)), 1e-30):
+        if float(snorm) <= config.stol * max(float(xfn_n), 1e-30):
             its = it + 1
             reason = int(ConvergedReason.CONVERGED_SNORM_RELATIVE)
             break

@@ -11,7 +11,9 @@ cost stays close to a single f32 solve.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
+import functools
 from typing import Any, Callable
 
 import jax
@@ -85,3 +87,94 @@ def refine_solve(A_hi: Callable, inner_solve: Callable, b, *,
         x = jax.tree_util.tree_map(lambda xi, di: xi + np.asarray(di, np.float64),
                                    x, dx)
     return RefineResult(x, steps, inner_total, reason, hist[-1], hist)
+
+
+@functools.lru_cache(maxsize=32)
+def _fused_refine_program(A_hi: Callable, inner_solve: Callable,
+                          max_refine: int):
+    """ONE-dispatch defect correction: the whole {f64 device residual ->
+    f32 inner solve -> f64 update} loop inside a single jit under x64
+    (TPU f64 is emulated but the residual is one operator apply per step,
+    a negligible share of the inner Krylov work).  Cached per
+    (A_hi, inner_solve, max_refine) so warm re-solves reuse the
+    executable.  On the tunneled v5e the host-loop refine_solve pays one
+    dispatch + f64<->f32 transfers PER refine step (~25-30 ms each,
+    PROFILE_r03.json) — this pays one for the whole solve."""
+
+    @jax.jit
+    def run(x0, b, tol):
+        to32 = lambda t: jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32), t)
+
+        def rnorm_of(x):
+            r = jax.tree_util.tree_map(lambda bi, ai: bi - ai, b, A_hi(x))
+            leaves = jax.tree_util.tree_leaves(r)
+            return r, jnp.sqrt(sum(jnp.vdot(l, l).real for l in leaves))
+
+        def cond(c):
+            _, _, rnorm, k, _, _ = c
+            return (k < max_refine) & (rnorm > tol) & jnp.isfinite(rnorm)
+
+        def body(c):
+            x, r, rnorm, k, inner, hist = c
+            dx, iters = inner_solve(to32(r))
+            # trace-time guard: the inner solver must STAY f32 under x64
+            for leaf in jax.tree_util.tree_leaves(dx):
+                assert leaf.dtype == jnp.float32, leaf.dtype
+            x = jax.tree_util.tree_map(
+                lambda xi, di: xi + di.astype(jnp.float64), x, dx)
+            r, rnorm = rnorm_of(x)
+            hist = hist.at[k + 1].set(rnorm)
+            return x, r, rnorm, k + 1, inner + iters, hist
+
+        r0, rn0 = rnorm_of(x0)
+        hist0 = jnp.full((max_refine + 1,), -1.0, jnp.float64).at[0].set(rn0)
+        x, r, rnorm, k, inner, hist = jax.lax.while_loop(
+            cond, body, (x0, r0, rn0, jnp.asarray(0, jnp.int32),
+                         jnp.asarray(0, jnp.int32), hist0))
+        return x, rnorm, k, inner, hist
+
+    return run
+
+
+def refine_solve_fused(A_hi: Callable, inner_solve: Callable, b, *,
+                       rtol: float = 1e-10, atol: float = 0.0,
+                       max_refine: int = 12, x0=None) -> RefineResult:
+    """refine_solve with the whole loop device-resident (see
+    _fused_refine_program).  Args mirror refine_solve, except A_hi must be
+    a JITTABLE f64 operator on DEVICE pytrees (capture f64 numpy constants
+    — they keep their dtype when traced under x64) and inner_solve must be
+    jittable f32 -> (dx32, iters).  Returns RefineResult with the same
+    semantics; total dispatches: one."""
+    b_np = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64), b)
+    bnorm = max(float(np.sqrt(sum(
+        np.vdot(l, l).real for l in jax.tree_util.tree_leaves(b_np)))),
+        1e-300)
+    tol = max(rtol * bnorm, atol)
+    # prewarm: materialize the f32 side's lazy caches (PC factors, ...)
+    # with the AMBIENT dtype semantics — first-touch under x64 would bake
+    # f64 constants into process-wide caches (see stokes._fused_refine_run)
+    jax.eval_shape(inner_solve, jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(np.shape(a), jnp.float32), b_np))
+    run = _fused_refine_program(A_hi, inner_solve, max_refine)
+    ctx = (contextlib.nullcontext() if jax.config.jax_enable_x64
+           else jax.enable_x64(True))
+    with ctx:
+        b64 = jax.tree_util.tree_map(jnp.asarray, b_np)
+        x0_64 = (jax.tree_util.tree_map(lambda a: jnp.zeros_like(a), b64)
+                 if x0 is None else
+                 jax.tree_util.tree_map(
+                     lambda a: jnp.asarray(np.asarray(a, np.float64)), x0))
+        x, rnorm, steps, inner, hist = jax.device_get(
+            run(x0_64, b64, jnp.asarray(tol, jnp.float64)))
+    hist_l = [float(h) for h in hist if h >= 0.0]
+    rnorm = float(rnorm)
+    if not np.isfinite(rnorm):
+        reason = int(ConvergedReason.DIVERGED_NANORINF)
+    elif rnorm <= tol:
+        reason = int(ConvergedReason.CONVERGED_RTOL)
+    else:
+        reason = int(ConvergedReason.DIVERGED_ITS)
+    return RefineResult(jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float64), x),
+        int(steps), int(inner), reason, rnorm, hist_l)

@@ -63,6 +63,64 @@ def test_refine_solve_reaches_f64_accuracy():
     assert out.refine_steps <= 6
 
 
+def test_refine_solve_fused_matches_host_loop():
+    """refine_solve_fused (whole loop in ONE jit, device f64 residual) ==
+    refine_solve on the 3-D Poisson problem: same steps, same inner
+    iterations, same solution to ~f64 roundoff."""
+    import jax
+    import jax.numpy as jnp
+
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.poisson import PoissonModel
+    from spectral_tpu.ops.chebyshev import diffmat_np
+    from spectral_tpu.solvers.krylov import KSPConfig
+    from spectral_tpu.solvers.refinement import refine_solve, refine_solve_fused
+
+    n = 16
+    g = Grid((n, n, n))
+    m = PoissonModel(g)
+    u64 = np.prod(np.cos(0.5 * np.pi * g.coords_np), axis=-1)
+    bh = np.where(g.boundary_mask_np, u64,
+                  3.0 * (0.5 * np.pi) ** 2 * u64)
+    ksp = KSPConfig(type="gmres", rtol=1e-6, max_it=60, restart=30)
+    M = m.build_pc("fastdiag")
+    bm = g.boundary_mask_np
+    D2T = (diffmat_np(n) @ diffmat_np(n)).T.copy()
+
+    def A_hi_host(x):
+        xn = np.asarray(x, np.float64)
+        y = np.zeros_like(xn)
+        for ax in range(3):
+            z = np.moveaxis(xn, ax, -1)
+            y -= np.moveaxis((z.reshape(-1, n) @ D2T).reshape(z.shape),
+                             -1, ax)
+        return np.where(bm, xn, y)
+
+    def A_hi_dev(x):
+        y = jnp.zeros_like(x)
+        for ax in range(3):
+            z = jnp.moveaxis(x, ax, -1)
+            w = jnp.matmul(z.reshape(-1, n), D2T,
+                           precision=jax.lax.Precision.HIGHEST)
+            y = y - jnp.moveaxis(w.reshape(z.shape), -1, ax)
+        return jnp.where(bm, x, y)
+
+    def inner(r32):
+        res = ksp.solve(m.operator, r32, M=M)
+        return res.x, res.iters
+
+    inner_jit = jax.jit(inner)
+    out = refine_solve(A_hi_host,
+                       lambda r: tuple(jax.device_get(inner_jit(r))),
+                       bh, rtol=1e-10, max_refine=8)
+    outf = refine_solve_fused(A_hi_dev, inner, bh, rtol=1e-10, max_refine=8)
+    assert outf.reason > 0, outf.reason_str()
+    assert outf.rnorm <= 1e-10 * np.linalg.norm(bh)
+    assert outf.refine_steps == out.refine_steps
+    assert np.max(np.abs(out.x - outf.x)) < 1e-11
+    assert np.max(np.abs(outf.x - u64)) < 1e-10
+
+
 def test_elliptic_defect_correction_newton():
     """Nonlinear mixed precision: f32 Newton + f64 defect correction reaches
     rtol 1e-10 with all device arithmetic in f32 (the TPU-practical route to
