@@ -221,6 +221,107 @@ class EllipticModel:
                 "rel_residual": hist[-1] / bnorm}
         return x, info
 
+    def solve_refined_fused(self, b_np, dirichlet_np, *,
+                            rtol: float = 1e-10, max_refine: int = 10,
+                            ksp: KSPConfig | None = None,
+                            newton: NewtonConfig | None = None,
+                            pc_type: str = "fastdiag"):
+        """solve_refined with the refinement stage DEVICE-RESIDENT: the
+        whole {f64 residual -> f32 Krylov -> f64 update} loop in ONE jit
+        under x64 (DESIGN sec. 20; same design as
+        StokesProblem.solve_refined_fused).  The device f64 residual IS
+        make_residual — it is dtype-generic, so tracing it on f64 inputs
+        under x64 gives the f64 form (matmul transform path forced: the
+        Pallas kernel is f32-only).  Returns (x_np_float64, info)."""
+        import contextlib
+
+        import numpy as np
+
+        g = self.grid
+        f32 = lambda a: jnp.asarray(np.asarray(a), jnp.float32)
+        ksp = ksp or KSPConfig(type="fgmres", rtol=1e-5, max_it=300)
+        newton = newton or NewtonConfig(rtol=1e-6, max_it=30)
+
+        # stage 1: plain f32 Newton (identical to solve_refined)
+        res32 = self.solve(f32(b_np), f32(dirichlet_np),
+                           ksp=ksp, newton=newton, pc_type=pc_type)
+        x0_np = np.asarray(res32.x, np.float64)
+        b64_np = np.asarray(b_np, np.float64)
+        d64_np = np.asarray(dirichlet_np, np.float64)
+        bnorm = max(float(np.linalg.norm(b64_np)), 1e-300)
+
+        cache = self.__dict__.setdefault("_fused_run_cache", {})
+        key = (pc_type, max_refine, str(ksp))
+        run = cache.get(key)
+        if run is None:
+            residual_lo = self.make_residual(f32(b_np), f32(dirichlet_np))
+            pc_setup, pc_apply = self.make_pc(pc_type)
+
+            def inner32(x32, r32):
+                _, lin_state = residual_lo(x32)
+                pc_state = pc_setup(x32, lin_state) if pc_setup else None
+                M = ((lambda r: pc_apply(pc_state, r))
+                     if pc_apply else None)
+                out = ksp.solve(
+                    lambda w: self.jacobian_action(x32, lin_state, w),
+                    r32, M=M)
+                return out.x, out.iters
+
+            # materialize the f32 PC caches with AMBIENT dtype semantics
+            # before entering x64 (cache-poisoning guard, DESIGN sec. 20)
+            spec = jax.ShapeDtypeStruct(g.dims, jnp.float32)
+            jax.eval_shape(inner32, spec, spec)
+
+            with (jax.enable_x64(True) if not jax.config.jax_enable_x64
+                  else contextlib.nullcontext()):
+                import dataclasses as _dc
+                m_hi = _dc.replace(self, method="matmul")  # Pallas is f32-only
+                residual_hi = m_hi.make_residual(
+                    jnp.asarray(b64_np), jnp.asarray(d64_np))
+
+            @jax.jit
+            def run(x0, tol):
+                def rnorm_of(x):
+                    F, _ = residual_hi(x)
+                    return F, jnp.sqrt(jnp.vdot(F, F).real)
+
+                def cond(c):
+                    _, _, rnorm, k, _, _ = c
+                    return ((k < max_refine) & (rnorm > tol)
+                            & jnp.isfinite(rnorm))
+
+                def body(c):
+                    x, F, rnorm, k, inner, hist = c
+                    dx, its = inner32(x.astype(jnp.float32),
+                                      F.astype(jnp.float32))
+                    assert dx.dtype == jnp.float32   # stays f32 under x64
+                    x = x - dx.astype(jnp.float64)
+                    F, rnorm = rnorm_of(x)
+                    hist = hist.at[k + 1].set(rnorm)
+                    return x, F, rnorm, k + 1, inner + its, hist
+
+                F0, rn0 = rnorm_of(x0)
+                hist0 = jnp.full((max_refine + 1,), -1.0,
+                                 jnp.float64).at[0].set(rn0)
+                x, F, rnorm, k, inner, hist = jax.lax.while_loop(
+                    cond, body, (x0, F0, rn0, jnp.asarray(0, jnp.int32),
+                                 jnp.asarray(0, jnp.int32), hist0))
+                return x, rnorm, k, inner, hist
+
+            cache[key] = run
+
+        with (jax.enable_x64(True) if not jax.config.jax_enable_x64
+              else contextlib.nullcontext()):
+            x, rnorm, k, inner, hist = jax.device_get(
+                run(jnp.asarray(x0_np),
+                    jnp.asarray(rtol * bnorm, jnp.float64)))
+        info = {"newton32": res32,
+                "refine_history": [float(h) for h in hist if h >= 0.0],
+                "refine_steps": int(k),
+                "refine_inner_iters": int(inner),
+                "rel_residual": float(rnorm) / bnorm}
+        return np.asarray(x, np.float64), info
+
     def jacobian_action(self, uG, lin_state, wG):
         """Frozen-coefficient Newton linearization (MatMult_Elliptic,
         elliptic.C:296-339): flux_j = eta dw_j + eta' w du0_j, y = -sum D_j flux_j,

@@ -138,6 +138,25 @@ def test_elliptic_defect_correction_newton():
     assert len(info["refine_history"]) <= 8
 
 
+def test_elliptic_fused_matches_host_loop():
+    """EllipticModel.solve_refined_fused (refinement stage in ONE jit,
+    device f64 residual = the dtype-generic make_residual on f64 inputs)
+    == solve_refined to ~f64 roundoff on the nonlinear problem."""
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.elliptic import EllipticModel
+
+    m = EllipticModel(Grid((14, 14)), gamma=1.0, exponent=2.0)
+    u64, b64, d64 = m.setup_problem_np(exact=0, cos_scale=1.0)
+    x, info = m.solve_refined(b64, d64, rtol=1e-10)
+    xf, infof = m.solve_refined_fused(b64, d64, rtol=1e-10)
+    assert infof["rel_residual"] <= 1e-10, infof["refine_history"]
+    assert np.max(np.abs(x - xf)) < 1e-12
+    assert np.max(np.abs(xf - u64)) < 1e-7   # 14^2 discretization error
+    # warm rerun hits the cached executable and agrees bitwise
+    xf2, _ = m.solve_refined_fused(b64, d64, rtol=1e-10)
+    assert np.max(np.abs(xf - xf2)) == 0.0
+
+
 def test_family_sweep_demo():
     import examples.family_sweep_demo as d
 
