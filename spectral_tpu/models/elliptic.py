@@ -250,15 +250,21 @@ class EllipticModel:
         d64_np = np.asarray(dirichlet_np, np.float64)
         bnorm = max(float(np.linalg.norm(b64_np)), 1e-300)
 
+        # Cache keyed on config ONLY — the problem data (b, dirichlet) are
+        # TRACED ARGUMENTS of the compiled program, so one executable serves
+        # every right-hand side / boundary data (and a second call with new
+        # data can never refine against the first problem's residual — the
+        # round-4 advisor's high-severity finding).
         cache = self.__dict__.setdefault("_fused_run_cache", {})
         key = (pc_type, max_refine, str(ksp))
         run = cache.get(key)
         if run is None:
-            residual_lo = self.make_residual(f32(b_np), f32(dirichlet_np))
             pc_setup, pc_apply = self.make_pc(pc_type)
+            import dataclasses as _dc
+            m_hi = _dc.replace(self, method="matmul")  # Pallas is f32-only
 
-            def inner32(x32, r32):
-                _, lin_state = residual_lo(x32)
+            def inner32(x32, r32, b32, d32):
+                _, lin_state = self.make_residual(b32, d32)(x32)
                 pc_state = pc_setup(x32, lin_state) if pc_setup else None
                 M = ((lambda r: pc_apply(pc_state, r))
                      if pc_apply else None)
@@ -270,17 +276,14 @@ class EllipticModel:
             # materialize the f32 PC caches with AMBIENT dtype semantics
             # before entering x64 (cache-poisoning guard, DESIGN sec. 20)
             spec = jax.ShapeDtypeStruct(g.dims, jnp.float32)
-            jax.eval_shape(inner32, spec, spec)
-
-            with (jax.enable_x64(True) if not jax.config.jax_enable_x64
-                  else contextlib.nullcontext()):
-                import dataclasses as _dc
-                m_hi = _dc.replace(self, method="matmul")  # Pallas is f32-only
-                residual_hi = m_hi.make_residual(
-                    jnp.asarray(b64_np), jnp.asarray(d64_np))
+            jax.eval_shape(inner32, spec, spec, spec, spec)
 
             @jax.jit
-            def run(x0, tol):
+            def run(x0, b64, d64, tol):
+                residual_hi = m_hi.make_residual(b64, d64)
+                b32 = b64.astype(jnp.float32)
+                d32 = d64.astype(jnp.float32)
+
                 def rnorm_of(x):
                     F, _ = residual_hi(x)
                     return F, jnp.sqrt(jnp.vdot(F, F).real)
@@ -293,7 +296,7 @@ class EllipticModel:
                 def body(c):
                     x, F, rnorm, k, inner, hist = c
                     dx, its = inner32(x.astype(jnp.float32),
-                                      F.astype(jnp.float32))
+                                      F.astype(jnp.float32), b32, d32)
                     assert dx.dtype == jnp.float32   # stays f32 under x64
                     x = x - dx.astype(jnp.float64)
                     F, rnorm = rnorm_of(x)
@@ -313,7 +316,8 @@ class EllipticModel:
         with (jax.enable_x64(True) if not jax.config.jax_enable_x64
               else contextlib.nullcontext()):
             x, rnorm, k, inner, hist = jax.device_get(
-                run(jnp.asarray(x0_np),
+                run(jnp.asarray(x0_np), jnp.asarray(b64_np),
+                    jnp.asarray(d64_np),
                     jnp.asarray(rtol * bnorm, jnp.float64)))
         info = {"newton32": res32,
                 "refine_history": [float(h) for h in hist if h >= 0.0],

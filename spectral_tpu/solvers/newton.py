@@ -365,6 +365,7 @@ def newton_tr_solve(
     fnorm = _norm(F)
     fnorm0 = max(float(fnorm), 1e-300)
     xnorm0 = float(_norm(x))
+    xnorm = xnorm0   # norm of the ACCEPTED iterate (not the trial's)
     delta = delta0 * xnorm0 if xnorm0 > 0 else delta0
     hist = [float(fnorm)]
     ksp_iters: list[int] = []
@@ -412,7 +413,10 @@ def newton_tr_solve(
                 newton_its = it + 1
                 reason = int(ConvergedReason.CONVERGED_SNORM_RELATIVE)
                 break
-        elif delta <= 1e-12 * max(float(xtn), 1.0):
+        elif delta <= 1e-12 * max(xnorm, 1.0):
+            # rejected step: the divergence threshold compares delta to the
+            # ACCEPTED iterate's norm (a large rejected trial must not
+            # inflate the scale and mask a collapsed trust region)
             newton_its = it + 1
             reason = int(ConvergedReason.DIVERGED_TR_DELTA)
             break

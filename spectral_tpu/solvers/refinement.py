@@ -145,7 +145,15 @@ def refine_solve_fused(A_hi: Callable, inner_solve: Callable, b, *,
     a JITTABLE f64 operator on DEVICE pytrees (capture f64 numpy constants
     — they keep their dtype when traced under x64) and inner_solve must be
     jittable f32 -> (dx32, iters).  Returns RefineResult with the same
-    semantics; total dispatches: one."""
+    semantics; total dispatches: one.
+
+    WARM-REUSE CONTRACT: the compiled program is cached BY OBJECT IDENTITY
+    of (A_hi, inner_solve) — pass the SAME callable objects on every call
+    or each call recompiles (and the lru_cache pins up to 32 executables
+    plus their captured constants for the process lifetime).  Callers that
+    build closures per invocation should instead hold a handle from
+    ``build_fused_refiner`` (no global cache) or cache their closures —
+    see StokesProblem._fused_refine_run for the instance-cached pattern."""
     b_np = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64), b)
     bnorm = max(float(np.sqrt(sum(
         np.vdot(l, l).real for l in jax.tree_util.tree_leaves(b_np)))),
@@ -178,3 +186,50 @@ def refine_solve_fused(A_hi: Callable, inner_solve: Callable, b, *,
     return RefineResult(jax.tree_util.tree_map(
         lambda a: np.asarray(a, np.float64), x),
         int(steps), int(inner), reason, rnorm, hist_l)
+
+
+def build_fused_refiner(A_hi: Callable, inner_solve: Callable,
+                        max_refine: int = 12):
+    """Build-once handle around the fused program WITHOUT the global
+    identity-keyed cache: the caller owns the executable's lifetime (drop
+    the handle, free the compiled program + captured constants).  Returns
+    ``solve(b, *, rtol=1e-10, atol=0.0, x0=None) -> RefineResult``; every
+    call through one handle reuses one compiled executable."""
+    run = _fused_refine_program.__wrapped__(A_hi, inner_solve, max_refine)
+    prewarmed = []
+
+    def solve(b, *, rtol: float = 1e-10, atol: float = 0.0, x0=None):
+        b_np = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float64), b)
+        bnorm = max(float(np.sqrt(sum(
+            np.vdot(l, l).real
+            for l in jax.tree_util.tree_leaves(b_np)))), 1e-300)
+        tol = max(rtol * bnorm, atol)
+        if not prewarmed:   # f32 cache materialization, ambient dtypes
+            jax.eval_shape(inner_solve, jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(np.shape(a), jnp.float32),
+                b_np))
+            prewarmed.append(True)
+        ctx = (contextlib.nullcontext() if jax.config.jax_enable_x64
+               else jax.enable_x64(True))
+        with ctx:
+            b64 = jax.tree_util.tree_map(jnp.asarray, b_np)
+            x0_64 = (jax.tree_util.tree_map(jnp.zeros_like, b64)
+                     if x0 is None else
+                     jax.tree_util.tree_map(
+                         lambda a: jnp.asarray(np.asarray(a, np.float64)),
+                         x0))
+            x, rnorm, steps, inner, hist = jax.device_get(
+                run(x0_64, b64, jnp.asarray(tol, jnp.float64)))
+        hist_l = [float(h) for h in hist if h >= 0.0]
+        rnorm = float(rnorm)
+        if not np.isfinite(rnorm):
+            reason = int(ConvergedReason.DIVERGED_NANORINF)
+        elif rnorm <= tol:
+            reason = int(ConvergedReason.CONVERGED_RTOL)
+        else:
+            reason = int(ConvergedReason.DIVERGED_ITS)
+        return RefineResult(jax.tree_util.tree_map(
+            lambda a: np.asarray(a, np.float64), x),
+            int(steps), int(inner), reason, rnorm, hist_l)
+
+    return solve

@@ -157,6 +157,49 @@ def test_elliptic_fused_matches_host_loop():
     assert np.max(np.abs(xf - xf2)) == 0.0
 
 
+def test_elliptic_fused_second_problem_not_stale():
+    """REGRESSION (round-4 advisor, high severity): the fused runner is
+    cached per (pc_type, max_refine, ksp) — b/dirichlet MUST be traced
+    arguments, so a second call with different data solves ITS OWN problem
+    instead of silently replaying the first problem's residual."""
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.elliptic import EllipticModel
+
+    m = EllipticModel(Grid((14, 14)), gamma=1.0, exponent=2.0)
+    _, b1, d1 = m.setup_problem_np(exact=0, cos_scale=1.0)
+    _, b2, d2 = m.setup_problem_np(exact=0, cos_scale=2.0)
+    assert np.max(np.abs(b1 - b2)) > 1e-3   # genuinely different problems
+    m.solve_refined_fused(b1, d1, rtol=1e-10)
+    x2, info2 = m.solve_refined_fused(b2, d2, rtol=1e-10)
+    assert info2["rel_residual"] <= 1e-10, info2["refine_history"]
+    x2_ref, _ = m.solve_refined(b2, d2, rtol=1e-10)
+    assert np.max(np.abs(x2 - x2_ref)) < 1e-11
+    # ... and WITHOUT recompiling: one executable serves every RHS
+    assert len(m._fused_run_cache) == 1
+    (run,) = m._fused_run_cache.values()
+    assert run._cache_size() == 1
+
+
+def test_elliptic_fused_with_ambient_x64_disabled():
+    """Production path (advisor round-4 low #2): ambient x64 OFF exercises
+    the scoped jax.enable_x64 entry, the f32 eval_shape cache prewarm and
+    the in-trace f32 asserts; the result must match the x64-on run."""
+    import jax
+
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.elliptic import EllipticModel
+
+    m = EllipticModel(Grid((12, 12)), gamma=1.0, exponent=2.0)
+    _, b64, d64 = m.setup_problem_np(exact=0, cos_scale=1.0)
+    x_on, _ = m.solve_refined_fused(b64, d64, rtol=1e-10)
+    m2 = EllipticModel(Grid((12, 12)), gamma=1.0, exponent=2.0)
+    with jax.enable_x64(False):
+        x_off, info = m2.solve_refined_fused(b64, d64, rtol=1e-10)
+    assert info["rel_residual"] <= 1e-10, info["refine_history"]
+    assert x_off.dtype == np.float64
+    assert np.max(np.abs(x_on - x_off)) < 1e-11
+
+
 def test_family_sweep_demo():
     import examples.family_sweep_demo as d
 

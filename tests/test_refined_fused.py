@@ -105,6 +105,25 @@ def test_fused_warm_rerun_reuses_compile():
     assert np.abs(x["v"] - x2["v"]).max() == 0.0
 
 
+def test_fused_with_ambient_x64_disabled():
+    """Production entry (x64 OFF, advisor round-4 low #2): the scoped
+    jax.enable_x64, the f32 eval_shape prewarm (cache-poisoning guard,
+    DESIGN sec. 20) and the in-trace f32 dtype asserts all run; result
+    matches the ambient-x64 run."""
+    import jax
+
+    p = StokesProblem(Grid((8, 8)), StokesConfig(exact=2, cont0=1))
+    x_on, _ = p.solve_refined_fused(rtol=1e-10)
+    p2 = StokesProblem(Grid((8, 8)), StokesConfig(exact=2, cont0=1))
+    with jax.enable_x64(False):
+        x_off, info = p2.solve_refined_fused(rtol=1e-10)
+    assert info["rel_residual"] <= 1e-10, info["refine_history"]
+    assert x_off["v"].dtype == np.float64
+    # separately-compiled executables (the jit cache keys on the ambient
+    # x64 flag): agreement is at the converged-residual level, not bitwise
+    assert np.abs(x_on["v"] - x_off["v"]).max() < 1e-9
+
+
 @pytest.mark.slow
 def test_fused_curved_domain():
     """Curved (metric-form) domains go through the same generic hi-res
