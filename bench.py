@@ -412,6 +412,36 @@ def bench_stokes20_powerlaw(repeat=False):
             info["refine_inner_iters"], total_outer)
 
 
+def bench_stokes20_powerlaw_fused():
+    """The README:52 power-law continuation headline with BOTH stages
+    device-fused (round-4 verdict item 3): the whole 5-step continuation
+    is ONE lax.scan dispatch (StokesProblem.solve_continuation_fused —
+    per-step fused Newton while_loops over a traced rheology parameter,
+    one executable for all steps) and the f64 defect correction is one
+    more.  A/B against bench_stokes20_powerlaw (host-loop continuation,
+    one dispatch per Newton iteration)."""
+    from spectral_tpu.grid import Grid
+    from spectral_tpu.models.stokes import StokesConfig, StokesProblem
+    from spectral_tpu.solvers.krylov import KSPConfig
+    from spectral_tpu.solvers.newton import NewtonConfig
+
+    cfg = StokesConfig(exact=2, rheology=1, cont=4, regularization=1e-4,
+                       exponent=3.0, pcvel="mg",
+                       outer_ksp=KSPConfig(type="fgmres", rtol=1e-5,
+                                           max_it=120, restart=60),
+                       newton=NewtonConfig(rtol=2e-4, max_it=30, ksp_ew=True))
+    p = StokesProblem(Grid((20, 20, 20)), cfg)
+    (x, info), t1, t2 = _timed_twice(
+        lambda: p.solve_refined_fused(rtol=1e-10, fused_continuation=True),
+        warm_reps=1)
+    results = info["continuation"]
+    hardest = max(max(r.ksp_iters) if r.ksp_iters else 0 for r in results)
+    total_outer = sum(sum(int(i) for i in r.ksp_iters) for r in results)
+    ok = info["rel_residual"] <= 1e-10
+    return (t1, t2, ok, hardest, info["rel_residual"],
+            info["refine_inner_iters"], total_outer)
+
+
 def bench_stokes_family(B=8, n=16):
     """Parameter-family throughput (no reference analog): B power-law
     configs solved concurrently by one vmapped Newton step vs the estimated
@@ -638,7 +668,15 @@ def bench_eig_critical_ra(n=12):
     return t1, t2, int(res.matvecs), float(ra_c), float(rel_err)
 
 
-def main():
+def run_sections(emit_cb, deadline):
+    """The measurement body.  Requires an ALREADY-INITIALIZED backend.
+    Calls ``emit_cb(dict)`` with the full cumulative key set after the
+    required matrix and after EVERY later section, so an outage at any
+    point still leaves every completed key in the stream (round-4 verdict
+    item 1: the incremental-JSON discipline chip_probe_r4.py used).
+    ``deadline`` is an absolute time.time() the body must not outlive;
+    each optional section is skipped when its warm-cache estimate no
+    longer fits."""
     # Persistent XLA compilation cache: the fftw_import_system_wisdom analog
     # (cheb.c:32; SURVEY.md section 5.1).  The solve benches below include
     # their jit compilations in wall-clock exactly as the reference's runs
@@ -646,60 +684,8 @@ def main():
     from spectral_tpu.utils.profiling import enable_compile_cache
     enable_compile_cache()
 
-    # Acquire the device grant BEFORE starting the budget clock: on the
-    # tunneled bench chip the first op can block for many minutes waiting
-    # for the grant, which is dead time, not bench time — counting it
-    # against the internal budget starves the late benches for no reason.
-    # A recently-killed TPU process can also leave the grant WEDGED, in
-    # which case backend init RAISES — and JAX caches that failure for the
-    # process lifetime, so the recovery probe must run in a SUBPROCESS
-    # before this process first touches the backend.  The probe can still
-    # race a grant that drops right after it succeeds (observed: probe ok,
-    # main init blocked 25 min then raised UNAVAILABLE); the cached-failure
-    # semantics leave re-exec as the only true in-run recovery.
-    # First attempt inits PLAIN (a probe subprocess grabbing and releasing
-    # the grant right before the main init was observed to leave the main
-    # init queued behind the release for 25+ min); the probe runs only on
-    # the recovery path, followed by a settle delay for the release.
-    import sys
-
-    # Bootstrap artifact: if the device never comes up and this process is
-    # killed mid-wait, the driver still reads a well-formed JSON last line
-    # that documents the outage instead of an empty file.
-    print(json.dumps({
-        "metric": "cheb_matvec_gdofs", "value": 0.0, "unit": "GDOF/s",
-        "vs_baseline": 0.0,
-        "error": "bench started; device grant not yet acquired",
-    }), flush=True)
-
-    # No pre-init probing: a probe subprocess that takes and releases the
-    # grant leaves the NEXT process's init queued behind the release for
-    # up to ~25 min (measured — probes succeeded instantly while the main
-    # init kept failing).  The only safe client is one patient process:
-    # init directly, and on failure sleep long and re-exec fresh.
-    tries = int(os.environ.get("BENCH_GRANT_RETRY", "0"))
-    try:
-        float(jnp.sum(jnp.ones(8)))
-    except Exception as e:
-        env = dict(os.environ)
-        if tries >= 2:
-            if env.get("BENCH_FORCE_CPU"):
-                raise
-            # final fallback: a CPU-labeled artifact beats no artifact.
-            # Keep tries at 2 so a failing CPU init raises immediately
-            # instead of cycling two more 300 s retries.
-            print(f"# backend init failed ({str(e)[:120]}); "
-                  "falling back to CPU", flush=True, file=sys.stderr)
-            env["BENCH_FORCE_CPU"] = "1"
-        else:
-            print(f"# backend init failed ({str(e)[:120]}); "
-                  f"re-exec retry {tries + 1}/2 in 300 s", flush=True,
-                  file=sys.stderr)
-            time.sleep(300.0)   # let any prior holder's release land
-            env["BENCH_GRANT_RETRY"] = str(tries + 1)
-        os.execve(sys.executable, [sys.executable] + sys.argv, env)
-
-    t_start = time.perf_counter()
+    def have(est_s):
+        return time.time() + est_s <= deadline
     gdofs, dt, copy_gelts = bench_cheb_matvec()
     bw_spec = _device_bw_gbps()
     try:
@@ -712,87 +698,12 @@ def main():
     target = 0.70 * roofline_gdofs
 
     extra = {}
-    prefer_fused = None
-    try:
-        pal_gdofs, dt_pal, fused_ms, comp_ms = bench_pallas_paths()
-        winner = "pallas" if pal_gdofs > gdofs else "matmul"
-        if jax.devices()[0].platform != "cpu":
-            # promote the measured winner to the production auto path
-            from spectral_tpu.ops import chebyshev as _cheb
-            _cheb.set_production_path(winner)
-        prefer_fused = fused_ms < comp_ms
-        extra.update({
-            "pallas_matvec_gdofs": round(pal_gdofs, 3),
-            "pallas_matvec_ms": round(dt_pal * 1e3, 4),
-            "fused_laplacian_ms": round(fused_ms, 4),
-            "composed_laplacian_ms": round(comp_ms, 4),
-            "production_cheb_path": winner,
-        })
-    except Exception as e:
-        extra["pallas_error"] = str(e)[:200]
-    try:
-        prof = profile_matvec()
-        if jax.devices()[0].platform != "cpu":
-            # never clobber the committed TPU profile from a CPU fallback
-            with open("PROFILE_r03.json", "w") as fh:
-                json.dump(prof, fh, indent=1)
-        extra.update({
-            "profile_matvec_wall_ms": prof["per_call_wall_ms"],
-            "profile_matvec_kernel_ms": prof["per_call_kernel_ms"],
-            "profile_matvec_dispatch_ms": prof["per_call_dispatch_ms"],
-            "profile_kernel_gbps": prof["kernel_effective_gbps"],
-        })
-    except Exception as e:
-        extra["profile_error"] = str(e)[:200]
-    try:
-        pt1, pt2, pit, prel, perr = bench_poisson64(prefer_fused=prefer_fused)
-        extra.update({
-            **_split_keys("poisson64", pt1, pt2),
-            "poisson64_krylov_iters": pit,
-            "poisson64_rel_residual": prel,
-            "poisson64_max_err": perr,
-        })
-    except Exception as e:  # keep the primary metric robust
-        extra["poisson64_error"] = str(e)[:200]
-    try:
-        et1, et2, enewton, eksp, erel, eerr = bench_elliptic32()
-        extra.update({
-            **_split_keys("elliptic32", et1, et2),
-            "elliptic32_newton_iters": enewton,
-            "elliptic32_krylov_iters": eksp,
-            "elliptic32_rel_residual": erel,
-            "elliptic32_max_err": eerr,
-        })
-    except Exception as e:
-        extra["elliptic32_error"] = str(e)[:200]
-    try:
-        st1, st2, souter, srefine, srel, serr = bench_stokes20_linear()
-        extra.update({
-            **_split_keys("stokes20_linear", st1, st2),
-            "stokes20_linear_outer_iters": int(souter),
-            "stokes20_linear_refine_iters": int(srefine),
-            "stokes20_linear_rel_residual": srel,
-            "stokes20_linear_max_err": serr,
-        })
-    except Exception as e:
-        extra["stokes20_linear_error"] = str(e)[:200]
-    try:
-        ft1, ft2, fksp, frel, ferr = bench_elliptic5d()
-        extra.update({
-            **_split_keys("elliptic5d", ft1, ft2),
-            "elliptic5d_krylov_iters": int(fksp),
-            "elliptic5d_rel_residual": frel,
-            "elliptic5d_max_err": ferr,
-        })
-    except Exception as e:
-        extra["elliptic5d_error"] = str(e)[:200]
 
     def emit():
-        """Print the JSON line with everything measured SO FAR.  Called
-        after the required sections and again at the end: the driver reads
-        the LAST stdout line, so an external kill during the optional late
-        benches still leaves a complete-required-matrix artifact (and the
-        internal budget guards can afford to be generous)."""
+        """Emit the JSON line with everything measured SO FAR.  Called
+        after EVERY section (required and optional): the driver reads the
+        LAST line, so an outage at any point still leaves a well-formed
+        artifact with every completed key."""
         out = {
             "metric": "cheb_matvec_gdofs",
             "value": round(gdofs, 3),
@@ -811,13 +722,93 @@ def main():
             "matvec_ms": round(dt * 1e3, 4),
             **extra,
         }
-        print(json.dumps(out), flush=True)
+        emit_cb(out)
+
+    emit()  # first data line: the primary metric is already real
+    prefer_fused = None
+    try:
+        pal_gdofs, dt_pal, fused_ms, comp_ms = bench_pallas_paths()
+        winner = "pallas" if pal_gdofs > gdofs else "matmul"
+        if jax.devices()[0].platform != "cpu":
+            # promote the measured winner to the production auto path
+            from spectral_tpu.ops import chebyshev as _cheb
+            _cheb.set_production_path(winner)
+        prefer_fused = fused_ms < comp_ms
+        extra.update({
+            "pallas_matvec_gdofs": round(pal_gdofs, 3),
+            "pallas_matvec_ms": round(dt_pal * 1e3, 4),
+            "fused_laplacian_ms": round(fused_ms, 4),
+            "composed_laplacian_ms": round(comp_ms, 4),
+            "production_cheb_path": winner,
+        })
+    except Exception as e:
+        extra["pallas_error"] = str(e)[:200]
+    emit()
+    try:
+        prof = profile_matvec()
+        if jax.devices()[0].platform != "cpu":
+            # never clobber the committed TPU profile from a CPU fallback
+            with open("PROFILE_r03.json", "w") as fh:
+                json.dump(prof, fh, indent=1)
+        extra.update({
+            "profile_matvec_wall_ms": prof["per_call_wall_ms"],
+            "profile_matvec_kernel_ms": prof["per_call_kernel_ms"],
+            "profile_matvec_dispatch_ms": prof["per_call_dispatch_ms"],
+            "profile_kernel_gbps": prof["kernel_effective_gbps"],
+        })
+    except Exception as e:
+        extra["profile_error"] = str(e)[:200]
+    emit()
+    try:
+        pt1, pt2, pit, prel, perr = bench_poisson64(prefer_fused=prefer_fused)
+        extra.update({
+            **_split_keys("poisson64", pt1, pt2),
+            "poisson64_krylov_iters": pit,
+            "poisson64_rel_residual": prel,
+            "poisson64_max_err": perr,
+        })
+    except Exception as e:  # keep the primary metric robust
+        extra["poisson64_error"] = str(e)[:200]
+    emit()
+    try:
+        et1, et2, enewton, eksp, erel, eerr = bench_elliptic32()
+        extra.update({
+            **_split_keys("elliptic32", et1, et2),
+            "elliptic32_newton_iters": enewton,
+            "elliptic32_krylov_iters": eksp,
+            "elliptic32_rel_residual": erel,
+            "elliptic32_max_err": eerr,
+        })
+    except Exception as e:
+        extra["elliptic32_error"] = str(e)[:200]
+    emit()
+    try:
+        st1, st2, souter, srefine, srel, serr = bench_stokes20_linear()
+        extra.update({
+            **_split_keys("stokes20_linear", st1, st2),
+            "stokes20_linear_outer_iters": int(souter),
+            "stokes20_linear_refine_iters": int(srefine),
+            "stokes20_linear_rel_residual": srel,
+            "stokes20_linear_max_err": serr,
+        })
+    except Exception as e:
+        extra["stokes20_linear_error"] = str(e)[:200]
+    emit()
+    try:
+        ft1, ft2, fksp, frel, ferr = bench_elliptic5d()
+        extra.update({
+            **_split_keys("elliptic5d", ft1, ft2),
+            "elliptic5d_krylov_iters": int(fksp),
+            "elliptic5d_rel_residual": frel,
+            "elliptic5d_max_err": ferr,
+        })
+    except Exception as e:
+        extra["elliptic5d_error"] = str(e)[:200]
 
     emit()  # checkpoint: required matrix complete
 
     try:
-        elapsed = time.perf_counter() - t_start
-        if elapsed > 540:
+        if not have(150):
             raise RuntimeError("skipped: bench time budget exhausted")
         gt1, gt2, gsteps, ginner, grel, gerr = bench_stokes20_fused()
         extra.update({
@@ -830,7 +821,7 @@ def main():
     except Exception as e:
         extra["stokes20_fused_error"] = str(e)[:200]
     try:
-        if time.perf_counter() - t_start > 560:
+        if not have(110):
             raise RuntimeError("skipped: bench time budget exhausted")
         qt1, qt2, qits, qrel, qerr = bench_poisson64_fused()
         extra.update({
@@ -844,11 +835,10 @@ def main():
     emit()
 
     try:
-        elapsed = time.perf_counter() - t_start
-        if elapsed > 560:  # keep the JSON line printable
+        if not have(220):
             raise RuntimeError("skipped: bench time budget exhausted")
         pt1, pt2, ok, hardest, prel, pref, ptot = \
-            bench_stokes20_powerlaw(repeat=elapsed < 300)
+            bench_stokes20_powerlaw(repeat=have(420))
         extra.update({
             "stokes20_powerlaw_time_s": round(pt1, 3),
             **({"stokes20_powerlaw_compile_s": round(max(pt1 - pt2, 0.0), 3),
@@ -862,9 +852,27 @@ def main():
         })
     except Exception as e:
         extra["stokes20_powerlaw_error"] = str(e)[:200]
+    emit()
 
     try:
-        if time.perf_counter() - t_start > 640:
+        if not have(200):
+            raise RuntimeError("skipped: bench time budget exhausted")
+        pt1, pt2, ok, hardest, prel, pref, ptot = \
+            bench_stokes20_powerlaw_fused()
+        extra.update({
+            **_split_keys("stokes20_powerlaw_fused", pt1, pt2),
+            "stokes20_powerlaw_fused_converged": bool(ok),
+            "stokes20_powerlaw_fused_hardest_outer_iters": int(hardest),
+            "stokes20_powerlaw_fused_total_outer_iters": int(ptot),
+            "stokes20_powerlaw_fused_rel_residual": prel,
+            "stokes20_powerlaw_fused_refine_iters": int(pref),
+        })
+    except Exception as e:
+        extra["stokes20_powerlaw_fused_error"] = str(e)[:200]
+    emit()
+
+    try:
+        if not have(90):
             raise RuntimeError("skipped: bench time budget exhausted")
         ct1, ct2, csolves, cnu, cok = bench_convection_steady_newton()
         extra.update({
@@ -875,9 +883,10 @@ def main():
         })
     except Exception as e:
         extra["convection_steady_newton_error"] = str(e)[:200]
+    emit()
 
     try:
-        if time.perf_counter() - t_start > 660:
+        if not have(170):
             raise RuntimeError("skipped: bench time budget exhausted")
         dt1, dt2, dsolves, dnu, dvrms, dsym, dok = bench_convection3d()
         extra.update({
@@ -890,9 +899,10 @@ def main():
         })
     except Exception as e:
         extra["convection3d_error"] = str(e)[:200]
+    emit()
 
     try:
-        if time.perf_counter() - t_start > 700:
+        if not have(90):
             raise RuntimeError("skipped: bench time budget exhausted")
         gt1, gt2, gmv, gra, grel = bench_eig_critical_ra()
         extra.update({
@@ -903,9 +913,10 @@ def main():
         })
     except Exception as e:
         extra["eig_critical_ra_error"] = str(e)[:200]
+    emit()
 
     try:
-        if time.perf_counter() - t_start > 700:
+        if not have(60):
             raise RuntimeError("skipped: bench time budget exhausted")
         ft, fspeed, fok = bench_stokes_family()
         extra.update({
@@ -915,9 +926,10 @@ def main():
         })
     except Exception as e:
         extra["stokes_family8_error"] = str(e)[:200]
+    emit()
 
     try:
-        if time.perf_counter() - t_start > 800:
+        if not have(130):
             raise RuntimeError("skipped: bench time budget exhausted")
         ct, citers, cok, cerr, cerr8, fiters, neum = bench_stokes_curved()
         extra.update({
@@ -934,9 +946,10 @@ def main():
         })
     except Exception as e:
         extra["stokes_curved14_error"] = str(e)[:200]
+    emit()
 
     try:
-        if time.perf_counter() - t_start > 840:
+        if not have(110):
             raise RuntimeError("skipped: bench time budget exhausted")
         sps, nu, vrms, sps_nested = bench_convection()
         extra.update({
@@ -951,5 +964,191 @@ def main():
     emit()  # final: full key set
 
 
+# ---------------------------------------------------------------------------
+# Orchestration (round-4 verdict item 1: survive BOTH tunnel wedge modes).
+#
+# The tunneled TPU grant fails two ways (CLAUDE.md): backend init RAISES
+# within seconds, or BLOCKS for up to ~25 min and then raises — and JAX
+# caches a failed init for the process lifetime.  A successful init has
+# also been measured at 475 s (PROBE_r04), so no single timeout can
+# distinguish "wedged" from "slow but fine".  Design:
+#
+#   parent (never touches any backend)
+#     ├── CPU child   (BENCH_FORCE_CPU=1): starts immediately, streams a
+#     │               complete CPU-labeled artifact — the floor.
+#     └── TPU child:  patient init (no watchdog kill while waiting — the
+#                     CPU artifact removes the opportunity cost), streams
+#                     per-section JSON lines as sections complete.
+#
+# Both children append cumulative JSON lines to partial files; the parent
+# re-prints the best merged line whenever either advances, so the LAST
+# stdout line is always the best well-formed artifact even if the parent
+# itself is killed.  TPU keys win; missing keys are filled from the CPU
+# artifact and listed under "cpu_fallback_keys".  On a fast init-RAISE the
+# parent sleeps 300 s (release-queue settle, measured) and respawns the
+# TPU child if the remaining budget affords it.  No pre-init probing ever
+# (a probe's grant release queues the next init ~25 min — measured).
+# ---------------------------------------------------------------------------
+
+_BOOTSTRAP = {
+    "metric": "cheb_matvec_gdofs", "value": 0.0, "unit": "GDOF/s",
+    "vs_baseline": 0.0,
+    "error": "bench started; device grant not yet acquired",
+}
+
+
+def _child_main():
+    import sys
+    path = os.environ["BENCH_PARTIAL"]
+    deadline = float(os.environ.get("BENCH_DEADLINE_TS",
+                                    time.time() + 780.0))
+
+    def emit_cb(d):
+        line = json.dumps(d)
+        with open(path, "a") as fh:
+            fh.write(line + "\n")
+        print(line, flush=True)
+
+    try:
+        float(jnp.sum(jnp.ones(8)))   # first backend touch
+    except Exception as e:
+        emit_cb({"event": "init_failed", "error": str(e)[:300]})
+        sys.exit(3)
+    emit_cb({"event": "device_acquired",
+             "device": jax.devices()[0].device_kind,
+             "platform": jax.devices()[0].platform})
+    run_sections(emit_cb, deadline)
+
+
+def _read_last_data_line(path):
+    """Last JSON line carrying bench data (skips event markers)."""
+    try:
+        with open(path) as fh:
+            lines = [l for l in fh.read().splitlines() if l.strip()]
+    except OSError:
+        return None
+    for line in reversed(lines):
+        try:
+            d = json.loads(line)
+        except ValueError:
+            continue
+        if "metric" in d:
+            return d
+    return None
+
+
+_MERGE_SKIP = ("metric", "value", "unit", "vs_baseline", "device",
+               "tpu_unavailable", "hbm_bw_spec_gbps", "hbm_bw_triad_gbps",
+               "copy_samepattern_gelts", "hbm_roofline_gdofs",
+               "target_70pct", "matvec_ms")
+
+
+def _merge(tpu_d, cpu_d):
+    if tpu_d is None and cpu_d is None:
+        return dict(_BOOTSTRAP)
+    if tpu_d is None:
+        return dict(cpu_d)
+    out = dict(tpu_d)
+    if cpu_d:
+        added = sorted(
+            k for k in cpu_d
+            if k not in out and k not in _MERGE_SKIP
+            and not k.endswith("_error"))
+        for k in added:
+            out[k] = cpu_d[k]
+        if added:
+            out["cpu_fallback_keys"] = added
+    return out
+
+
+def _spawn_child(kind, partial, logf, deadline):
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    env["BENCH_CHILD"] = "1"
+    env["BENCH_PARTIAL"] = partial
+    env["BENCH_DEADLINE_TS"] = repr(deadline)
+    if kind == "cpu":
+        env["BENCH_FORCE_CPU"] = "1"
+    else:
+        env.pop("BENCH_FORCE_CPU", None)
+    return subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                            stdout=logf, stderr=logf, env=env)
+
+
+def main():
+    here = os.path.dirname(os.path.abspath(__file__))
+    total = float(os.environ.get("BENCH_TOTAL_BUDGET", "840"))
+    t0 = time.time()
+    deadline = t0 + total - 30.0       # parent: merge/emit reserve
+    child_deadline = deadline - 10.0
+
+    print(json.dumps(_BOOTSTRAP), flush=True)
+
+    parts = {k: os.path.join(here, f"BENCH_PARTIAL_{k.upper()}.jsonl")
+             for k in ("tpu", "cpu")}
+    logs = {}
+    procs = {}
+    for k in parts:
+        open(parts[k], "w").close()    # truncate stale partials
+        logs[k] = open(os.path.join(here, f"bench_child_{k}.log"), "w")
+        procs[k] = _spawn_child(k, parts[k], logs[k], child_deadline)
+
+    tpu_attempts = 1
+    tpu_sleep_until = None
+    last_printed = None
+
+    def print_merged():
+        nonlocal last_printed
+        merged = _merge(_read_last_data_line(parts["tpu"]),
+                        _read_last_data_line(parts["cpu"]))
+        line = json.dumps(merged)
+        if line != last_printed:
+            print(line, flush=True)
+            last_printed = line
+
+    while time.time() < deadline:
+        now = time.time()
+        if tpu_sleep_until is not None and now >= tpu_sleep_until:
+            procs["tpu"] = _spawn_child("tpu", parts["tpu"], logs["tpu"],
+                                        child_deadline)
+            tpu_attempts += 1
+            tpu_sleep_until = None
+        for k, p in list(procs.items()):
+            if p is not None and p.poll() is not None:
+                rc = p.returncode
+                procs[k] = None
+                if (k == "tpu" and rc == 3 and tpu_attempts < 3
+                        and deadline - time.time() > 420.0
+                        and tpu_sleep_until is None):
+                    # fast init-RAISE: wait out the release queue, retry
+                    tpu_sleep_until = time.time() + 300.0
+        print_merged()
+        if all(p is None for p in procs.values()) and tpu_sleep_until is None:
+            break
+        time.sleep(5.0)
+
+    for k, p in procs.items():
+        if p is not None and p.poll() is None:
+            p.kill()    # end of round: a wedged grant no longer matters
+            try:
+                p.wait(timeout=10)
+            except Exception:
+                pass
+    print_merged()
+    # unconditional final line (covers the nothing-changed case)
+    if last_printed is None:
+        print(json.dumps(_BOOTSTRAP), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD"):
+        _child_main()
+    elif "--inproc" in __import__("sys").argv:
+        # single-process debug mode: init + sections in THIS process
+        float(jnp.sum(jnp.ones(8)))
+        deadline = time.time() + float(
+            os.environ.get("BENCH_TOTAL_BUDGET", "840"))
+        run_sections(lambda d: print(json.dumps(d), flush=True), deadline)
+    else:
+        main()

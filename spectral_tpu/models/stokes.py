@@ -1245,6 +1245,70 @@ class StokesProblem:
                                       "fnorm": res.fnorm, "reason": res.reason})
         return results
 
+    def _fused_cont_run(self):
+        """Build (and cache) the ONE-dispatch continuation program: the
+        FULL stokes.C:217-235 loop — every Newton solve of every
+        continuation step — as a single lax.scan over the parameter
+        schedule, each step a fused Newton-Krylov while_loop
+        (solvers.newton.make_fused_newton) warm-started from the previous
+        step's solution.  The host-loop path (solve_continuation) pays one
+        dispatch per Newton ITERATION (~25-30 ms each through the tunnel,
+        PROFILE_r03.json); this pays ONE for the whole continuation."""
+        run = self.__dict__.get("_fused_cont_cache")
+        if run is not None:
+            return run
+        from spectral_tpu.solvers.newton import make_fused_newton
+
+        cfg = self.config
+
+        def residual_fn(x, theta):
+            F, lin_state = self.make_residual(theta)(x)
+            return ({"v": F["v"], "p": self.project_p(F["p"])}, lin_state)
+
+        pc_setup, pc_apply = self.make_pc()
+        step = make_fused_newton(
+            residual_fn, jacobian_action=self.jacobian_action,
+            pc_setup=pc_setup, pc_apply=pc_apply,
+            ksp=self._dtype_ksp(cfg.outer_ksp), config=cfg.newton,
+            null_project=self.null_project)
+
+        @jax.jit
+        def run(x0, thetas):
+            def scan_body(x, theta):
+                xn, fnorm, fnorm0, k, kits, hist, reason = step(x, theta)
+                return xn, (fnorm, fnorm0, k, kits, hist, reason)
+
+            return jax.lax.scan(scan_body, x0, thetas)
+
+        self.__dict__["_fused_cont_cache"] = run
+        return run
+
+    def solve_continuation_fused(self) -> list[NewtonResult]:
+        """solve_continuation with the ENTIRE continuation DEVICE-RESIDENT:
+        one compiled dispatch covers all cont+1 Newton solves (see
+        _fused_cont_run).  Plain warm starts (the reference's own scheme,
+        stokes.C:217-235) — the secant predictor and checkpointing are
+        host-loop features.  f32-clamped outer tolerances, exactly like
+        solve_refined's stage 1 (a refinement stage is expected to
+        follow).  Returns one NewtonResult per continuation step."""
+        cfg = self.config
+        run = self._fused_cont_run()
+        steps = list(range(cfg.cont0, cfg.cont + 1))
+        thetas = jax.tree_util.tree_map(
+            lambda *a: jnp.asarray(a), *[self.params_at(i) for i in steps])
+        x, (fnorms, fnorm0s, ks, kits, hists, reasons) = jax.device_get(
+            run(self.zero_state(), thetas))
+        results = []
+        for j, i in enumerate(steps):
+            kl = [int(v) for v in kits[j] if v >= 0]
+            results.append(NewtonResult(
+                x=None, iters=int(ks[j]), reason=int(reasons[j]),
+                fnorm=float(fnorms[j]),
+                fnorm_history=[float(h) for h in hists[j] if h >= 0.0],
+                ksp_iters=kl))
+        results[-1].x = {"v": x["v"], "p": x["p"]}   # final state only
+        return results
+
     # ------------------------------------------------------------------
     # Mixed precision: float64 host residual + defect-correction solve
     # ------------------------------------------------------------------
@@ -1559,7 +1623,8 @@ class StokesProblem:
         return run
 
     def solve_refined_fused(self, *, rtol: float = 1e-10,
-                            max_refine: int = 10, monitor: bool = False):
+                            max_refine: int = 10, monitor: bool = False,
+                            fused_continuation: bool = False):
         """solve_refined with the ENTIRE refinement stage device-resident:
         one compiled dispatch for the loop of {f64 residual, f32 saddle
         Krylov, f64 update} instead of a host round trip per refine step
@@ -1567,14 +1632,18 @@ class StokesProblem:
         zero (the first pass IS the f32 solve, so no separate continuation
         stage runs at all — the full rtol-1e-10 solve is ONE dispatch);
         power-law runs the f32 Newton/continuation first, exactly like
-        solve_refined, then fuses the refinement.  Returns
+        solve_refined, then fuses the refinement.  With
+        ``fused_continuation`` the continuation stage ALSO collapses to
+        one dispatch (solve_continuation_fused) — the whole power-law
+        rtol-1e-10 headline (README:52) in TWO dispatches.  Returns
         (x_np_f64_pytree, info) with solve_refined's info keys."""
         cfg = self.config
         linear = cfg.rheology in (0, "linear")
         results = []
         if not linear:
-            results = self.solve_continuation(monitor=monitor,
-                                              clamp_f32=True)
+            results = (self.solve_continuation_fused() if fused_continuation
+                       else self.solve_continuation(monitor=monitor,
+                                                    clamp_f32=True))
         bnorm = max(float(np.sqrt(sum(np.vdot(v, v).real
                                       for v in self.force_np.values()))),
                     1e-300)

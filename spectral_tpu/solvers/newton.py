@@ -295,6 +295,133 @@ def newton_solve(
                         recycle_U=U)
 
 
+def make_fused_newton(
+    residual_fn: Callable[[Any, Any], tuple[Any, Any]],
+    *,
+    jacobian_action: Optional[Callable[[Any, Any, Any], Any]] = None,
+    pc_setup: Optional[Callable[[Any, Any], Any]] = None,
+    pc_apply: Optional[Callable[[Any, Any], Any]] = None,
+    ksp: KSPConfig = KSPConfig(type="gmres", rtol=1e-5),
+    config: NewtonConfig = NewtonConfig(),
+    null_project: Optional[Callable] = None,
+):
+    """Build the ENTIRE Newton-Krylov solve as one traceable program.
+
+    ``newton_solve`` fuses each Newton ITERATION into one dispatch and
+    keeps stopping / Eisenstat-Walker / pc-lag control on the host; this
+    builder moves that control in-trace (lax.while_loop), so a whole solve
+    is ONE dispatch — and, because the rheology/continuation parameter
+    ``theta`` is a TRACED argument, a parameter schedule can be lax.scan'd
+    over the same executable (StokesProblem.solve_continuation_fused, the
+    stokes.C:217-235 loop as a single dispatch).
+
+    Args mirror newton_solve except ``residual_fn(x, theta)`` takes the
+    parameter explicitly.  Unsupported here (host-loop-only features):
+    ``monitor``, ``recycle``, user ``callback``.  Returns a traceable
+    ``run(x0, theta) -> (x, fnorm, fnorm0, iters, kits_hist, fnorm_hist,
+    reason)`` with fixed-size ``-1``-padded histories; jit it, or scan it.
+    """
+    if config.recycle > 0:
+        raise ValueError("Krylov recycling is host-loop-only (newton_solve)")
+
+    if jacobian_action is None:
+        def jacobian_action(x, lin_state, w, *, _rfn=residual_fn):  # JFNK
+            raise NotImplementedError   # replaced per-theta below
+        jfnk = True
+    else:
+        jfnk = False
+
+    ITER = int(ConvergedReason.ITERATING)
+
+    def run(x0, theta):
+        rfn = lambda z: residual_fn(z, theta)
+        jac = (jacobian_action if not jfnk else
+               (lambda x, ls, w: jax.jvp(lambda z: rfn(z)[0], (x,), (w,))[1]))
+        F0, ls0 = rfn(x0)
+        fnorm0 = jnp.maximum(_norm(F0), 1e-300)
+        ftype = fnorm0.dtype
+        stop_tol = jnp.maximum(jnp.asarray(config.atol, ftype),
+                               config.rtol * fnorm0)
+        pc0 = pc_setup(x0, ls0) if pc_setup is not None else 0
+
+        kits0 = jnp.full((config.max_it,), -1, jnp.int32)
+        hist0 = jnp.full((config.max_it + 1,), -1.0, ftype).at[0].set(
+            _norm(F0))
+
+        def cond(c):
+            (x, F, ls, fnorm, fprev, eta_prev, pc, k, kits, hist, reason) = c
+            return ((k < config.max_it) & (reason == ITER)
+                    & (fnorm > stop_tol) & jnp.isfinite(fnorm))
+
+        def body(c):
+            (x, F, ls, fnorm, fprev, eta_prev, pc, k, kits, hist, reason) = c
+            if pc_setup is not None:
+                rebuild = (k > 0) & ((k % config.pc_lag) == 0)
+                pc = jax.lax.cond(rebuild, lambda _: pc_setup(x, ls),
+                                  lambda _: pc, None)
+            M = ((lambda r: pc_apply(pc, r))
+                 if pc_apply is not None else None)
+            if config.ksp_ew:
+                # Eisenstat-Walker choice 2, in-trace (same formula as the
+                # host loop in newton_solve; eta_prev < 0 flags step 0)
+                eta = config.ew_gamma * (fnorm / fprev) ** config.ew_alpha
+                guard = config.ew_gamma * jnp.abs(eta_prev) ** config.ew_alpha
+                eta = jnp.where(guard > 0.1, jnp.maximum(eta, guard), eta)
+                eta = jnp.where(eta_prev < 0.0, config.ew_eta0, eta)
+                eta = jnp.minimum(eta, config.ew_etamax)
+                eta = jnp.maximum(eta, 0.5 * config.rtol * fnorm0 / fnorm)
+                eta = jnp.minimum(eta, config.ew_etamax)
+                lin_rtol = jnp.maximum(eta, ksp.rtol)
+            else:
+                lin_rtol = jnp.asarray(ksp.rtol, ftype)
+            ksp_eff = dataclasses.replace(ksp, rtol=lin_rtol)
+            lres = ksp_eff.solve(lambda w: jac(x, ls, w), F, M=M,
+                                 null_project=null_project)
+            dx = lres.x
+            dxnorm = _norm(dx)
+            if callable(config.line_search):
+                xn, Fn, lsn, fnn, ok = config.line_search(rfn, x, dx, fnorm)
+            elif config.line_search == "basic":
+                xn = _axpy(-1.0, dx, x)
+                Fn, lsn = rfn(xn)
+                fnn = _norm(Fn)
+                ok = jnp.isfinite(fnn)
+            else:
+                xn, Fn, lsn, fnn, ok = _line_search_bt(rfn, x, dx, fnorm,
+                                                       config)
+            snorm_hit = dxnorm <= config.stol * jnp.maximum(_norm(xn), 1e-30)
+            reason = jnp.where(
+                snorm_hit, int(ConvergedReason.CONVERGED_SNORM_RELATIVE),
+                reason)
+            if config.line_search != "basic":
+                reason = jnp.where(
+                    ~ok, int(ConvergedReason.DIVERGED_LINE_SEARCH), reason)
+            kits = kits.at[k].set(lres.iters)
+            hist = hist.at[k + 1].set(fnn)
+            return (xn, Fn, lsn, fnn, fnorm, lin_rtol, pc, k + 1, kits,
+                    hist, reason)
+
+        c0 = (x0, F0, ls0, _norm(F0), fnorm0, jnp.asarray(-1.0, ftype),
+              pc0, jnp.asarray(0, jnp.int32), kits0, hist0,
+              jnp.asarray(ITER, jnp.int32))
+        (x, F, ls, fnorm, _, _, _, k, kits, hist, reason) = \
+            jax.lax.while_loop(cond, body, c0)
+        # host-loop precedence: atol, rtol, nan, max_it — in-body reasons
+        # (line search / stol) already override ITERATING
+        reason = jnp.where(
+            reason != ITER, reason, jnp.where(
+                ~jnp.isfinite(fnorm),
+                int(ConvergedReason.DIVERGED_NANORINF), jnp.where(
+                    fnorm <= config.atol,
+                    int(ConvergedReason.CONVERGED_ATOL), jnp.where(
+                        fnorm <= config.rtol * fnorm0,
+                        int(ConvergedReason.CONVERGED_RTOL),
+                        int(ConvergedReason.DIVERGED_ITS)))))
+        return x, fnorm, fnorm0, k, kits, hist, reason
+
+    return run
+
+
 def newton_tr_solve(
     residual_fn: Callable[[Any], tuple[Any, Any]],
     x0: Any,

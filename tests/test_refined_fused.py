@@ -105,6 +105,38 @@ def test_fused_warm_rerun_reuses_compile():
     assert np.abs(x["v"] - x2["v"]).max() == 0.0
 
 
+def test_fused_continuation_matches_host_loop():
+    """solve_continuation_fused (the stokes.C:217-235 loop as ONE lax.scan
+    dispatch of per-step fused Newton while_loops, traced rheology
+    parameter) matches the host-loop continuation step-for-step, and
+    solve_refined_fused(fused_continuation=True) reaches the same
+    rtol-1e-10 solution."""
+    cfg = StokesConfig(exact=2, rheology=1, cont=2, regularization=1e-2,
+                       exponent=3.0)
+    p = StokesProblem(Grid((10, 10)), cfg)
+    res_f = p.solve_continuation_fused()
+    p2 = StokesProblem(Grid((10, 10)), cfg)
+    res_h = p2.solve_continuation(clamp_f32=True)
+    assert len(res_f) == len(res_h) == 3
+    for rf, rh in zip(res_f, res_h):
+        assert rf.reason == rh.reason
+        assert rf.iters == rh.iters
+        assert rf.ksp_iters == [int(i) for i in rh.ksp_iters]
+        # separately-compiled executables: reduction order differs at the
+        # last-ulp level once the residual reaches the convergence floor,
+        # so the floor itself (~1e-11 relative to fnorm0) is noise
+        np.testing.assert_allclose(rf.fnorm_history, rh.fnorm_history,
+                                   rtol=1e-6,
+                                   atol=1e-9 * rf.fnorm_history[0])
+    assert np.abs(np.asarray(res_f[-1].x["v"])
+                  - np.asarray(res_h[-1].x["v"])).max() < 1e-12
+
+    x, info = p.solve_refined_fused(rtol=1e-10, fused_continuation=True)
+    assert info["rel_residual"] <= 1e-10, info["refine_history"]
+    x2, _ = p2.solve_refined(rtol=1e-10)
+    assert np.abs(x["v"] - x2["v"]).max() < 1e-7
+
+
 def test_fused_with_ambient_x64_disabled():
     """Production entry (x64 OFF, advisor round-4 low #2): the scoped
     jax.enable_x64, the f32 eval_shape prewarm (cache-poisoning guard,
