@@ -665,7 +665,12 @@ def bench_eig_critical_ra(n=12):
     run = lambda: m.critical_rayleigh(k=2, m=20, tol=3e-6)
     (ra_c, res), t1, t2 = _timed_twice(run)
     rel_err = abs(ra_c - 8 * np.pi ** 4) / (8 * np.pi ** 4)
-    return t1, t2, int(res.matvecs), float(ra_c), float(rel_err)
+    # both residual floors (round-4 verdict item 5): the Arnoldi estimate
+    # (f32-basis accumulation floor) vs the f64-polished explicit residual
+    r_arn = float(np.max(res.residuals))
+    r_pol = (float(np.max(res.residuals_polished))
+             if res.residuals_polished is not None else -1.0)
+    return t1, t2, int(res.matvecs), float(ra_c), float(rel_err), r_arn, r_pol
 
 
 def run_sections(emit_cb, deadline):
@@ -904,12 +909,14 @@ def run_sections(emit_cb, deadline):
     try:
         if not have(90):
             raise RuntimeError("skipped: bench time budget exhausted")
-        gt1, gt2, gmv, gra, grel = bench_eig_critical_ra()
+        gt1, gt2, gmv, gra, grel, garn, gpol = bench_eig_critical_ra()
         extra.update({
             **_split_keys("eig_critical_ra", gt1, gt2),
             "eig_critical_ra_matvecs": gmv,
             "eig_critical_ra_value": round(gra, 4),
             "eig_critical_ra_rel_err": grel,
+            "eig_critical_ra_resid_arnoldi": garn,
+            "eig_critical_ra_resid_polished": gpol,
         })
     except Exception as e:
         extra["eig_critical_ra_error"] = str(e)[:200]

@@ -1070,7 +1070,11 @@ class ConvectionModel:
                          .standard_normal(self.grid.dims))
         v0 = self.grid.zero_boundary(v0)
         res = eigs(op, v0, k=k, which="LR", m=m, tol=tol)
-        mu = max((z.real for z in res.eigenvalues
+        # prefer the f64-polished Rayleigh quotients: same f32 operator,
+        # but the basis' accumulated orthogonalization noise is stripped
+        lam = (res.eigenvalues_polished
+               if res.eigenvalues_polished is not None else res.eigenvalues)
+        mu = max((z.real for z in lam
                   if abs(z.imag) < 1e-8 * abs(z) + 1e-12 and z.real > 0),
                  default=np.nan)
         return (1.0 / mu if np.isfinite(mu) else np.nan), res

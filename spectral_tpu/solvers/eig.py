@@ -51,6 +51,13 @@ class EPSResult(NamedTuple):
     matvecs: int
     restarts: int
     converged: bool
+    # f64 polish (round-4 verdict item 5): one extra operator apply per
+    # returned pair, with the Rayleigh quotient and the explicit residual
+    # ||A x - rq x|| accumulated in HOST float64 — this strips the f32
+    # device basis' accumulated orthogonalization noise from the report
+    # (the operator's own single-apply f32 noise remains; see eigs()).
+    eigenvalues_polished: Optional[np.ndarray] = None
+    residuals_polished: Optional[np.ndarray] = None
 
 
 _WHICH = {
@@ -248,7 +255,8 @@ class _DeviceBasis:
 def eigs(A: Callable, v0, k: int = 4, *, which: str = "LR", m: int = 0,
          tol: float = 1e-8, max_restarts: int = 60,
          transform: Optional[Callable] = None,
-         device_basis: Optional[bool] = None) -> EPSResult:
+         device_basis: Optional[bool] = None,
+         polish: bool = True) -> EPSResult:
     """k eigenpairs of the matrix-free operator ``A`` (pytree -> pytree).
 
     ``v0``: starting vector (pytree), also fixes shape/dtype of matvecs.
@@ -261,6 +269,13 @@ def eigs(A: Callable, v0, k: int = 4, *, which: str = "LR", m: int = 0,
     the operator is not jittable.  NB: the device basis orthogonalizes in
     the OPERATOR's dtype — on an f32 device the practical residual floor is
     ~1e-6 relative (use the host basis, or x64, for tighter targets).
+    ``polish`` (default on): after the restart loop, each returned Ritz
+    pair gets ONE extra operator apply with the Rayleigh quotient and the
+    explicit residual ||A x - rq x|| accumulated in host float64 — the
+    reported ``residuals_polished`` floor is then set by a SINGLE f32
+    operator apply (~1e-7 relative) instead of the basis' accumulated
+    orthogonalization noise, and ``eigenvalues_polished`` are the
+    refreshed (transformed) values.
 
     Returns an EPSResult; ``converged`` is False if the residual target was
     not met within ``max_restarts`` (the best available pairs are still
@@ -335,9 +350,31 @@ def eigs(A: Callable, v0, k: int = 4, *, which: str = "LR", m: int = 0,
             lam = wT[:kk]
             X = basis.extract(Q, Y[:, :kk], me)  # (kk, n) complex rows
             X = X / np.linalg.norm(X, axis=1, keepdims=True)
+            lam_p = res_p = None
+            if polish:
+                def apply64(xr):
+                    w = A(unravel(jnp.asarray(xr, dtype)))
+                    return np.asarray(ravel_pytree(w)[0], np.float64)
+
+                lam_p = np.empty(kk, complex)
+                res_p = np.empty(kk)
+                for i in range(kk):
+                    x = X[i]
+                    Ax = apply64(np.ascontiguousarray(x.real))
+                    matvecs += 1
+                    if np.abs(x.imag).max() > 0.0:
+                        Ax = Ax + 1j * apply64(np.ascontiguousarray(x.imag))
+                        matvecs += 1
+                    rq = np.vdot(x, Ax)          # x is unit-norm
+                    lam_p[i] = rq
+                    # absolute, like ``residuals`` (= res * scale)
+                    res_p[i] = np.linalg.norm(Ax - rq * x)
+                if transform is not None:
+                    lam_p = np.asarray([transform(z) for z in lam_p])
             if transform is not None:
                 lam = np.asarray([transform(z) for z in lam])
-            return EPSResult(lam, X, res * scale, matvecs, restarts, done)
+            return EPSResult(lam, X, res * scale, matvecs, restarts, done,
+                             lam_p, res_p)
 
         # -- contract: keep p ~ k + me//2 columns, not splitting blocks --
         edges = _block_edges(T)

