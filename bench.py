@@ -563,6 +563,46 @@ def bench_convection(n=24, steps=40):
     return sps_dense, nu, vrms, sps_nested
 
 
+def bench_convection_var_eta(n=16, steps=40):
+    """Variable-viscosity (Blankenbach case-2 law, contrast 10) stepping:
+    the lagged dense tier (in-trace refactorization every stokes_pc_lag
+    steps, ops/dense.py traced assembly + MXU inverse) A/B'd against the
+    per-step eta-aware nested MG tree (round-4 verdict item 7).  Also
+    reports the outer-iteration ladder fresh/stale/nested at the rolled
+    state — the recorded crossover (measured: none; even the maximally
+    stale factorization beats the surrogate tree, 16 vs 36 outer on the
+    CPU x64 mesh)."""
+    from spectral_tpu.models.convection import (ConvectionConfig,
+                                                ConvectionModel)
+    from spectral_tpu.solvers.krylov import KSPConfig
+
+    def build(stokes_pc):
+        cfg = ConvectionConfig(
+            Ra=2e3, dt=2e-4, velocity_bc="freeslip", side_bc="insulated",
+            eta_contrast=10.0, stokes_pc=stokes_pc, stokes_pc_lag=25,
+            stokes_ksp=KSPConfig(type="fgmres", rtol=1e-6, max_it=120,
+                                 restart=60))
+        return ConvectionModel.unit_box((n, n), cfg)
+
+    out = {}
+    models = {}
+    for pc in ("dense", "nested"):
+        m = build(pc)
+        models[pc] = m
+        T0 = m.conductive_state(amp=0.05)
+        carry = m.init_carry(T0)
+        m._rollout_jit(*carry, steps)            # compile + warm
+        t0 = time.perf_counter()
+        T, _, x = m._rollout_jit(*carry, steps)
+        nu = float(m.nusselt_top(T))             # fetch = barrier
+        out[pc] = (steps / (time.perf_counter() - t0), nu, T)
+    md, (sps_d, nu_d, Td) = models["dense"], out["dense"]
+    mn, (sps_n, nu_n, Tn) = models["nested"], out["nested"]
+    it_fresh = int(md.solve_stokes(Td, md.stokes.zero_state()).iters)
+    it_mg = int(mn.solve_stokes(Tn, mn.stokes.zero_state()).iters)
+    return sps_d, sps_n, nu_d, nu_n, it_fresh, it_mg
+
+
 def bench_elliptic5d(rtol=1e-10):
     """5-D 12^5 elliptic (-dim 12,12,12,12,12 -exact 2): the reference's
     arbitrary-dimension headline (README:19-24), on-chip with f32 Krylov +
@@ -967,6 +1007,22 @@ def run_sections(emit_cb, deadline):
         })
     except Exception as e:
         extra["convection_error"] = str(e)[:200]
+    emit()
+
+    try:
+        if not have(90):
+            raise RuntimeError("skipped: bench time budget exhausted")
+        sps_d, sps_n, nu_d, nu_n, it_f, it_m = bench_convection_var_eta()
+        extra.update({
+            "convection_vareta_dense_steps_per_s": round(sps_d, 3),
+            "convection_vareta_nested_steps_per_s": round(sps_n, 3),
+            "convection_vareta_nu_dense": round(nu_d, 6),
+            "convection_vareta_nu_nested": round(nu_n, 6),
+            "convection_vareta_outer_dense_fresh": it_f,
+            "convection_vareta_outer_nested": it_m,
+        })
+    except Exception as e:
+        extra["convection_vareta_error"] = str(e)[:200]
 
     emit()  # final: full key set
 

@@ -104,12 +104,18 @@ class ConvectionConfig:
     # fixed operator is solved every time step, so outer FGMRES drops to
     # 1-3 iterations and the per-step device program collapses from a
     # nested tree of tiny sequential ops to a single dense matmul — the
-    # TPU-native answer at collocation sizes.  Requires eta_contrast == 1
-    # (a temperature-dependent operator changes every step).
+    # TPU-native answer at collocation sizes.
     # 'dense-device' factors in working precision ON the device (seconds
     # at 1e4 dofs where the single-core host f64 LAPACK takes minutes;
     # costs a few extra outer iterations — the 3-D regime's choice).
+    # With eta_contrast != 1 the operator drifts with T; the dense tier
+    # then re-assembles + re-factors IN-TRACE every ``stokes_pc_lag``
+    # steps (StokesProblem.make_dense_pc_var — the -pc_lag discipline
+    # applied to the LU tier; drift over a lag window costs outer
+    # iterations, never accuracy).  steady_newton refreshes once per
+    # Newton step regardless.
     stokes_pc: str = "nested"
+    stokes_pc_lag: int = 25
     stokes_ksp: KSPConfig = KSPConfig(type="fgmres", rtol=1e-6, max_it=80,
                                       restart=40)
     temp_ksp: KSPConfig = KSPConfig(type="cg", rtol=1e-8, max_it=60)
@@ -160,23 +166,32 @@ class ConvectionModel:
         # deta = 0): build once from the zero state
         zero = self.stokes.zero_state()
         _, self._lin0 = self.stokes.make_residual(self._params)(zero)
+        self._dense_var = False
         if config.stokes_pc in ("dense", "dense-device"):
             if self._var_eta:
-                raise ValueError(
-                    "stokes_pc='dense' factors the FROZEN isoviscous saddle "
-                    "operator once; eta_contrast != 1 changes the operator "
-                    "every step — use stokes_pc='nested'")
-            setup_d, apply_d, apply_adj = self.stokes.make_dense_pc(
-                params=self._params,
-                factor=("device" if config.stokes_pc == "dense-device"
-                        else "host"))
-            self._pc_setup = lambda x, lin: None
-            self._pc_apply = lambda state, r: apply_d(None, r)
-            self._pc_state = None
-            # adjoint PC with the same factorization (Ainv^T): overrides
-            # the _adjoint_pc cached_property via the instance dict
-            self._adjoint_pc = (lambda x, lin: None,
-                                lambda state, r: apply_adj(None, r))
+                # variable viscosity: in-trace lagged refactorization
+                # (round-4 verdict item 7) — pc_setup(None, lin) IS the
+                # refresh, invoked on the stokes_pc_lag cadence by the
+                # rollouts and once per Newton step by steady_newton
+                self._dense_var = True
+                setup_v, apply_v, apply_adj_v = \
+                    self.stokes.make_dense_pc_var()
+                self._pc_setup = setup_v
+                self._pc_apply = apply_v
+                self._pc_state = None
+                self._adjoint_pc = (setup_v, apply_adj_v)
+            else:
+                setup_d, apply_d, apply_adj = self.stokes.make_dense_pc(
+                    params=self._params,
+                    factor=("device" if config.stokes_pc == "dense-device"
+                            else "host"))
+                self._pc_setup = lambda x, lin: None
+                self._pc_apply = lambda state, r: apply_d(None, r)
+                self._pc_state = None
+                # adjoint PC with the same factorization (Ainv^T):
+                # overrides the _adjoint_pc cached_property
+                self._adjoint_pc = (lambda x, lin: None,
+                                    lambda state, r: apply_adj(None, r))
         elif config.stokes_pc == "nested":
             self._pc_setup, self._pc_apply = self.stokes.make_pc()
             # constant-viscosity PC state is static; eta(T) rebuilds per step
@@ -279,14 +294,17 @@ class ConvectionModel:
         return (eta, jnp.zeros_like(T),
                 jnp.zeros(T.shape + (self.d, self.d), T.dtype))
 
-    def solve_stokes(self, T, x0):
+    def solve_stokes(self, T, x0, pc_state=None):
         """Instantaneous Stokes solve for the buoyancy field of T (with
-        eta_contrast != 1, the operator and the eta-aware MG velocity PC
-        are rebuilt from the current temperature — jit-compatible)."""
+        eta_contrast != 1, the operator and the eta-aware PC are rebuilt
+        from the current temperature — jit-compatible).  ``pc_state``
+        overrides the PC state (a LAGGED dense factorization threaded by
+        the rollouts; None = build fresh per the config)."""
         lin = self._lin_of(T)
         A = partial(self.stokes.jacobian_action, None, lin)
-        state = (self._pc_setup(None, lin) if self._var_eta
-                 else self._pc_state)
+        state = (pc_state if pc_state is not None
+                 else (self._pc_setup(None, lin) if self._var_eta
+                       else self._pc_state))
         M = partial(self._pc_apply, state)
         return self.config.stokes_ksp.solve(
             A, self.buoyancy_rhs(T), x0,
@@ -495,13 +513,13 @@ class ConvectionModel:
             Nf = prod if Nf is None else Nf + prod
         return g.zero_boundary(self._pad_apply(Ds, Nf))
 
-    def step(self, T, N_prev, x_prev, q=None):
+    def step(self, T, N_prev, x_prev, q=None, pc_state=None):
         """One IMEX step: Stokes solve, AB2 advection, theta diffusion.
 
         Returns (T_next, N, x) where N is this step's advection term (the
         next step's N_prev) and x the saddle solution (the next warm start).
         """
-        res = self.solve_stokes(T, x_prev)
+        res = self.solve_stokes(T, x_prev, pc_state=pc_state)
         x = res.x
         N = self.advection(self.velocity_full(x), T)
         N_mid = 1.5 * N - 0.5 * N_prev          # t_{n+1/2} extrapolation
@@ -511,7 +529,7 @@ class ConvectionModel:
         T_next = self.heat.step(T, f, self.bc_T)
         return T_next, N, x
 
-    def step_dt(self, T, N_prev, x_prev, dt, rho, q=None):
+    def step_dt(self, T, N_prev, x_prev, dt, rho, q=None, pc_state=None):
         """One IMEX step with TRACED dt and advection-history step ratio
         ``rho`` = dt/dt_prev (0 on the first step: forward-Euler
         advection).  The Stokes solve is steady (infinite Prandtl carries
@@ -521,7 +539,7 @@ class ConvectionModel:
         AB2 weights 1.5/-0.5 at theta = 1/2, rho = 1 — and the diffusion
         substep rides the runtime-shift fastdiag (heat.step_theta_dt), so
         ONE compiled step serves every step size."""
-        res = self.solve_stokes(T, x_prev)
+        res = self.solve_stokes(T, x_prev, pc_state=pc_state)
         x = res.x
         N = self.advection(self.velocity_full(x), T)
         N_mid = N + self.config.theta * rho * (N - N_prev)
@@ -534,6 +552,13 @@ class ConvectionModel:
     @cached_property
     def _step_dt_jit(self):
         return jax.jit(self.step_dt)
+
+    @cached_property
+    def _pc_refresh_jit(self):
+        """T -> lagged-dense PC state (one in-trace assembly + MXU
+        inverse); the host-loop march_adaptive analog of _scan_steps'
+        chunk-head refresh."""
+        return jax.jit(lambda T: self._pc_setup(None, self._lin_of(T)))
 
     @cached_property
     def _min_spacing_np(self):
@@ -636,11 +661,17 @@ class ConvectionModel:
                     print(f"  resumed from checkpoint step {steps}")
         if carry is None:
             carry = self.init_carry(T)
+        pcs = None
+        pc_age = 10**9
         while steps < max_steps and steps + rejects < 4 * max_steps:
             Tc, Nc, xc = carry
+            if self._dense_var:
+                if pc_age >= max(1, self.config.stokes_pc_lag):
+                    pcs = self._pc_refresh_jit(Tc)   # lagged refactorization
+                    pc_age = 0
             rho = 0.0 if dt_prev is None else dt / dt_prev
             Tn, Nn, xn = self._step_dt_jit(Tc, Nc, xc, jnp.asarray(dt),
-                                           jnp.asarray(rho))
+                                           jnp.asarray(rho), pc_state=pcs)
             if T_prev is not None:
                 T_pred = Tc + (dt / dt_prev) * (Tc - T_prev)
                 est = 0.5 * wrms(Tn - T_pred, Tn, rtol, atol)
@@ -661,6 +692,7 @@ class ConvectionModel:
                 T_prev, dt_prev = Tc, dt
                 carry = (Tn, Nn, xn)
                 steps += 1
+                pc_age += 1
                 dts.append(dt)
                 rate_hist.append(rate)
                 steps_since_cap += 1
@@ -723,15 +755,38 @@ class ConvectionModel:
         N0 = self.advection(self.velocity_full(res.x), T0)
         return T0, N0, res.x
 
+    def _scan_steps(self, carry, nsteps: int):
+        """``nsteps`` coupled steps from (T, N, x), traceable.  With the
+        lagged dense tier the factorization refreshes from the chunk-head
+        temperature every ``stokes_pc_lag`` steps (in-trace assembly +
+        MXU inverse, then one matmul per Krylov iteration inside the
+        chunk)."""
+        def body(c, _, pc=None):
+            Tc, Nc, xc = c
+            return self.step(Tc, Nc, xc, pc_state=pc), ()
+
+        if not self._dense_var:
+            carry, _ = jax.lax.scan(body, carry, None, length=nsteps)
+            return carry
+        k = max(1, min(self.config.stokes_pc_lag, nsteps))
+
+        def chunk(c, _, length=k):
+            pc = self._pc_setup(None, self._lin_of(c[0]))
+            c, _ = jax.lax.scan(partial(body, pc=pc), c, None,
+                                length=length)
+            return c, ()
+
+        nch, rem = divmod(nsteps, k)
+        if nch:
+            carry, _ = jax.lax.scan(chunk, carry, None, length=nch)
+        if rem:
+            carry, _ = chunk(carry, None, length=rem)
+        return carry
+
     @cached_property
     def _rollout_jit(self):
         def run(T, N, x, nsteps):
-            def body(carry, _):
-                Tc, Nc, xc = carry
-                Tn, Nn, xn = self.step(Tc, Nc, xc)
-                return (Tn, Nn, xn), ()
-            carry, _ = jax.lax.scan(body, (T, N, x), None, length=nsteps)
-            return carry
+            return self._scan_steps((T, N, x), nsteps)
         return jax.jit(run, static_argnums=3)
 
     def rollout(self, T0, nsteps: int):
@@ -746,11 +801,7 @@ class ConvectionModel:
         rebuilt from T inside the map so it is a pure function of T —
         the fixed-point map Anderson acceleration extrapolates over)."""
         def run(T, nsteps):
-            def body(carry, _):
-                return self.step(*carry), ()
-            carry, _ = jax.lax.scan(body, self.init_carry(T), None,
-                                    length=nsteps)
-            return carry[0]
+            return self._scan_steps(self.init_carry(T), nsteps)[0]
         return jax.jit(run, static_argnums=1)
 
     def steady_accelerated(self, T0, m: int = 5, chunk: int = 10,

@@ -1062,6 +1062,48 @@ class StokesProblem:
 
         return pc_setup, pc_apply, pc_apply_adjoint
 
+    def make_dense_pc_var(self, *, block: int = 512):
+        """Dense exact saddle inverse for VARIABLE-coefficient operators:
+        ``pc_setup(x, lin_state)`` re-assembles the TRUE saddle Jacobian at
+        ``lin_state`` and re-factors it IN-TRACE (ops/dense.py traced
+        assembly + MXU inverse), returning the factored inverse as the PC
+        STATE — so callers control the refresh cadence by where they call
+        setup (once per rollout chunk, once per Newton step, ...), the
+        ``-pc_lag`` discipline applied to the ``-pc_type lu`` tier
+        (round-4 verdict item 7).  Each ``pc_apply`` stays one MXU matmul.
+        Returns (pc_setup, pc_apply, pc_apply_adjoint)."""
+        from spectral_tpu.ops.dense import (assemble_dense_traced,
+                                            dense_apply,
+                                            regularized_inverse_traced)
+        import jax.flatten_util as _fu
+
+        free = np.asarray(_fu.ravel_pytree(
+            {"v": jnp.where(self.vel_mask, 1.0, 0.0)
+                  * jnp.ones(self.grid.dims + (self.d,)),
+             "p": jnp.where(self.p_mask, 1.0, 0.0)})[0]) != 0.0
+        nulls = []
+        if self.has_p_null:
+            nulls.append(np.asarray(_fu.ravel_pytree(
+                {"v": jnp.zeros(self.grid.dims + (self.d,)),
+                 "p": jnp.where(self.p_mask, 1.0, 0.0)})[0]))
+
+        def pc_setup(x, lin_state):
+            A, _ = assemble_dense_traced(
+                lambda w: self.jacobian_action(None, lin_state, w),
+                self.zero_state(), block=block)
+            return regularized_inverse_traced(A, free=free,
+                                              null_vecs=nulls)
+
+        _, unravel = _fu.ravel_pytree(self.zero_state())
+
+        def pc_apply(state, r):
+            return dense_apply(state, unravel)(r)
+
+        def pc_apply_adjoint(state, r):
+            return dense_apply(state, unravel, transpose=True)(r)
+
+        return pc_setup, pc_apply, pc_apply_adjoint
+
     # ------------------------------------------------------------------
     # Drivers (main, stokes.C:119-253)
     # ------------------------------------------------------------------

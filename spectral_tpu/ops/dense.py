@@ -74,6 +74,45 @@ def assemble_dense_device(apply_tree, example, *, block: int = 1024):
     return jnp.concatenate(rows, axis=0).T, unravel
 
 
+def assemble_dense_traced(apply_tree, example, *, block: int = 512):
+    """``assemble_dense_device`` as a pure TRACEABLE function (lax.map over
+    fixed-size identity blocks, no host loop): usable INSIDE jit/scan, so a
+    variable-coefficient operator can be re-assembled and re-factored
+    in-trace on a lag cadence (models/convection.py ``stokes_pc='dense'``
+    with temperature-dependent viscosity).  ``apply_tree`` may close over
+    traced values.  Returns (A (n, n) array, unravel)."""
+    flat0, unravel = ravel_pytree(example)
+    n = int(flat0.shape[0])
+    dtype = flat0.dtype
+    block = min(block, n)
+    nb = -(-n // block)
+    idx = np.arange(nb * block) % n                # cyclic pad
+    idx = jnp.asarray(idx.reshape(nb, block).astype(np.int32))
+
+    def apply_block(ib):
+        E = jax.nn.one_hot(ib, n, dtype=dtype)
+        return jax.vmap(
+            lambda e: ravel_pytree(apply_tree(unravel(e)))[0])(E)
+
+    rows = jax.lax.map(apply_block, idx).reshape(nb * block, -1)[:n]
+    return rows.T, unravel
+
+
+def regularized_inverse_traced(A, *, free=None, null_vecs=()):
+    """``regularized_inverse_device`` without the jit wrapper: traceable
+    inline (jnp.linalg.inv on the MXU), for in-scan refactorization."""
+    if free is not None:
+        free = jnp.asarray(np.asarray(free, bool))
+        keep = free[:, None] & free[None, :]
+        A = jnp.where(keep, A, 0.0) + jnp.diag((~free).astype(A.dtype))
+    scale = jnp.linalg.norm(A, jnp.inf)
+    for e in null_vecs:
+        e = jnp.asarray(np.asarray(e, np.float64), A.dtype)
+        e = e / jnp.linalg.norm(e)
+        A = A + scale * jnp.outer(e, e)
+    return jnp.linalg.inv(A)
+
+
 def regularized_inverse_device(A, *, free=None, null_vecs=()):
     """``regularized_inverse`` in device working precision (one jitted
     LU-based inverse on the MXU instead of the host float64 LAPACK)."""

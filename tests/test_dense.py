@@ -190,7 +190,41 @@ def test_dense_pc_critical_rayleigh():
     assert abs(ra_c - 8 * np.pi ** 4) / (8 * np.pi ** 4) < 1e-5
 
 
-def test_dense_pc_var_eta_raises():
-    with pytest.raises(ValueError, match="dense"):
-        ConvectionModel.unit_box(
-            (10, 10), _cfg(stokes_pc="dense", eta_contrast=10.0))
+def test_dense_pc_var_eta_lagged():
+    """Round-4 verdict item 7: the dense tier now serves VARIABLE
+    viscosity through in-trace lagged refactorization
+    (StokesProblem.make_dense_pc_var + ConvectionConfig.stokes_pc_lag).
+    At Blankenbach case-2 conditions (contrast 10, Ra 2e3): identical
+    physics to the nested-MG path, and the per-solve outer-iteration
+    ladder fresh(1) < maximally-stale(~16) < nested-MG(~36) — even the
+    stalest factorization beats the surrogate tree (recorded crossover:
+    there is none; dense wins at every lag)."""
+    def cfgv(stokes_pc, lag=25):
+        return ConvectionConfig(
+            Ra=2e3, dt=2e-4, velocity_bc="freeslip", side_bc="insulated",
+            eta_contrast=10.0, stokes_pc=stokes_pc, stokes_pc_lag=lag,
+            stokes_ksp=KSPConfig(type="fgmres", rtol=1e-6, max_it=120,
+                                 restart=60))
+
+    md = ConvectionModel.unit_box((16, 16), cfgv("dense", lag=25))
+    T0 = md.conductive_state(amp=0.05)
+    Td, _, _ = md.rollout(T0, 100)
+    nu_d = float(md.nusselt_top(Td))
+
+    mn = ConvectionModel.unit_box((16, 16), cfgv("nested"))
+    Tn, _, _ = mn.rollout(T0, 100)
+    nu_n = float(mn.nusselt_top(Tn))
+    assert nu_d == pytest.approx(nu_n, abs=1e-7)   # identical physics
+    assert nu_d > 1.05                             # genuinely convecting
+
+    # outer-iteration ladder at the rolled-out (convecting) state
+    res_fresh = md.solve_stokes(Td, md.stokes.zero_state())
+    assert int(res_fresh.reason) > 0
+    assert int(res_fresh.iters) <= 2
+    pc_stale = md._pc_refresh_jit(T0)      # conductive-state factorization
+    res_stale = md.solve_stokes(Td, md.stokes.zero_state(),
+                                pc_state=pc_stale)
+    assert int(res_stale.reason) > 0
+    res_mg = mn.solve_stokes(Tn, mn.stokes.zero_state())
+    assert int(res_mg.reason) > 0
+    assert int(res_fresh.iters) < int(res_stale.iters) < int(res_mg.iters)
