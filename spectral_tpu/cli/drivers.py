@@ -469,13 +469,27 @@ def stokes_main(opts: Options) -> int:
                       f"{int(np.sum(np.asarray(rl.ksp_iters)))} Krylov, "
                       f"reason {rl.reason_str()}")
             results = [p.solve(x0, monitor=monitor)]
+        elif opts.has("fused"):
+            # -fused: the ENTIRE continuation as one device dispatch
+            # (solve_continuation_fused — lax.scan of fused Newton
+            # while_loops over the traced parameter schedule); monitor /
+            # checkpointing are host-loop features
+            if ckpt_dir:
+                raise SystemExit("-fused and -checkpoint_dir are mutually "
+                                 "exclusive (fused runs have no host loop "
+                                 "to checkpoint)")
+            results = p.solve_continuation_fused()
+            for i, r in enumerate(results):
+                print(f"  [fused {i}/{len(results) - 1}] {int(r.iters)} "
+                      f"Newton / {int(np.sum(np.asarray(r.ksp_iters)))} "
+                      f"Krylov, reason {r.reason_str()}")
         else:
             results = p.solve_continuation(monitor=monitor,
                                            checkpoint_dir=ckpt_dir)
     res = results[-1]
-    if monitor:
+    if monitor and res.lin_state is not None:
         # eta extremes per solve (stokes.C:730-735 prints them per residual)
-        eta = results[-1].lin_state[0]
+        eta = res.lin_state[0]
         print(f"Minimum eta = {float(jnp.min(eta)):9.3e}   "
               f"Maximum eta = {float(jnp.max(eta)):9.3e}")
     err = p.error_vs_exact(res.x)

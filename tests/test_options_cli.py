@@ -82,6 +82,24 @@ def test_stokes_cli_end_to_end(capsys):
     assert "Reason for solver termination: CONVERGED" in out
 
 
+def test_stokes_cli_fused_continuation(capsys):
+    """-fused runs the one-dispatch continuation (solve_continuation_fused)
+    and lands on the same final error as the host loop."""
+    from spectral_tpu.cli.drivers import stokes_main
+
+    args = "-exact 2 -rheology 1 -cont 2 -eps 1e-2 -exponent 3 -dim 8,8"
+    rc = stokes_main(Options((args + " -fused").split()))
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "[fused 2/2]" in out
+    err_f = float(out.split("abs = ")[1].split()[0])
+    rc = stokes_main(Options(args.split()))
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    err_h = float(out.split("abs = ")[1].split()[0])
+    assert abs(err_f - err_h) <= 1e-9 + 1e-6 * abs(err_h)
+
+
 def test_heat_cli(capsys):
     from spectral_tpu.cli.drivers import heat_main
 
