@@ -916,36 +916,8 @@ def run_sections(emit_cb, deadline):
         extra["stokes20_powerlaw_fused_error"] = str(e)[:200]
     emit()
 
-    try:
-        if not have(90):
-            raise RuntimeError("skipped: bench time budget exhausted")
-        ct1, ct2, csolves, cnu, cok = bench_convection_steady_newton()
-        extra.update({
-            **_split_keys("convection_steady_newton", ct1, ct2),
-            "convection_steady_newton_stokes_solves": csolves,
-            "convection_steady_newton_nu": round(cnu, 5),
-            "convection_steady_newton_converged": cok,
-        })
-    except Exception as e:
-        extra["convection_steady_newton_error"] = str(e)[:200]
-    emit()
-
-    try:
-        if not have(170):
-            raise RuntimeError("skipped: bench time budget exhausted")
-        dt1, dt2, dsolves, dnu, dvrms, dsym, dok = bench_convection3d()
-        extra.update({
-            **_split_keys("convection3d", dt1, dt2),
-            "convection3d_stokes_solves": dsolves,
-            "convection3d_nu": round(dnu, 5),
-            "convection3d_vrms": round(dvrms, 4),
-            "convection3d_planform_sym_err": dsym,
-            "convection3d_converged": dok,
-        })
-    except Exception as e:
-        extra["convection3d_error"] = str(e)[:200]
-    emit()
-
+    # cheap sections land before the expensive convection solves, so a
+    # tight tunnel budget still covers every subsystem's keys
     try:
         if not have(90):
             raise RuntimeError("skipped: bench time budget exhausted")
@@ -973,6 +945,36 @@ def run_sections(emit_cb, deadline):
         })
     except Exception as e:
         extra["stokes_family8_error"] = str(e)[:200]
+    emit()
+
+    try:
+        if not have(90):
+            raise RuntimeError("skipped: bench time budget exhausted")
+        sps_d, sps_n, nu_d, nu_n, it_f, it_m = bench_convection_var_eta()
+        extra.update({
+            "convection_vareta_dense_steps_per_s": round(sps_d, 3),
+            "convection_vareta_nested_steps_per_s": round(sps_n, 3),
+            "convection_vareta_nu_dense": round(nu_d, 6),
+            "convection_vareta_nu_nested": round(nu_n, 6),
+            "convection_vareta_outer_dense_fresh": it_f,
+            "convection_vareta_outer_nested": it_m,
+        })
+    except Exception as e:
+        extra["convection_vareta_error"] = str(e)[:200]
+    emit()
+
+    try:
+        if not have(90):
+            raise RuntimeError("skipped: bench time budget exhausted")
+        ct1, ct2, csolves, cnu, cok = bench_convection_steady_newton()
+        extra.update({
+            **_split_keys("convection_steady_newton", ct1, ct2),
+            "convection_steady_newton_stokes_solves": csolves,
+            "convection_steady_newton_nu": round(cnu, 5),
+            "convection_steady_newton_converged": cok,
+        })
+    except Exception as e:
+        extra["convection_steady_newton_error"] = str(e)[:200]
     emit()
 
     try:
@@ -1010,19 +1012,19 @@ def run_sections(emit_cb, deadline):
     emit()
 
     try:
-        if not have(90):
+        if not have(200):
             raise RuntimeError("skipped: bench time budget exhausted")
-        sps_d, sps_n, nu_d, nu_n, it_f, it_m = bench_convection_var_eta()
+        dt1, dt2, dsolves, dnu, dvrms, dsym, dok = bench_convection3d()
         extra.update({
-            "convection_vareta_dense_steps_per_s": round(sps_d, 3),
-            "convection_vareta_nested_steps_per_s": round(sps_n, 3),
-            "convection_vareta_nu_dense": round(nu_d, 6),
-            "convection_vareta_nu_nested": round(nu_n, 6),
-            "convection_vareta_outer_dense_fresh": it_f,
-            "convection_vareta_outer_nested": it_m,
+            **_split_keys("convection3d", dt1, dt2),
+            "convection3d_stokes_solves": dsolves,
+            "convection3d_nu": round(dnu, 5),
+            "convection3d_vrms": round(dvrms, 4),
+            "convection3d_planform_sym_err": dsym,
+            "convection3d_converged": dok,
         })
     except Exception as e:
-        extra["convection_vareta_error"] = str(e)[:200]
+        extra["convection3d_error"] = str(e)[:200]
 
     emit()  # final: full key set
 
@@ -1141,7 +1143,12 @@ def _spawn_child(kind, partial, logf, deadline):
 
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
-    total = float(os.environ.get("BENCH_TOTAL_BUDGET", "840"))
+    # Default budget intentionally EXCEEDS the shortest plausible driver
+    # timeout: the parent re-prints the best merged artifact on every
+    # section advance, so an external kill at any point keeps everything
+    # completed so far — self-limiting earlier would only discard time
+    # the driver was still willing to give.
+    total = float(os.environ.get("BENCH_TOTAL_BUDGET", "1080"))
     t0 = time.time()
     deadline = t0 + total - 30.0       # parent: merge/emit reserve
     child_deadline = deadline - 10.0
