@@ -266,9 +266,15 @@ class Multigrid:
         if lvl == len(self.grids) - 1:
             size = math.prod(self.grids[lvl].dims)
             comp = b.shape[len(self.grids[lvl].dims):]
-            z = jax.scipy.linalg.lu_solve(state["coarse_lu"],
-                                          b.reshape(size, -1))
-            return z.reshape(b.shape)
+            # lu_solve is dtype-STRICT (every other op here promotes):
+            # under ambient x64 an f32 rhs can meet f64 factors (constants
+            # captured at setup promote the stencil), or vice versa inside
+            # the fused defect-correction programs — solve in the factors'
+            # dtype and cast back to the cycle's working dtype
+            lu, piv = state["coarse_lu"]
+            z = jax.scipy.linalg.lu_solve(
+                (lu, piv), b.reshape(size, -1).astype(lu.dtype))
+            return z.reshape(b.shape).astype(b.dtype)
         x = self._smooth(S, diag, lam_max, jnp.zeros_like(b), b,
                          self.pre_smooth, lsolv)
         r = b - S.apply(x)
